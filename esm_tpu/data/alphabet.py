@@ -1,0 +1,245 @@
+"""Protein token alphabet and batch conversion.
+
+TPU-native rebuild of the reference vocabulary/tokenization layer
+(reference: esm/data.py:91-336, esm/constants.py:7-9). Token tables must match the
+reference exactly — checkpoint embedding rows are indexed by these ids.
+
+Design notes (vs. reference):
+  * numpy int32 token arrays instead of torch int64 (JAX-native; vocab < 2**31).
+  * BatchConverter can pad the sequence dimension up to a bucket length so that
+    jit sees few distinct shapes (XLA recompiles per shape; the reference's
+    ragged max-len batches are hostile to a compiled runtime).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+# Standard amino-acid / gap tokens, in checkpoint vocabulary order
+# (reference: esm/constants.py:7-9).
+PROTEIN_TOKS: Tuple[str, ...] = (
+    "L", "A", "G", "V", "S", "E", "R", "T", "I", "D", "P", "K", "Q", "N", "F",
+    "Y", "M", "H", "W", "C", "X", "B", "U", "Z", "O", ".", "-",
+)
+
+RawMSA = Sequence[Tuple[str, str]]
+
+
+class Alphabet:
+    """Vocabulary with architecture-specific special tokens.
+
+    Mirrors reference esm/data.py:91-174: prepend tokens, standard tokens,
+    padding to a multiple of 8 with ``<null_i>``, then append tokens.
+    """
+
+    def __init__(
+        self,
+        standard_toks: Sequence[str],
+        prepend_toks: Sequence[str] = ("<null_0>", "<pad>", "<eos>", "<unk>"),
+        append_toks: Sequence[str] = ("<cls>", "<mask>", "<sep>"),
+        prepend_bos: bool = True,
+        append_eos: bool = False,
+        use_msa: bool = False,
+    ):
+        self.standard_toks = list(standard_toks)
+        self.prepend_toks = list(prepend_toks)
+        self.append_toks = list(append_toks)
+        self.prepend_bos = prepend_bos
+        self.append_eos = append_eos
+        self.use_msa = use_msa
+
+        self.all_toks = list(self.prepend_toks)
+        self.all_toks.extend(self.standard_toks)
+        for i in range((8 - (len(self.all_toks) % 8)) % 8):
+            self.all_toks.append(f"<null_{i + 1}>")
+        self.all_toks.extend(self.append_toks)
+
+        self.tok_to_idx = {tok: i for i, tok in enumerate(self.all_toks)}
+
+        self.unk_idx = self.tok_to_idx["<unk>"]
+        self.padding_idx = self.get_idx("<pad>")
+        self.cls_idx = self.get_idx("<cls>")
+        self.mask_idx = self.get_idx("<mask>")
+        self.eos_idx = self.get_idx("<eos>")
+        self.all_special_tokens = ["<eos>", "<unk>", "<pad>", "<cls>", "<mask>"]
+        self.unique_no_split_tokens = self.all_toks
+
+    def __len__(self) -> int:
+        return len(self.all_toks)
+
+    def get_idx(self, tok: str) -> int:
+        return self.tok_to_idx.get(tok, self.unk_idx)
+
+    def get_tok(self, ind: int) -> str:
+        return self.all_toks[ind]
+
+    def to_dict(self) -> dict:
+        return self.tok_to_idx.copy()
+
+    @classmethod
+    def from_architecture(cls, name: str) -> "Alphabet":
+        """Architecture-specific token layout (reference esm/data.py:143-174)."""
+        if name in ("ESM-1", "protein_bert_base"):
+            prepend: Tuple[str, ...] = ("<null_0>", "<pad>", "<eos>", "<unk>")
+            append: Tuple[str, ...] = ("<cls>", "<mask>", "<sep>")
+            prepend_bos, append_eos, use_msa = True, False, False
+        elif name in ("ESM-1b", "roberta_large"):
+            prepend = ("<cls>", "<pad>", "<eos>", "<unk>")
+            append = ("<mask>",)
+            prepend_bos, append_eos, use_msa = True, True, False
+        elif name in ("MSA Transformer", "msa_transformer"):
+            prepend = ("<cls>", "<pad>", "<eos>", "<unk>")
+            append = ("<mask>",)
+            prepend_bos, append_eos, use_msa = True, False, True
+        elif "invariant_gvp" in name.lower():
+            prepend = ("<null_0>", "<pad>", "<eos>", "<unk>")
+            append = ("<mask>", "<cath>", "<af2>")
+            prepend_bos, append_eos, use_msa = True, False, False
+        else:
+            raise ValueError(f"Unknown architecture {name!r}")
+        return cls(PROTEIN_TOKS, prepend, append, prepend_bos, append_eos, use_msa)
+
+    def _tokenize(self, text: str) -> List[str]:
+        return text.split()
+
+    def tokenize(self, text: str) -> List[str]:
+        """HF-style tokenization splitting on special tokens then whitespace
+        (reference esm/data.py:179-247)."""
+
+        def split_on_token(tok: str, text: str) -> List[str]:
+            result = []
+            split_text = text.split(tok)
+            for i, sub_text in enumerate(split_text):
+                if i < len(split_text) - 1:
+                    sub_text = sub_text.rstrip()
+                if i > 0:
+                    sub_text = sub_text.lstrip()
+                if i == 0 and not sub_text:
+                    result.append(tok)
+                elif i == len(split_text) - 1:
+                    if sub_text:
+                        result.append(sub_text)
+                else:
+                    if sub_text:
+                        result.append(sub_text)
+                    result.append(tok)
+            return result
+
+        def split_on_tokens(tok_list: Sequence[str], text: str) -> List[str]:
+            if not text.strip():
+                return []
+            tokenized: List[str] = []
+            text_list = [text]
+            for tok in tok_list:
+                tokenized = []
+                for sub_text in text_list:
+                    if sub_text not in self.unique_no_split_tokens:
+                        tokenized.extend(split_on_token(tok, sub_text))
+                    else:
+                        tokenized.append(sub_text)
+                text_list = tokenized
+            return list(
+                itertools.chain.from_iterable(
+                    self._tokenize(tok) if tok not in self.unique_no_split_tokens else [tok]
+                    for tok in tokenized
+                )
+            )
+
+        return split_on_tokens(self.unique_no_split_tokens, text)
+
+    def encode(self, text: str) -> List[int]:
+        return [self.tok_to_idx[tok] for tok in self.tokenize(text)]
+
+    def get_batch_converter(
+        self, truncation_seq_length: Optional[int] = None
+    ) -> "BatchConverter":
+        if self.use_msa:
+            return MSABatchConverter(self, truncation_seq_length)
+        return BatchConverter(self, truncation_seq_length)
+
+
+def _round_up(n: int, multiple: int) -> int:
+    return ((n + multiple - 1) // multiple) * multiple
+
+
+class BatchConverter:
+    """(label, str) batch -> (labels, strs, int32 token array).
+
+    Reference semantics: esm/data.py:253-297 (truncation, bos/eos insertion,
+    pad fill). Additionally supports ``pad_to_multiple`` so a compiled model
+    sees a small set of static shapes instead of one shape per batch.
+    """
+
+    def __init__(
+        self,
+        alphabet: Alphabet,
+        truncation_seq_length: Optional[int] = None,
+        pad_to_multiple: int = 1,
+    ):
+        self.alphabet = alphabet
+        self.truncation_seq_length = truncation_seq_length
+        self.pad_to_multiple = pad_to_multiple
+
+    def __call__(self, raw_batch: Sequence[Tuple[str, str]]):
+        batch_size = len(raw_batch)
+        batch_labels, seq_str_list = zip(*raw_batch)
+        seq_encoded_list = [self.alphabet.encode(s) for s in seq_str_list]
+        if self.truncation_seq_length:
+            seq_encoded_list = [s[: self.truncation_seq_length] for s in seq_encoded_list]
+        max_len = max(len(s) for s in seq_encoded_list)
+        total = max_len + int(self.alphabet.prepend_bos) + int(self.alphabet.append_eos)
+        if self.pad_to_multiple > 1:
+            total = _round_up(total, self.pad_to_multiple)
+        tokens = np.full((batch_size, total), self.alphabet.padding_idx, dtype=np.int32)
+        labels, strs = [], []
+        for i, (label, seq_str, seq_encoded) in enumerate(
+            zip(batch_labels, seq_str_list, seq_encoded_list)
+        ):
+            labels.append(label)
+            strs.append(seq_str)
+            offset = int(self.alphabet.prepend_bos)
+            if self.alphabet.prepend_bos:
+                tokens[i, 0] = self.alphabet.cls_idx
+            tokens[i, offset : offset + len(seq_encoded)] = np.asarray(
+                seq_encoded, dtype=np.int32
+            )
+            if self.alphabet.append_eos:
+                tokens[i, offset + len(seq_encoded)] = self.alphabet.eos_idx
+        return labels, strs, tokens
+
+
+class MSABatchConverter(BatchConverter):
+    """MSA batches -> B x R x C token arrays (reference esm/data.py:300-336)."""
+
+    def __call__(self, inputs: Union[Sequence[RawMSA], RawMSA]):
+        if isinstance(inputs[0][0], str):
+            raw_batch: Sequence[RawMSA] = [inputs]  # single MSA
+        else:
+            raw_batch = inputs
+
+        batch_size = len(raw_batch)
+        max_alignments = max(len(msa) for msa in raw_batch)
+        max_seqlen = max(len(msa[0][1]) for msa in raw_batch)
+        total = max_seqlen + int(self.alphabet.prepend_bos) + int(self.alphabet.append_eos)
+        if self.pad_to_multiple > 1:
+            total = _round_up(total, self.pad_to_multiple)
+
+        tokens = np.full(
+            (batch_size, max_alignments, total), self.alphabet.padding_idx, dtype=np.int32
+        )
+        labels, strs = [], []
+        for i, msa in enumerate(raw_batch):
+            if len({len(seq) for _, seq in msa}) != 1:
+                raise RuntimeError(
+                    "Received unaligned sequences for input to MSA, all sequence "
+                    "lengths must be equal."
+                )
+            msa_labels, msa_strs, msa_tokens = BatchConverter.__call__(self, msa)
+            labels.append(msa_labels)
+            strs.append(msa_strs)
+            tokens[i, : msa_tokens.shape[0], : msa_tokens.shape[1]] = msa_tokens
+        return labels, strs, tokens

@@ -1,0 +1,205 @@
+"""ESM-2 protein language model (TPU-native).
+
+Reference semantics: esm/model/esm2.py — token embedding with mask-token
+dropout rescale, N pre-LN rotary transformer layers, final LN, tied-weight LM
+head, contact head over stacked attention maps. The forward contract mirrors
+the reference: ``{"logits", "representations", "attentions", "contacts"}``.
+
+TPU-first differences:
+  * layers scanned over stacked params (see lm_common.py);
+  * static jit flags select what is computed (logits-only fast path never
+    materializes hiddens or T×T maps);
+  * optional bf16 compute with fp32 LN/softmax;
+  * optional Pallas flash-attention path when maps aren't needed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..data.alphabet import Alphabet
+from ..ops.common import init_embedding, init_layer_norm, init_linear_torch_default, layer_norm
+from ..ops.heads import contact_head, roberta_lm_head
+from .lm_common import LayerStatic, init_transformer_stack, transformer_stack_apply
+
+
+@dataclass(frozen=True)
+class ESM2Config:
+    num_layers: int = 33
+    embed_dim: int = 1280
+    attention_heads: int = 20
+    token_dropout: bool = True
+    # Alphabet-derived (ESM-1b alphabet; reference esm/model/esm2.py:27-36)
+    alphabet_size: int = 33
+    padding_idx: int = 1
+    mask_idx: int = 32
+    cls_idx: int = 0
+    eos_idx: int = 2
+    prepend_bos: bool = True
+    append_eos: bool = True
+    # Execution options (not part of checkpoint identity)
+    compute_dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
+
+    @property
+    def ffn_embed_dim(self) -> int:
+        return 4 * self.embed_dim
+
+    @classmethod
+    def from_alphabet(cls, alphabet: Alphabet, **kw) -> "ESM2Config":
+        return cls(
+            alphabet_size=len(alphabet),
+            padding_idx=alphabet.padding_idx,
+            mask_idx=alphabet.mask_idx,
+            cls_idx=alphabet.cls_idx,
+            eos_idx=alphabet.eos_idx,
+            prepend_bos=alphabet.prepend_bos,
+            append_eos=alphabet.append_eos,
+            **kw,
+        )
+
+    def layer_static(self) -> LayerStatic:
+        return LayerStatic(
+            num_heads=self.attention_heads,
+            use_rotary=True,
+            use_bias_kv=False,
+            ln_eps=1e-5,
+            use_flash=self.use_flash,
+        )
+
+
+# ESM-2 released sizes (reference README.md:475-496).
+ESM2_SIZES = {
+    "esm2_t6_8M_UR50D": dict(num_layers=6, embed_dim=320, attention_heads=20),
+    "esm2_t12_35M_UR50D": dict(num_layers=12, embed_dim=480, attention_heads=20),
+    "esm2_t30_150M_UR50D": dict(num_layers=30, embed_dim=640, attention_heads=20),
+    "esm2_t33_650M_UR50D": dict(num_layers=33, embed_dim=1280, attention_heads=20),
+    "esm2_t36_3B_UR50D": dict(num_layers=36, embed_dim=2560, attention_heads=40),
+    "esm2_t48_15B_UR50D": dict(num_layers=48, embed_dim=5120, attention_heads=40),
+}
+
+
+def init(key: jax.Array, cfg: ESM2Config, dtype=jnp.float32):
+    k_embed, k_layers, k_head = jax.random.split(key, 3)
+    d = cfg.embed_dim
+    return {
+        "embed_tokens": init_embedding(
+            k_embed, cfg.alphabet_size, d, padding_idx=cfg.padding_idx, dtype=dtype
+        ),
+        "layers": init_transformer_stack(
+            k_layers, cfg.num_layers, d, cfg.ffn_embed_dim, dtype=dtype
+        ),
+        "emb_layer_norm_after": init_layer_norm(d, dtype),
+        "lm_head": {
+            "dense": init_linear_torch_default(k_head, d, d, dtype=dtype),
+            "layer_norm": init_layer_norm(d, dtype),
+            "bias": jnp.zeros((cfg.alphabet_size,), dtype),
+        },
+        "contact_head": {
+            "regression": {
+                "kernel": jnp.zeros((cfg.num_layers * cfg.attention_heads, 1), dtype),
+                "bias": jnp.zeros((1,), dtype),
+            }
+        },
+    }
+
+
+def embed_tokens(params, cfg: ESM2Config, tokens: jax.Array) -> jax.Array:
+    """Token embedding with mask-token dropout rescale
+    (reference esm/model/esm2.py:84-95). Runs in fp32, returns compute dtype."""
+    padding_mask = tokens == cfg.padding_idx
+    x = jnp.take(params["embed_tokens"]["weight"], tokens, axis=0)
+
+    if cfg.token_dropout:
+        is_mask = tokens == cfg.mask_idx
+        x = jnp.where(is_mask[..., None], 0.0, x)
+        mask_ratio_train = 0.15 * 0.8
+        src_lengths = jnp.sum(~padding_mask, axis=-1)
+        mask_ratio_observed = jnp.sum(is_mask, axis=-1).astype(x.dtype) / src_lengths
+        x = x * (1 - mask_ratio_train) / (1 - mask_ratio_observed)[:, None, None]
+
+    x = x * (1 - padding_mask[..., None].astype(x.dtype))
+    return x.astype(cfg.compute_dtype)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "need_head_weights", "return_contacts", "return_representations"),
+)
+def apply(
+    params,
+    cfg: ESM2Config,
+    tokens: jax.Array,
+    *,
+    need_head_weights: bool = False,
+    return_contacts: bool = False,
+    return_representations: bool = False,
+):
+    """Forward pass. tokens: (B, T) int32.
+
+    Returns a dict:
+      logits:          (B, T, V) fp32
+      representations: (L+1, B, T, D) stacked hidden states (layer 0 = embedding
+                       output, layer L = final-LN output) when requested
+      attentions:      (B, L, H, T, T) when need_head_weights
+      contacts:        (B, T', T') when return_contacts
+    """
+    if return_contacts:
+        need_head_weights = True
+
+    padding_mask = tokens == cfg.padding_idx
+    x = embed_tokens(params, cfg, tokens)
+    h0 = x
+
+    x, hiddens, attn = transformer_stack_apply(
+        params["layers"],
+        x,
+        static=cfg.layer_static(),
+        key_padding_mask=padding_mask,
+        collect_hiddens=return_representations,
+        need_head_weights=need_head_weights,
+    )
+
+    x = layer_norm(params["emb_layer_norm_after"], x)
+
+    result = {}
+    if return_representations:
+        # (L+1, B, T, D): embedding output, then per-layer outputs; the final
+        # layer's entry is the post-LN value (reference esm/model/esm2.py:123-128).
+        reps = jnp.concatenate([h0[None], hiddens[:-1], x[None].astype(hiddens.dtype)], axis=0)
+        result["representations"] = reps
+
+    logits = roberta_lm_head(
+        params["lm_head"], x.astype(jnp.float32), params["embed_tokens"]["weight"]
+    )
+    result["logits"] = logits
+
+    if need_head_weights:
+        # (L, B, H, T, T) -> (B, L, H, T, T); zero maps at padded query/key
+        # positions (reference esm/model/esm2.py:133-138).
+        attentions = jnp.transpose(attn, (1, 0, 2, 3, 4)).astype(jnp.float32)
+        keep = 1.0 - padding_mask.astype(attentions.dtype)
+        pair_mask = keep[:, None, :] * keep[:, :, None]
+        attentions = attentions * pair_mask[:, None, None, :, :]
+        result["attentions"] = attentions
+        if return_contacts:
+            result["contacts"] = contact_head(
+                params["contact_head"],
+                tokens,
+                attentions,
+                prepend_bos=cfg.prepend_bos,
+                append_eos=cfg.append_eos,
+                eos_idx=cfg.eos_idx,
+            )
+    return result
+
+
+def representations_dict(result: dict, repr_layers: Sequence[int]) -> dict:
+    """Select reference-style {layer_index: (B,T,D)} from stacked reps."""
+    reps = result["representations"]
+    return {i: reps[i] for i in repr_layers}

@@ -1,0 +1,158 @@
+"""Shared pre-LN transformer stack for the ESM language models.
+
+TPU-native design: per-layer parameters are stacked along a leading axis and the
+stack is driven by ``lax.scan`` — one compiled layer body regardless of depth
+(fast compiles, uniform sharding of the stacked weights). The reference instead
+Python-loops over nn.ModuleList (esm/model/esm2.py:111-121).
+
+Layer semantics match reference TransformerLayer (esm/modules.py:84-142):
+pre-LN attention + residual, pre-LN GELU MLP + residual; optional per-head
+attention maps.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import multihead_attention
+from ..ops.common import (
+    gelu_erf,
+    init_layer_norm,
+    init_linear,
+    init_linear_torch_default,
+    layer_norm,
+    linear,
+)
+
+
+@dataclass(frozen=True)
+class LayerStatic:
+    """Static (trace-time) options of a transformer layer."""
+
+    num_heads: int
+    use_rotary: bool = True
+    use_bias_kv: bool = False
+    ln_eps: float = 1e-5            # ESM-1b/2 LayerNorm eps; ESM-1 uses 1e-12
+    use_flash: bool = False
+
+
+def transformer_layer_apply(
+    params,
+    x: jax.Array,
+    *,
+    static: LayerStatic,
+    key_padding_mask: Optional[jax.Array] = None,
+    need_head_weights: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
+    """One pre-LN transformer block on (B, T, D) activations.
+
+    Returns (x, attn_probs) with attn_probs (B, H, T, S) or None.
+    """
+    residual = x
+    h = layer_norm(params["self_attn_layer_norm"], x, eps=static.ln_eps)
+    attn_out, probs = multihead_attention(
+        params["self_attn"],
+        h,
+        num_heads=static.num_heads,
+        key_padding_mask=key_padding_mask,
+        use_rotary=static.use_rotary,
+        use_bias_kv=static.use_bias_kv,
+        need_weights=need_head_weights,
+        use_flash=static.use_flash,
+    )
+    x = residual + attn_out
+
+    residual = x
+    h = layer_norm(params["final_layer_norm"], x, eps=static.ln_eps)
+    h = gelu_erf(linear(params["fc1"], h))
+    h = linear(params["fc2"], h)
+    x = residual + h
+    return x, probs
+
+
+def transformer_stack_apply(
+    stacked_params,
+    x: jax.Array,
+    *,
+    static: LayerStatic,
+    key_padding_mask: Optional[jax.Array] = None,
+    collect_hiddens: bool = False,
+    need_head_weights: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
+    """Scan the layer body over stacked per-layer params.
+
+    Returns (x, hiddens, attentions):
+      hiddens:    (L, B, T, D) layer outputs (post-residual, pre-final-LN) or None
+      attentions: (L, B, H, T, S) per-head attention probabilities or None
+    """
+
+    def body(carry, layer_params):
+        h, probs = transformer_layer_apply(
+            layer_params,
+            carry,
+            static=static,
+            key_padding_mask=key_padding_mask,
+            need_head_weights=need_head_weights,
+        )
+        ys = {}
+        if collect_hiddens:
+            ys["hidden"] = h
+        if need_head_weights:
+            ys["attn"] = probs
+        return h, ys
+
+    x, ys = jax.lax.scan(body, x, stacked_params)
+    return x, ys.get("hidden"), ys.get("attn")
+
+
+def init_transformer_layer(
+    key: jax.Array, embed_dim: int, ffn_dim: int, *, use_bias_kv: bool = False, dtype=jnp.float32
+):
+    """Init matching the reference (esm/multihead_attention.py:139-157: xavier
+    with gain 1/sqrt(2) for q/k/v, xavier for out_proj; torch-default for FFN)."""
+    import math
+
+    keys = jax.random.split(key, 8)
+    attn = {
+        "q_proj": init_linear(keys[0], embed_dim, embed_dim, gain=1 / math.sqrt(2), dtype=dtype),
+        "k_proj": init_linear(keys[1], embed_dim, embed_dim, gain=1 / math.sqrt(2), dtype=dtype),
+        "v_proj": init_linear(keys[2], embed_dim, embed_dim, gain=1 / math.sqrt(2), dtype=dtype),
+        "out_proj": init_linear(keys[3], embed_dim, embed_dim, dtype=dtype),
+    }
+    if use_bias_kv:
+        attn["bias_k"] = jax.random.normal(keys[6], (embed_dim,), dtype) * (
+            math.sqrt(2.0 / (embed_dim + 1))
+        )
+        attn["bias_v"] = jax.random.normal(keys[7], (embed_dim,), dtype) * (
+            math.sqrt(2.0 / (embed_dim + 1))
+        )
+    return {
+        "self_attn": attn,
+        "self_attn_layer_norm": init_layer_norm(embed_dim, dtype),
+        "fc1": init_linear_torch_default(keys[4], embed_dim, ffn_dim, dtype=dtype),
+        "fc2": init_linear_torch_default(keys[5], ffn_dim, embed_dim, dtype=dtype),
+        "final_layer_norm": init_layer_norm(embed_dim, dtype),
+    }
+
+
+def init_transformer_stack(
+    key: jax.Array,
+    num_layers: int,
+    embed_dim: int,
+    ffn_dim: int,
+    *,
+    use_bias_kv: bool = False,
+    dtype=jnp.float32,
+):
+    """Stacked-layer init: each layer gets its own RNG stream, results stacked
+    along axis 0 for lax.scan."""
+    keys = jax.random.split(key, num_layers)
+    layers = [
+        init_transformer_layer(k, embed_dim, ffn_dim, use_bias_kv=use_bias_kv, dtype=dtype)
+        for k in keys
+    ]
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)

@@ -1,0 +1,119 @@
+"""Multi-head self-attention.
+
+TPU-native redesign of the reference attention (esm/multihead_attention.py):
+  * batch-major (B, T, D) layout — no fairseq T×B×D transposes;
+  * two execution paths:
+      - ``exact``: XLA einsum attention with fp32 softmax; can return per-head
+        probabilities (required by the contact head, which consumes all
+        layers×heads maps — reference esm/modules.py:338-357);
+      - ``flash``: Pallas fused blockwise-softmax kernel (rotary folded in),
+        used when attention maps are not needed (see esm_tpu/kernels/flash_attention.py).
+  * optional bias_k/bias_v extra attendable token (ESM-1 models,
+    reference esm/multihead_attention.py:115-119,263-278).
+
+Masks: ``key_padding_mask`` is boolean (B, S), True at padding positions,
+excluded via -inf before the fp32 softmax (reference esm/multihead_attention.py:368-374).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .common import softmax_fp32
+from .rotary import apply_rotary, rotary_tables
+
+
+class AttentionOutput(NamedTuple):
+    out: jax.Array                      # (B, T, D)
+    probs: Optional[jax.Array]          # (B, H, T, S) attention probabilities
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    """(B, T, D) -> (B, H, T, Dh)."""
+    b, t, d = x.shape
+    return x.reshape(b, t, num_heads, d // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    """(B, H, T, Dh) -> (B, T, D)."""
+    b, h, t, dh = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+
+def multihead_attention(
+    params,
+    x: jax.Array,
+    *,
+    num_heads: int,
+    key_padding_mask: Optional[jax.Array] = None,
+    attn_mask: Optional[jax.Array] = None,
+    use_rotary: bool = False,
+    use_bias_kv: bool = False,
+    need_weights: bool = False,
+    use_flash: bool = False,
+) -> AttentionOutput:
+    """Self-attention over (B, T, D) activations.
+
+    params: {"q_proj","k_proj","v_proj","out_proj": linear params,
+             optionally "bias_k","bias_v": (D,) arrays}.
+    attn_mask: optional additive (T, S) mask broadcast over batch/heads.
+    """
+    from .common import linear
+
+    b, t, d = x.shape
+    head_dim = d // num_heads
+    scaling = head_dim ** -0.5
+
+    q = linear(params["q_proj"], x) * scaling
+    k = linear(params["k_proj"], x)
+    v = linear(params["v_proj"], x)
+
+    if use_bias_kv:
+        # One extra learned, always-attendable key/value token appended to the
+        # source axis (ESM-1; reference esm/multihead_attention.py:263-278).
+        bias_k = jnp.broadcast_to(params["bias_k"].astype(k.dtype), (b, 1, d))
+        bias_v = jnp.broadcast_to(params["bias_v"].astype(v.dtype), (b, 1, d))
+        k = jnp.concatenate([k, bias_k], axis=1)
+        v = jnp.concatenate([v, bias_v], axis=1)
+        if key_padding_mask is not None:
+            pad_col = jnp.zeros((b, 1), dtype=key_padding_mask.dtype)
+            key_padding_mask = jnp.concatenate([key_padding_mask, pad_col], axis=1)
+        if attn_mask is not None:
+            attn_mask = jnp.pad(attn_mask, ((0, 0), (0, 1)))
+
+    q = _split_heads(q, num_heads)  # (B, H, T, Dh)
+    k = _split_heads(k, num_heads)  # (B, H, S, Dh)
+    v = _split_heads(v, num_heads)
+
+    if use_rotary:
+        # Rotary tables sized to the source length; queries use the first T
+        # positions (reference esm/rotary_embedding.py:16-20 slices cos/sin to
+        # the q length — identical for self-attention where T == S except for
+        # the appended bias-kv token, which ESM-1 never combines with rotary).
+        cos, sin = rotary_tables(k.shape[2], head_dim)
+        q = apply_rotary(q, cos[:t], sin[:t])
+        k = apply_rotary(k, cos, sin)
+
+    if use_flash and not need_weights:
+        from ..kernels.flash_attention import flash_attention
+
+        out = flash_attention(q, k, v, key_padding_mask=key_padding_mask)
+        out = _merge_heads(out)
+        out = linear(params["out_proj"], out)
+        return AttentionOutput(out, None)
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+    if attn_mask is not None:
+        logits = logits + attn_mask[None, None].astype(logits.dtype)
+    if key_padding_mask is not None:
+        neg_inf = jnp.asarray(-jnp.inf, dtype=logits.dtype)
+        logits = jnp.where(key_padding_mask[:, None, None, :], neg_inf, logits)
+
+    probs = softmax_fp32(logits)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = _merge_heads(out)
+    out = linear(params["out_proj"], out)
+    return AttentionOutput(out, probs if need_weights else None)

@@ -1,0 +1,95 @@
+"""Tokenizer parity: exact token tables and encodings vs. the reference
+(mirrors reference tests/test_alphabet.py expectations, plus a direct
+cross-check against the reference Alphabet implementation)."""
+
+import numpy as np
+import pytest
+
+from esm_tpu.data import Alphabet
+from tests.conftest import add_reference_to_path
+
+
+def test_esm1b_alphabet_golden():
+    a = Alphabet.from_architecture("ESM-1b")
+    # Exact expected ids (same golden values as reference tests/test_alphabet.py)
+    assert a.cls_idx == 0
+    assert a.padding_idx == 1
+    assert a.eos_idx == 2
+    assert a.unk_idx == 3
+    assert a.mask_idx == 32
+    assert len(a) == 33
+    assert a.get_tok(4) == "L"
+    assert a.encode("LAGVS") == [4, 5, 6, 7, 8]
+    # special token parsing
+    assert a.encode("LA<mask>VS") == [4, 5, 32, 7, 8]
+    # spaced tokens
+    assert a.encode("L A G V S") == [4, 5, 6, 7, 8]
+
+
+def test_esm1_alphabet_golden():
+    a = Alphabet.from_architecture("ESM-1")
+    assert a.padding_idx == 1
+    assert a.eos_idx == 2
+    assert a.unk_idx == 3
+    assert a.get_tok(0) == "<null_0>"
+    assert a.cls_idx == len(a) - 3
+    assert a.mask_idx == len(a) - 2
+
+
+@pytest.mark.parametrize(
+    "arch", ["ESM-1", "ESM-1b", "msa_transformer", "invariant_gvp"]
+)
+def test_alphabet_matches_reference(arch):
+    add_reference_to_path()
+    from esm.data import Alphabet as RefAlphabet
+
+    ours = Alphabet.from_architecture(arch)
+    ref = RefAlphabet.from_architecture(arch)
+    assert ours.all_toks == ref.all_toks
+    assert ours.tok_to_idx == ref.tok_to_idx
+    assert ours.prepend_bos == ref.prepend_bos
+    assert ours.append_eos == ref.append_eos
+    for s in ["LAGVS", "L A<mask> GVS", "KALTARQQEVFDLIRD", "XBUZO.-"]:
+        assert ours.encode(s) == ref.encode(s), s
+
+
+def test_batch_converter_matches_reference():
+    add_reference_to_path()
+    from esm.data import Alphabet as RefAlphabet
+
+    ours = Alphabet.from_architecture("ESM-1b")
+    ref = RefAlphabet.from_architecture("ESM-1b")
+    batch = [("a", "KALTARQQEVFDLIRD"), ("b", "LAGVS"), ("c", "K A <mask> S")]
+    _, _, ref_toks = ref.get_batch_converter()(batch)
+    _, _, our_toks = ours.get_batch_converter()(batch)
+    np.testing.assert_array_equal(our_toks, ref_toks.numpy())
+
+    # truncation
+    _, _, ref_toks = ref.get_batch_converter(truncation_seq_length=4)(batch)
+    _, _, our_toks = ours.get_batch_converter(truncation_seq_length=4)(batch)
+    np.testing.assert_array_equal(our_toks, ref_toks.numpy())
+
+
+def test_msa_batch_converter_matches_reference():
+    add_reference_to_path()
+    from esm.data import Alphabet as RefAlphabet
+
+    ours = Alphabet.from_architecture("msa_transformer")
+    ref = RefAlphabet.from_architecture("msa_transformer")
+    msa1 = [("s1", "LAGVS"), ("s2", "LAG-S"), ("s3", "-AGVS")]
+    msa2 = [("t1", "KALT"), ("t2", "KA-T")]
+    _, _, ref_toks = ref.get_batch_converter()([msa1, msa2])
+    _, _, our_toks = ours.get_batch_converter()([msa1, msa2])
+    np.testing.assert_array_equal(our_toks, ref_toks.numpy())
+
+
+def test_pad_to_multiple():
+    a = Alphabet.from_architecture("ESM-1b")
+    from esm_tpu.data import BatchConverter
+
+    bc = BatchConverter(a, pad_to_multiple=128)
+    _, _, toks = bc([("a", "LAGVS")])
+    assert toks.shape[1] == 128
+    assert toks[0, 0] == a.cls_idx
+    assert toks[0, 6] == a.eos_idx
+    assert (toks[0, 7:] == a.padding_idx).all()
