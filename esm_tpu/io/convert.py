@@ -139,3 +139,54 @@ def convert_esm1(sd: Mapping[str, np.ndarray], *, model_version: str) -> Dict:
         if "embed_out_bias" in sd:
             params["embed_out"]["bias"] = _np(sd["embed_out_bias"])
     return params
+
+
+def _axial_attn(sd: Mapping[str, np.ndarray], prefix: str) -> Dict:
+    return {
+        "q_proj": _linear(sd, f"{prefix}.q_proj"),
+        "k_proj": _linear(sd, f"{prefix}.k_proj"),
+        "v_proj": _linear(sd, f"{prefix}.v_proj"),
+        "out_proj": _linear(sd, f"{prefix}.out_proj"),
+    }
+
+
+def convert_msa_transformer(sd: Mapping[str, np.ndarray]) -> Dict:
+    """MSA Transformer state dict (reference esm/model/msa_transformer.py) ->
+    param pytree. Each axial layer is three NormalizedResidualBlocks whose
+    inner module lives under ``.layer`` (reference esm/modules.py:360-392)."""
+    n = _num_layers(sd)
+
+    def convert_layer(i: int) -> Dict:
+        p = f"layers.{i}"
+        return {
+            "row_self_attention": {
+                "layer": _axial_attn(sd, f"{p}.row_self_attention.layer"),
+                "layer_norm": _layer_norm(sd, f"{p}.row_self_attention.layer_norm"),
+            },
+            "column_self_attention": {
+                "layer": _axial_attn(sd, f"{p}.column_self_attention.layer"),
+                "layer_norm": _layer_norm(sd, f"{p}.column_self_attention.layer_norm"),
+            },
+            "feed_forward_layer": {
+                "layer": {
+                    "fc1": _linear(sd, f"{p}.feed_forward_layer.layer.fc1"),
+                    "fc2": _linear(sd, f"{p}.feed_forward_layer.layer.fc2"),
+                },
+                "layer_norm": _layer_norm(sd, f"{p}.feed_forward_layer.layer_norm"),
+            },
+        }
+
+    params = {
+        "embed_tokens": {"weight": _np(sd["embed_tokens.weight"])},
+        "layers": _stack([convert_layer(i) for i in range(n)]),
+        "embed_positions": {"weight": _np(sd["embed_positions.weight"])},
+        "emb_layer_norm_before": _layer_norm(sd, "emb_layer_norm_before"),
+        "emb_layer_norm_after": _layer_norm(sd, "emb_layer_norm_after"),
+        "lm_head": convert_lm_head(sd),
+    }
+    if "msa_position_embedding" in sd:
+        # torch shape (1, 1024, 1, D) -> (1024, 1, D)
+        params["msa_position_embedding"] = _np(sd["msa_position_embedding"])[0]
+    if "contact_head.regression.weight" in sd:
+        params["contact_head"] = convert_contact_head(sd)
+    return params
