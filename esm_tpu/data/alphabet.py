@@ -155,11 +155,11 @@ class Alphabet:
         return [self.tok_to_idx[tok] for tok in self.tokenize(text)]
 
     def get_batch_converter(
-        self, truncation_seq_length: Optional[int] = None
+        self, truncation_seq_length: Optional[int] = None, pad_to_multiple: int = 1
     ) -> "BatchConverter":
         if self.use_msa:
-            return MSABatchConverter(self, truncation_seq_length)
-        return BatchConverter(self, truncation_seq_length)
+            return MSABatchConverter(self, truncation_seq_length, pad_to_multiple)
+        return BatchConverter(self, truncation_seq_length, pad_to_multiple)
 
 
 def _round_up(n: int, multiple: int) -> int:

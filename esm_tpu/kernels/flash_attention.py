@@ -1,0 +1,182 @@
+"""Fused blockwise-softmax (flash) attention kernel for TPU (Pallas).
+
+Replaces the reference's materialized B·H×T×T attention
+(esm/multihead_attention.py:357-388, and the fused
+F.multi_head_attention_forward fast path at :196-230) with an online-softmax
+kernel that never writes the T×T matrix to HBM.
+
+Structure (production TPU tiling):
+  * grid (B·H, num_q_blocks, num_kv_blocks) — KV is a *grid* dimension so
+    Pallas pipelines the HBM→VMEM block loads against compute; softmax state
+    (m, l) and the unnormalized output accumulator persist in VMEM scratch
+    across the sequential kv steps;
+  * (B·H, q) marked "parallel" for megacore partitioning, kv "arbitrary"
+    (it is the online-softmax reduction);
+  * all softmax statistics fp32 (the reference forces fp32 softmax);
+    q·kᵀ and p·v hit the MXU with fp32 accumulation;
+  * key padding enters as an additive fp32 bias row (0 / -1e30 — large finite
+    instead of -inf so fully-masked rows stay NaN-free).
+
+The contact-prediction path needs the full attention probabilities
+(esm/modules.py:338-357) and uses the exact XLA path in ops/attention.py
+instead — this kernel is the no-weights fast path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref):
+    """One (bh, qi, ki) grid step.
+
+    q_ref: (1, bq, d); k_ref/v_ref: (1, bk, d); bias_ref: (1, 1, bk);
+    o_ref: (1, bq, d). Scratch: m/l (bq, LANES) fp32, acc (bq, d) fp32.
+    """
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    b = bias_ref[0, 0]                                    # (bk,)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )                                                     # (bq, bk) fp32
+    s = s + b[None, :]
+
+    m_prev = m_ref[:, :1]                                 # (bq, 1)
+    l_prev = l_ref[:, :1]
+    m_curr = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    p = jnp.exp(s - m_next)                               # (bq, bk) fp32
+    alpha = jnp.exp(m_prev - m_next)                      # (bq, 1)
+    l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+    m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(ki == nk - 1)
+    def _store():
+        l_final = l_ref[:, :1]
+        inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
+        o_ref[0] = (acc_ref[...] * inv).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def _flash_padded(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,
+    *,
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+) -> jax.Array:
+    """q: (BH, Tq, d), k/v: (BH, S, d), bias: (BH, 1, S) fp32; shapes already
+    padded to block multiples."""
+    bh, tq, d = q.shape
+    s_len = k.shape[1]
+    grid = (bh, tq // block_q, s_len // block_k)
+
+    return pl.pallas_call(
+        _flash_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * tq * s_len * d,
+            bytes_accessed=(2 * bh * tq * d + 2 * bh * s_len * d) * q.dtype.itemsize,
+            transcendentals=bh * tq * s_len,
+        ),
+    )(q, k, v, bias)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    key_padding_mask: Optional[jax.Array] = None,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Flash attention on (B, H, T, d) tensors. q must already be scaled (and
+    rotary applied) by the caller. key_padding_mask: (B, S) bool, True at pads.
+
+    Returns (B, H, T, d) in q's dtype.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    b, h, t, d = q.shape
+    s = k.shape[2]
+    block_q = min(block_q, _round_up(t, 128))
+    block_k = min(block_k, _round_up(s, 128))
+    tp = _round_up(t, block_q)
+    sp = _round_up(s, block_k)
+
+    qf = q.reshape(b * h, t, d)
+    kf = k.reshape(b * h, s, d)
+    vf = v.reshape(b * h, s, d)
+
+    if key_padding_mask is not None:
+        bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
+    else:
+        bias = jnp.zeros((b, s), jnp.float32)
+    bias = jnp.repeat(bias, h, axis=0)[:, None, :]  # (BH, 1, S)
+
+    if tp != t:
+        qf = jnp.pad(qf, ((0, 0), (0, tp - t), (0, 0)))
+    if sp != s:
+        kf = jnp.pad(kf, ((0, 0), (0, sp - s), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, sp - s), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, sp - s)), constant_values=NEG_INF)
+
+    out = _flash_padded(
+        qf, kf, vf, bias, block_q=block_q, block_k=block_k, interpret=interpret
+    )
+    return out[:, :t].reshape(b, h, t, d)

@@ -1,0 +1,76 @@
+"""Device mesh construction for multi-chip execution.
+
+The reference has no distributed layer (its only parallelism is fairscale FSDP
+at world_size=1 for CPU offload — examples/esm2_infer_fairscale_fsdp_cpu_offloading.py:27-40).
+Here distribution is first-class: one global mesh with named axes
+
+    ("data", "fsdp", "tp")
+
+  * data — batch parallelism (pure DP)
+  * fsdp — parameter sharding (ZeRO-3 style weight gathering per layer)
+  * tp   — tensor parallelism (megatron-style column/row parallel matmuls)
+
+Shardings are expressed as PartitionSpecs (see sharding.py); XLA SPMD inserts
+the all-gathers/psums and schedules them on ICI.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+
+AXIS_DATA = "data"
+AXIS_FSDP = "fsdp"
+AXIS_TP = "tp"
+AXES = (AXIS_DATA, AXIS_FSDP, AXIS_TP)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    data: int = 1
+    fsdp: int = 1
+    tp: int = 1
+
+    @property
+    def shape(self) -> Tuple[int, int, int]:
+        return (self.data, self.fsdp, self.tp)
+
+    @property
+    def num_devices(self) -> int:
+        return self.data * self.fsdp * self.tp
+
+    @classmethod
+    def for_devices(cls, n: int, *, prefer_tp: int = 4) -> "MeshConfig":
+        """Heuristic factorization: give tp up to ``prefer_tp`` (ICI-local
+        tensor parallel), the rest to fsdp."""
+        tp = 1
+        for cand in range(min(prefer_tp, n), 0, -1):
+            if n % cand == 0:
+                tp = cand
+                break
+        rest = n // tp
+        # split remainder between fsdp and data, fsdp-major
+        fsdp = rest
+        return cls(data=1, fsdp=fsdp, tp=tp)
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if cfg is None:
+        cfg = MeshConfig.for_devices(len(devices))
+    if cfg.num_devices > len(devices):
+        raise ValueError(
+            f"mesh {cfg.shape} needs {cfg.num_devices} devices, have {len(devices)}"
+        )
+    arr = np.asarray(devices[: cfg.num_devices]).reshape(cfg.shape)
+    return Mesh(arr, AXES)
+
+
+def named(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec(*spec))

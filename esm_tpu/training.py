@@ -1,0 +1,114 @@
+"""Masked-LM training step (beyond the inference-only reference).
+
+The reference ships no trainer (SURVEY §1); this module adds the standard
+ESM-style masked-language-model objective so the framework can fine-tune /
+pretrain on TPU meshes: BERT-style 15% masking (80% <mask> / 10% random /
+10% keep), cross-entropy on masked positions, optax optimizer, pjit-sharded
+train step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .models import esm2
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(
+    learning_rate: float = 1e-4,
+    weight_decay: float = 0.01,
+    warmup_steps: int = 2000,
+    total_steps: int = 100_000,
+) -> optax.GradientTransformation:
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, learning_rate, warmup_steps, total_steps
+    )
+    return optax.adamw(schedule, b1=0.9, b2=0.98, eps=1e-8, weight_decay=weight_decay)
+
+
+def init_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+
+
+def mask_tokens(
+    rng: jax.Array,
+    tokens: jax.Array,
+    *,
+    mask_idx: int,
+    padding_idx: int,
+    special_mask: jax.Array,
+    num_standard: int = 20,
+    standard_offset: int = 4,
+    mask_prob: float = 0.15,
+) -> Tuple[jax.Array, jax.Array]:
+    """BERT-style corruption. Returns (corrupted_tokens, target_mask)."""
+    r_select, r_kind, r_rand = jax.random.split(rng, 3)
+    eligible = ~special_mask
+    selected = (jax.random.uniform(r_select, tokens.shape) < mask_prob) & eligible
+
+    kind = jax.random.uniform(r_kind, tokens.shape)
+    random_aa = standard_offset + jax.random.randint(
+        r_rand, tokens.shape, 0, num_standard
+    )
+    corrupted = jnp.where(selected & (kind < 0.8), mask_idx, tokens)
+    corrupted = jnp.where(selected & (kind >= 0.8) & (kind < 0.9), random_aa, corrupted)
+    return corrupted.astype(tokens.dtype), selected
+
+
+def mlm_loss(
+    params,
+    cfg: esm2.ESM2Config,
+    corrupted: jax.Array,
+    targets: jax.Array,
+    target_mask: jax.Array,
+) -> Tuple[jax.Array, dict]:
+    out = esm2.apply(params, cfg, corrupted)
+    logits = out["logits"]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    w = target_mask.astype(nll.dtype)
+    denom = jnp.maximum(jnp.sum(w), 1.0)
+    loss = jnp.sum(nll * w) / denom
+    acc = jnp.sum((jnp.argmax(logits, -1) == targets) * w) / denom
+    return loss, {"loss": loss, "acc": acc, "num_masked": jnp.sum(w)}
+
+
+@partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0,))
+def train_step(
+    state: TrainState,
+    cfg: esm2.ESM2Config,
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+    tokens: jax.Array,
+) -> Tuple[TrainState, dict]:
+    """One MLM step on a (B, T) token batch. Shardings flow from the placed
+    state/tokens (pjit via jit + NamedSharding inputs)."""
+    special = (
+        (tokens == cfg.padding_idx)
+        | (tokens == cfg.cls_idx)
+        | (tokens == cfg.eos_idx)
+    )
+    corrupted, target_mask = mask_tokens(
+        rng,
+        tokens,
+        mask_idx=cfg.mask_idx,
+        padding_idx=cfg.padding_idx,
+        special_mask=special,
+    )
+    (loss, metrics), grads = jax.value_and_grad(mlm_loss, has_aux=True)(
+        state.params, cfg, corrupted, tokens, target_mask
+    )
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return TrainState(new_params, new_opt, state.step + 1), metrics

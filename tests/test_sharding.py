@@ -1,0 +1,85 @@
+"""Multi-device sharding: single-device vs. mesh-sharded outputs must match,
+and the full training step must compile+run on a (data, fsdp, tp) mesh.
+Runs on the 8-device virtual CPU platform from conftest."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from esm_tpu.data import Alphabet
+from esm_tpu.models import esm2
+from esm_tpu.parallel.mesh import MeshConfig, make_mesh
+from esm_tpu.parallel.sharding import batch_sharding, param_specs, shard_params
+
+
+def _setup(batch=8):
+    alphabet = Alphabet.from_architecture("ESM-1b")
+    cfg = esm2.ESM2Config.from_alphabet(
+        alphabet, num_layers=2, embed_dim=64, attention_heads=4
+    )
+    params = esm2.init(jax.random.PRNGKey(0), cfg)
+    seqs = [("s%d" % i, "KALTARQQEVFDLIRDHISQTGMPPTRAEIA"[: 8 + i]) for i in range(batch)]
+    _, _, toks = alphabet.get_batch_converter(pad_to_multiple=8)(seqs)
+    return cfg, params, toks
+
+
+def test_sharded_forward_matches_single_device():
+    cfg, params, toks = _setup()
+    out_single = np.asarray(esm2.apply(params, cfg, toks)["logits"])
+
+    mesh = make_mesh(MeshConfig(data=2, fsdp=2, tp=2))
+    params_sh = shard_params(mesh, params)
+    toks_sh = jax.device_put(jnp.asarray(toks), batch_sharding(mesh))
+    out_sh = esm2.apply(params_sh, cfg, toks_sh)["logits"]
+    np.testing.assert_allclose(np.asarray(out_sh), out_single, atol=2e-5, rtol=1e-5)
+
+
+def test_param_specs_cover_tree():
+    cfg, params, _ = _setup()
+    specs = param_specs(params)
+    flat_p = jax.tree.leaves(params)
+    flat_s = jax.tree.leaves(specs, is_leaf=lambda x: hasattr(x, "index"))
+    assert len(flat_p) == len(flat_s)
+    # column/row parallel kernels get tp somewhere
+    assert str(specs["layers"]["self_attn"]["q_proj"]["kernel"]) == \
+        "PartitionSpec(None, 'fsdp', 'tp')"
+    assert str(specs["layers"]["self_attn"]["out_proj"]["kernel"]) == \
+        "PartitionSpec(None, 'tp', 'fsdp')"
+
+
+def test_train_step_on_mesh():
+    from esm_tpu import training
+
+    import optax
+
+    cfg, params, toks = _setup()
+    mesh = make_mesh(MeshConfig(data=2, fsdp=2, tp=2))
+    # constant lr: the default schedule warms up from 0, so step 0 is a no-op
+    tx = optax.adamw(1e-3)
+    state = training.init_state(params, tx)
+    state = jax.tree.map(
+        lambda x: x, state
+    )
+    # place params (opt state mirrors param shardings via jit output propagation)
+    state = training.TrainState(
+        shard_params(mesh, state.params), state.opt_state, state.step
+    )
+    toks_sh = jax.device_put(jnp.asarray(toks), batch_sharding(mesh))
+    rng = jax.random.PRNGKey(42)
+
+    p0 = jax.tree.map(np.asarray, state.params)  # state is donated below
+    state2, metrics = training.train_step(state, cfg, tx, rng, toks_sh)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state2.step) == 1
+    # params actually changed
+    d = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a) - b).max()), state2.params, p0)
+    assert max(jax.tree.leaves(d)) > 0
+
+    # loss decreases over a few steps on a fixed batch
+    losses = [float(metrics["loss"])]
+    for i in range(3):
+        state2, metrics = training.train_step(
+            state2, cfg, tx, jax.random.PRNGKey(42), toks_sh
+        )
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
