@@ -59,12 +59,16 @@ def main():
     tokens = jnp.asarray(tokens)
 
     def run(cfg, iters=10):
-        out = esm2.apply(params, cfg, tokens)["logits"]
-        jax.block_until_ready(out)
+        # NOTE: on the tunneled axon backend block_until_ready does not
+        # actually block — force a device->host readback to time honestly.
+        def step():
+            out = esm2.apply(params, cfg, tokens)["logits"]
+            return float(jnp.sum(out[:, 0, 0]))
+
+        step()  # compile
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = esm2.apply(params, cfg, tokens)["logits"]
-        jax.block_until_ready(out)
+            step()
         dt = (time.perf_counter() - t0) / iters
         return B / dt  # sequences / sec
 
