@@ -1,0 +1,1 @@
+from . import esm1, esm2, msa_transformer

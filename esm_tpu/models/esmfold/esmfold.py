@@ -1,0 +1,285 @@
+"""ESMFold top-level model (JAX).
+
+Reference semantics: esm/esmfold/v1/esmfold.py — frozen ESM-2 LM over
+AF2-indexed tokens (bos/eos added then stripped), softmax-weighted layer
+combine, s/z MLPs, folding trunk, distogram/lm/plddt/ptm heads, multimer
+inference via ':'-linker encoding.
+
+The LM runs through esm_tpu.models.esm2 (bf16-able, flash-attention path);
+everything below is this package's from-scratch JAX ESMFold stack.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...data import residue_constants as rc
+from ...data.alphabet import Alphabet
+from ...ops.common import layer_norm, linear
+from .. import esm2
+from .protein import (
+    atom14_to_atom37,
+    categorical_lddt,
+    compute_predicted_aligned_error,
+    compute_tm,
+    make_atom14_masks,
+    output_to_pdb,
+)
+from .trunk import FoldingTrunkConfig, folding_trunk_apply
+
+
+@dataclass(frozen=True)
+class ESMFoldConfig:
+    esm: esm2.ESM2Config = field(default_factory=esm2.ESM2Config)
+    trunk: FoldingTrunkConfig = field(default_factory=FoldingTrunkConfig)
+    lddt_head_hid_dim: int = 128
+    use_esm_attn_map: bool = False
+    distogram_bins: int = 64
+    lddt_bins: int = 50
+
+    @property
+    def n_tokens_embed(self) -> int:
+        return rc.restype_num + 3  # 0=pad, 21=unk(X), 22=mask
+
+    @property
+    def mask_idx(self) -> int:
+        return self.n_tokens_embed - 1
+
+    @property
+    def unk_idx(self) -> int:
+        return self.n_tokens_embed - 2
+
+
+def af2_to_esm_table(alphabet: Alphabet) -> np.ndarray:
+    """AF2 restype index (shifted by 1; 0 = padding) -> ESM token id
+    (reference esm/esmfold/v1/esmfold.py:106-112)."""
+    return np.asarray(
+        [alphabet.padding_idx]
+        + [alphabet.get_idx(v) for v in rc.restypes_with_x()],
+        dtype=np.int32,
+    )
+
+
+def _af2_idx_to_esm_idx(af2_to_esm: jax.Array, aa: jax.Array, mask: jax.Array):
+    aa = jnp.where(mask == 1, aa + 1, 0)
+    return af2_to_esm[aa]
+
+
+def _lm_representations(
+    esm_params,
+    esm_cfg: esm2.ESM2Config,
+    esmaa: jax.Array,
+) -> jax.Array:
+    """Run the frozen LM with bos/eos handling
+    (reference esm/esmfold/v1/esmfold.py:118-145). Returns (B, L, layers+1, C)."""
+    b, l = esmaa.shape
+    bosi, eosi = esm_cfg.cls_idx, esm_cfg.eos_idx
+    bos = jnp.full((b, 1), bosi, esmaa.dtype)
+    pad_col = jnp.full((b, 1), esm_cfg.padding_idx, esmaa.dtype)
+    esmaa = jnp.concatenate([bos, esmaa, pad_col], axis=1)
+    # first padding slot becomes eos
+    eos_pos = jnp.sum(esmaa != 1, axis=1)
+    esmaa = esmaa.at[jnp.arange(b), eos_pos].set(eosi)
+
+    res = esm2.apply(esm_params, esm_cfg, esmaa, return_representations=True)
+    reps = res["representations"]                      # (L+1, B, T, C)
+    esm_s = jnp.transpose(reps, (1, 2, 0, 3))          # (B, T, layers+1, C)
+    return esm_s[:, 1:-1]                              # strip bos/eos
+
+
+@partial(jax.jit, static_argnames=("cfg", "num_recycles"))
+def apply(
+    params,
+    cfg: ESMFoldConfig,
+    aa: jax.Array,
+    mask: Optional[jax.Array] = None,
+    residx: Optional[jax.Array] = None,
+    masking_pattern: Optional[jax.Array] = None,
+    num_recycles: Optional[int] = None,
+) -> Dict[str, jax.Array]:
+    """Forward pass on AF2-indexed tokens (reference esmfold.py:152-278).
+
+    params must contain "esm" (ESM-2 params), "af2_to_esm" (lookup table) and
+    the ESMFold params from io/convert_esmfold.convert_esmfold.
+    """
+    if mask is None:
+        mask = jnp.ones_like(aa)
+    b, l = aa.shape
+    if residx is None:
+        residx = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32), aa.shape)
+
+    esmaa = _af2_idx_to_esm_idx(params["af2_to_esm"], aa, mask)
+    if masking_pattern is not None:
+        esmaa = jnp.where(masking_pattern == 1, cfg.esm.mask_idx, esmaa)
+
+    esm_s = _lm_representations(params["esm"], cfg.esm, esmaa)
+    esm_s = jax.lax.stop_gradient(esm_s.astype(jnp.float32))
+
+    # softmax-weighted combine over layers (esmfold.py:200)
+    w = jax.nn.softmax(params["esm_s_combine"], axis=0)
+    esm_s = jnp.einsum("k,blkc->blc", w, esm_s)
+
+    h = layer_norm(params["esm_s_mlp"]["norm"], esm_s)
+    h = jax.nn.relu(linear(params["esm_s_mlp"]["fc1"], h))
+    s_s_0 = linear(params["esm_s_mlp"]["fc2"], h)
+
+    s_z_0 = jnp.zeros((b, l, l, cfg.trunk.pairwise_state_dim), s_s_0.dtype)
+
+    s_s_0 = s_s_0 + jnp.take(params["embedding"]["weight"], aa, axis=0)
+
+    structure = folding_trunk_apply(
+        params["trunk"], cfg.trunk, s_s_0, s_z_0, aa, residx, mask,
+        no_recycles=num_recycles,
+    )
+
+    disto_logits = linear(params["distogram_head"], structure["s_z"])
+    disto_logits = (disto_logits + jnp.swapaxes(disto_logits, 1, 2)) / 2
+    structure["distogram_logits"] = disto_logits
+    structure["lm_logits"] = linear(params["lm_head"], structure["s_s"])
+    structure["aatype"] = aa
+    structure.update(make_atom14_masks(aa))
+    for k in ["atom14_atom_exists", "atom37_atom_exists"]:
+        structure[k] = structure[k] * mask[..., None]
+    structure["residue_index"] = residx
+
+    states = structure["states"]                       # (K, B, L, c_s)
+    lh = layer_norm(params["lddt_head"]["norm"], states)
+    lh = linear(params["lddt_head"]["fc1"], lh)
+    lh = linear(params["lddt_head"]["fc2"], lh)
+    lh = linear(params["lddt_head"]["fc3"], lh)
+    lddt_head = lh.reshape(states.shape[0], b, l, -1, cfg.lddt_bins)
+    structure["lddt_head"] = lddt_head
+    plddt = categorical_lddt(lddt_head[-1], bins=cfg.lddt_bins)
+    structure["plddt"] = 100 * plddt
+
+    ptm_logits = linear(params["ptm_head"], structure["s_z"])
+    structure["ptm_logits"] = ptm_logits
+    maskf = mask.astype(ptm_logits.dtype)
+    structure["ptm"] = jax.vmap(
+        lambda lg, m: compute_tm(
+            lg, residue_weights=m, max_bin=31, no_bins=cfg.distogram_bins
+        )
+    )(ptm_logits, maskf)
+    structure.update(
+        compute_predicted_aligned_error(ptm_logits, max_bin=31, no_bins=cfg.distogram_bins)
+    )
+    return structure
+
+
+# ---------------------------------------------------------------------------
+# Host-side sequence encoding + inference wrappers
+# ---------------------------------------------------------------------------
+
+
+def encode_sequence(
+    seq: str,
+    residue_index_offset: Optional[int] = 512,
+    chain_linker: Optional[str] = "G" * 25,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Multimer-aware AF2 encoding (reference esm/esmfold/v1/misc.py:18-58)."""
+    if chain_linker is None:
+        chain_linker = ""
+    if residue_index_offset is None:
+        residue_index_offset = 0
+
+    chains = seq.split(":")
+    seq = chain_linker.join(chains)
+
+    unk_idx = rc.restype_order_with_x()["X"]
+    encoded = np.asarray(
+        [rc.restype_order_with_x().get(a, unk_idx) for a in seq], np.int32
+    )
+    residx = np.arange(len(encoded), dtype=np.int32)
+
+    if residue_index_offset > 0:
+        start = 0
+        for i, chain in enumerate(chains):
+            residx[start : start + len(chain) + len(chain_linker)] += (
+                i * residue_index_offset
+            )
+            start += len(chain) + len(chain_linker)
+
+    linker_mask = np.ones_like(encoded, dtype=np.float32)
+    chain_index: List[int] = []
+    offset = 0
+    for i, chain in enumerate(chains):
+        if i > 0:
+            chain_index.extend([i - 1] * len(chain_linker))
+        chain_index.extend([i] * len(chain))
+        offset += len(chain)
+        linker_mask[offset : offset + len(chain_linker)] = 0
+        offset += len(chain_linker)
+
+    return encoded, residx, linker_mask, np.asarray(chain_index, np.int32)
+
+
+def batch_encode_sequences(
+    sequences: Sequence[str],
+    residue_index_offset: Optional[int] = 512,
+    chain_linker: Optional[str] = "G" * 25,
+):
+    """Pad/stack encoded sequences (reference esm/esmfold/v1/misc.py:61-90)."""
+    parts = [
+        encode_sequence(s, residue_index_offset, chain_linker) for s in sequences
+    ]
+    max_len = max(p[0].shape[0] for p in parts)
+
+    def collate(arrs, pad=0, dtype=None):
+        out = np.full((len(arrs), max_len), pad, dtype or arrs[0].dtype)
+        for i, a in enumerate(arrs):
+            out[i, : a.shape[0]] = a
+        return out
+
+    aatype = collate([p[0] for p in parts])
+    mask = collate([np.ones_like(p[0]) for p in parts])
+    residx = collate([p[1] for p in parts])
+    linker_mask = collate([p[2] for p in parts])
+    chain_index = collate([p[3] for p in parts], pad=-1)
+    return aatype, mask, residx, linker_mask, chain_index
+
+
+def infer(
+    params,
+    cfg: ESMFoldConfig,
+    sequences,
+    *,
+    num_recycles: Optional[int] = None,
+    residue_index_offset: Optional[int] = 512,
+    chain_linker: Optional[str] = "G" * 25,
+) -> Dict[str, jax.Array]:
+    """Sequence(s) -> structure output (reference esmfold.py:281-339)."""
+    if isinstance(sequences, str):
+        sequences = [sequences]
+    aatype, mask, residx, linker_mask, chain_index = batch_encode_sequences(
+        sequences, residue_index_offset, chain_linker
+    )
+    output = apply(
+        params,
+        cfg,
+        jnp.asarray(aatype),
+        mask=jnp.asarray(mask),
+        residx=jnp.asarray(residx),
+        num_recycles=num_recycles,
+    )
+    output["atom37_atom_exists"] = output["atom37_atom_exists"] * jnp.asarray(
+        linker_mask
+    )[..., None]
+    output["mean_plddt"] = jnp.sum(
+        output["plddt"] * output["atom37_atom_exists"], axis=(1, 2)
+    ) / jnp.sum(output["atom37_atom_exists"], axis=(1, 2))
+    output["chain_index"] = jnp.asarray(chain_index)
+    return output
+
+
+def infer_pdbs(params, cfg: ESMFoldConfig, seqs: List[str], **kw) -> List[str]:
+    return output_to_pdb(infer(params, cfg, seqs, **kw))
+
+
+def infer_pdb(params, cfg: ESMFoldConfig, seq: str, **kw) -> str:
+    return infer_pdbs(params, cfg, [seq], **kw)[0]

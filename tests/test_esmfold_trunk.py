@@ -1,0 +1,216 @@
+"""Folding trunk parity (with recycling) vs. the HF torch oracle, confidence
+metric parity, and an end-to-end random-weights ESMFold smoke test."""
+
+import numpy as np
+import pytest
+import torch
+
+from transformers.models.esm.configuration_esm import (
+    StructureModuleConfig as HFSMConfig,
+    TrunkConfig as HFTrunkConfig,
+)
+import transformers.models.esm.modeling_esmfold as hf
+
+import jax
+import jax.numpy as jnp
+
+from esm_tpu.io import convert_esmfold as cv
+from esm_tpu.models.esmfold.structure_module import StructureModuleConfig
+from esm_tpu.models.esmfold.trunk import FoldingTrunkConfig, folding_trunk_apply
+
+torch.manual_seed(3)
+
+C_S, C_Z = 64, 32
+
+
+def _configs(num_blocks=1, max_recycles=2):
+    hf_cfg = HFTrunkConfig(
+        num_blocks=num_blocks,
+        sequence_state_dim=C_S,
+        pairwise_state_dim=C_Z,
+        sequence_head_width=16,
+        pairwise_head_width=16,
+        dropout=0,
+        max_recycles=max_recycles,
+        structure_module=HFSMConfig(
+            sequence_dim=32,
+            pairwise_dim=C_Z,
+            ipa_dim=8,
+            resnet_dim=16,
+            num_heads_ipa=4,
+            num_blocks=2,
+        ),
+    )
+    sm = hf_cfg.structure_module
+    my_cfg = FoldingTrunkConfig(
+        num_blocks=num_blocks,
+        sequence_state_dim=C_S,
+        pairwise_state_dim=C_Z,
+        sequence_head_width=16,
+        pairwise_head_width=16,
+        max_recycles=max_recycles,
+        structure_module=StructureModuleConfig(
+            c_s=sm.sequence_dim,
+            c_z=sm.pairwise_dim,
+            c_ipa=sm.ipa_dim,
+            c_resnet=sm.resnet_dim,
+            no_heads_ipa=sm.num_heads_ipa,
+            no_qk_points=sm.num_qk_points,
+            no_v_points=sm.num_v_points,
+            no_blocks=sm.num_blocks,
+            no_transition_layers=sm.num_transition_layers,
+            no_resnet_blocks=sm.num_resnet_blocks,
+            no_angles=sm.num_angles,
+            trans_scale_factor=sm.trans_scale_factor,
+        ),
+    )
+    return hf_cfg, my_cfg
+
+
+@pytest.mark.parametrize("recycles", [0, 2])
+def test_trunk_parity(recycles):
+    hf_cfg, my_cfg = _configs()
+    ref = hf.EsmFoldingTrunk(hf_cfg)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.normal_(0, 0.3)
+    ref.eval()
+
+    g = np.random.RandomState(4)
+    b, l = 2, 7
+    s = g.randn(b, l, C_S).astype(np.float32) * 0.3
+    z = g.randn(b, l, l, C_Z).astype(np.float32) * 0.3
+    aa = g.randint(0, 20, (b, l))
+    residx = np.tile(np.arange(l, dtype=np.int64), (b, 1))
+    mask = np.ones((b, l), np.float32)
+    mask[1, 5:] = 0
+
+    with torch.no_grad():
+        out_ref = ref(
+            torch.from_numpy(s),
+            torch.from_numpy(z),
+            torch.from_numpy(aa),
+            torch.from_numpy(residx),
+            torch.from_numpy(mask),
+            no_recycles=recycles,
+        )
+
+    params = cv.convert_trunk(
+        {f"trunk.{k}": v for k, v in ref.state_dict().items()}, "trunk"
+    )
+    out = folding_trunk_apply(
+        params,
+        my_cfg,
+        jnp.asarray(s),
+        jnp.asarray(z),
+        jnp.asarray(aa),
+        jnp.asarray(residx.astype(np.int32)),
+        jnp.asarray(mask),
+        no_recycles=recycles,
+    )
+
+    np.testing.assert_allclose(
+        np.asarray(out["s_s"]), out_ref["s_s"].numpy(), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["s_z"]), out_ref["s_z"].numpy(), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["positions"]), out_ref["positions"].numpy(), atol=2e-3, rtol=1e-3
+    )
+
+
+def test_confidence_metrics_match_oracle():
+    from transformers.models.esm.openfold_utils import loss as hf_loss
+
+    from esm_tpu.models.esmfold.protein import (
+        compute_predicted_aligned_error,
+        compute_tm,
+    )
+
+    g = np.random.RandomState(5)
+    logits = g.randn(9, 9, 64).astype(np.float32)
+    ptm_ref = hf_loss.compute_tm(torch.from_numpy(logits), max_bin=31, no_bins=64)
+    ptm = compute_tm(jnp.asarray(logits), max_bin=31, no_bins=64)
+    np.testing.assert_allclose(float(ptm), float(ptm_ref), atol=1e-5)
+
+    pae_ref = hf_loss.compute_predicted_aligned_error(
+        torch.from_numpy(logits), max_bin=31, no_bins=64
+    )
+    pae = compute_predicted_aligned_error(jnp.asarray(logits), max_bin=31, no_bins=64)
+    np.testing.assert_allclose(
+        np.asarray(pae["predicted_aligned_error"]),
+        pae_ref["predicted_aligned_error"].numpy(),
+        atol=1e-5,
+    )
+
+
+def test_atom14_to_atom37_matches_oracle():
+    from transformers.models.esm.openfold_utils import feats as hf_feats
+
+    from esm_tpu.models.esmfold.protein import atom14_to_atom37, make_atom14_masks
+
+    g = np.random.RandomState(6)
+    b, l = 2, 7
+    aatype = g.randint(0, 21, (b, l))
+    atom14 = g.randn(b, l, 14, 3).astype(np.float32)
+
+    # oracle needs the batch dict from make_atom14_masks
+    from transformers.models.esm.openfold_utils import data_transforms
+
+    batch = {"aatype": torch.from_numpy(aatype)}
+    data_transforms.make_atom14_masks(batch)
+    ref = hf_feats.atom14_to_atom37(torch.from_numpy(atom14), batch)
+
+    ours = atom14_to_atom37(jnp.asarray(atom14), jnp.asarray(aatype))
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-6)
+
+    masks = make_atom14_masks(jnp.asarray(aatype))
+    np.testing.assert_array_equal(
+        np.asarray(masks["atom14_atom_exists"]), batch["atom14_atom_exists"].numpy()
+    )
+    np.testing.assert_array_equal(
+        np.asarray(masks["residx_atom37_to_atom14"]),
+        batch["residx_atom37_to_atom14"].numpy(),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(masks["atom37_atom_exists"]), batch["atom37_atom_exists"].numpy()
+    )
+
+
+def test_esmfold_end_to_end_smoke():
+    """Random-weights ESMFold: infer a sequence + multimer, write PDBs."""
+    from esm_tpu.data import Alphabet
+    from esm_tpu.models import esm2
+    from esm_tpu.models import esmfold as ef
+
+    alphabet = Alphabet.from_architecture("ESM-1b")
+    cfg = ef.ESMFoldConfig(
+        esm=esm2.ESM2Config.from_alphabet(
+            alphabet, num_layers=2, embed_dim=32, attention_heads=2
+        ),
+        trunk=FoldingTrunkConfig(
+            num_blocks=1,
+            sequence_state_dim=64,
+            pairwise_state_dim=32,
+            sequence_head_width=16,
+            pairwise_head_width=16,
+            max_recycles=1,
+            structure_module=StructureModuleConfig(
+                c_s=32, c_z=32, c_ipa=8, c_resnet=16, no_heads_ipa=4, no_blocks=2
+            ),
+        ),
+    )
+    params = ef.init_esmfold(jax.random.PRNGKey(0), cfg, alphabet)
+    out = ef.infer(params, cfg, ["MKTVRQERLK", "MKT:RQE"], num_recycles=0)
+    assert out["positions"].shape[-2:] == (14, 3)
+    assert np.isfinite(np.asarray(out["positions"])).all()
+    assert np.isfinite(np.asarray(out["ptm"])).all()
+    assert out["plddt"].shape[-1] == 37
+
+    pdbs = ef.output_to_pdb(out)
+    assert len(pdbs) == 2
+    assert pdbs[0].startswith("ATOM")
+    assert "END" in pdbs[0]
+    # multimer: linker residues masked out of atom37_atom_exists
+    assert "TER" in pdbs[1]
