@@ -1,0 +1,8 @@
+from .model import (
+    GVPTransformerConfig,
+    apply,
+    get_sequence_loss,
+    sample,
+    score_sequence,
+)
+from .util import CoordBatchConverter, load_coords, load_structure
