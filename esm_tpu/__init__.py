@@ -8,6 +8,7 @@ hot attention paths.
 
 from .data.alphabet import Alphabet, BatchConverter, MSABatchConverter
 from .data.fasta import FastaBatchedDataset, read_fasta
+from . import pretrained
 
 __version__ = "0.1.0"
 

@@ -1,0 +1,147 @@
+"""esm-extract: bulk embedding extraction from FASTA.
+
+Reference semantics: scripts/extract.py — token-budget batching, negative
+repr-layer resolution, per-sequence output files with per_tok/mean/bos
+selections truncated to real length, optional contacts.
+
+Outputs are .pt files (torch.save, bit-compatible with the reference tooling)
+by default, or .npz with --npz.
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+
+import numpy as np
+
+
+def create_parser():
+    parser = argparse.ArgumentParser(
+        description="Extract per-token representations and model outputs for sequences in a FASTA file"
+    )
+    parser.add_argument(
+        "model_location",
+        type=str,
+        help="PyTorch model file OR name of pretrained model to download",
+    )
+    parser.add_argument("fasta_file", type=pathlib.Path, help="FASTA file on which to extract representations")
+    parser.add_argument("output_dir", type=pathlib.Path, help="output directory for extracted representations")
+    parser.add_argument("--toks_per_batch", type=int, default=4096, help="maximum batch size")
+    parser.add_argument(
+        "--repr_layers",
+        type=int,
+        default=[-1],
+        nargs="+",
+        help="layers indices from which to extract representations (0 to num_layers, inclusive)",
+    )
+    parser.add_argument(
+        "--include",
+        type=str,
+        nargs="+",
+        choices=["mean", "per_tok", "bos", "contacts"],
+        help="specify which representations to return",
+        required=True,
+    )
+    parser.add_argument(
+        "--truncation_seq_length",
+        type=int,
+        default=1022,
+        help="truncate sequences longer than the given value",
+    )
+    parser.add_argument("--npz", action="store_true", help="write .npz instead of torch .pt files")
+    parser.add_argument("--nogpu", action="store_true", help="do not use accelerator even if available")
+    return parser
+
+
+def run(args):
+    import jax
+
+    from .. import pretrained
+    from ..data import FastaBatchedDataset
+
+    if args.nogpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    model, alphabet = pretrained.load_model_and_alphabet(args.model_location)
+
+    dataset = FastaBatchedDataset.from_file(args.fasta_file)
+    batches = dataset.get_batch_indices(args.toks_per_batch, extra_toks_per_seq=1)
+    batch_converter = alphabet.get_batch_converter(
+        args.truncation_seq_length, pad_to_multiple=8
+    )
+    print(f"Read {args.fasta_file} with {len(dataset)} sequences")
+
+    args.output_dir.mkdir(parents=True, exist_ok=True)
+    return_contacts = "contacts" in args.include
+
+    assert all(-(model.num_layers + 1) <= i <= model.num_layers for i in args.repr_layers)
+    repr_layers = [
+        (i + model.num_layers + 1) % (model.num_layers + 1) for i in args.repr_layers
+    ]
+
+    for batch_idx, batch in enumerate(batches):
+        labels, strs, toks = batch_converter([dataset[i] for i in batch])
+        print(
+            f"Processing {batch_idx + 1} of {len(batches)} batches ({toks.shape[0]} sequences)"
+        )
+        out = model(toks, repr_layers=repr_layers, return_contacts=return_contacts)
+        representations = {
+            layer: np.asarray(t) for layer, t in out["representations"].items()
+        }
+        if return_contacts:
+            contacts = np.asarray(out["contacts"])
+
+        for i, label in enumerate(labels):
+            output_file = args.output_dir / f"{label}.{'npz' if args.npz else 'pt'}"
+            output_file.parent.mkdir(parents=True, exist_ok=True)
+            truncate_len = min(args.truncation_seq_length, len(strs[i]))
+            result = {"label": label}
+            if "per_tok" in args.include:
+                result["representations"] = {
+                    layer: t[i, 1 : truncate_len + 1].copy()
+                    for layer, t in representations.items()
+                }
+            if "mean" in args.include:
+                result["mean_representations"] = {
+                    layer: t[i, 1 : truncate_len + 1].mean(0)
+                    for layer, t in representations.items()
+                }
+            if "bos" in args.include:
+                result["bos_representations"] = {
+                    layer: t[i, 0].copy() for layer, t in representations.items()
+                }
+            if return_contacts:
+                result["contacts"] = contacts[i, :truncate_len, :truncate_len].copy()
+
+            if args.npz:
+                flat = {"label": label}
+                for key in ("representations", "mean_representations", "bos_representations"):
+                    if key in result:
+                        for layer, t in result[key].items():
+                            flat[f"{key}_{layer}"] = t
+                if "contacts" in result:
+                    flat["contacts"] = result["contacts"]
+                np.savez(output_file, **flat)
+            else:
+                import torch
+
+                torch_result = {
+                    k: (
+                        {kk: torch.from_numpy(np.asarray(vv)) for kk, vv in v.items()}
+                        if isinstance(v, dict)
+                        else (torch.from_numpy(np.asarray(v)) if not isinstance(v, str) else v)
+                    )
+                    for k, v in result.items()
+                }
+                torch.save(torch_result, output_file)
+    print(f"Saved results to {args.output_dir}")
+
+
+def main():
+    args = create_parser().parse_args()
+    run(args)
+
+
+if __name__ == "__main__":
+    main()

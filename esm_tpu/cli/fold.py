@@ -1,0 +1,140 @@
+"""esm-fold: bulk structure prediction from FASTA.
+
+Reference semantics: scripts/fold.py — sort-by-length token-budget batches,
+per-batch OOM catch-and-skip with actionable guidance, per-record PDB output
+with pLDDT/pTM logging.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import pathlib
+import sys
+import timeit
+
+logger = logging.getLogger()
+logger.setLevel(logging.INFO)
+formatter = logging.Formatter(
+    "%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+    datefmt="%y/%m/%d %H:%M:%S",
+)
+console_handler = logging.StreamHandler(sys.stdout)
+console_handler.setLevel(logging.INFO)
+console_handler.setFormatter(formatter)
+logger.addHandler(console_handler)
+
+PathLike = str
+
+
+def create_batched_sequence_dataset(sequences, max_tokens_per_batch: int = 1024):
+    """(reference scripts/fold.py:66-79)"""
+    batch_headers, batch_sequences, num_tokens = [], [], 0
+    for header, seq in sequences:
+        if (len(seq) + num_tokens > max_tokens_per_batch) and num_tokens > 0:
+            yield batch_headers, batch_sequences
+            batch_headers, batch_sequences, num_tokens = [], [], 0
+        batch_headers.append(header)
+        batch_sequences.append(seq)
+        num_tokens += len(seq)
+    yield batch_headers, batch_sequences
+
+
+def create_parser():
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "-i", "--fasta", help="Path to input FASTA file", type=pathlib.Path, required=True
+    )
+    parser.add_argument(
+        "-o", "--pdb", help="Path to output PDB directory", type=pathlib.Path, required=True
+    )
+    parser.add_argument(
+        "-m", "--model-path", help="Parent path to custom ESMFold model checkpoint (.pt)",
+        type=str, default=None,
+    )
+    parser.add_argument(
+        "--num-recycles", type=int, default=None,
+        help="Number of recycles to run. Defaults to number used in training (4).",
+    )
+    parser.add_argument("--max-tokens-per-batch", type=int, default=1024)
+    parser.add_argument(
+        "--chunk-size", type=int, default=None,
+        help="Chunks axial attention computation (memory/speed tradeoff)",
+    )
+    parser.add_argument("--cpu-only", action="store_true")
+    return parser
+
+
+def run(args):
+    import jax
+    import numpy as np
+
+    from .. import pretrained
+    from ..data import FastaBatchedDataset
+    from ..models import esmfold as ef
+
+    if args.cpu_only:
+        jax.config.update("jax_platforms", "cpu")
+
+    logger.info("Reading sequences from FASTA")
+    dataset = FastaBatchedDataset.from_file(args.fasta)
+    all_sequences = sorted(
+        zip(dataset.sequence_labels, dataset.sequence_strs), key=lambda x: len(x[1])
+    )
+    logger.info(f"Loaded {len(all_sequences)} sequences from {args.fasta}")
+
+    logger.info("Loading model")
+    if args.model_path is not None:
+        cfg, params, alphabet = pretrained.load_esmfold(args.model_path)
+    else:
+        cfg, params, alphabet = pretrained.esmfold_v1()
+
+    args.pdb.mkdir(exist_ok=True, parents=True)
+
+    num_completed = 0
+    num_sequences = len(all_sequences)
+    for headers, sequences in create_batched_sequence_dataset(
+        all_sequences, args.max_tokens_per_batch
+    ):
+        start = timeit.default_timer()
+        try:
+            output = ef.infer(params, cfg, sequences, num_recycles=args.num_recycles)
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
+                if len(sequences) > 1:
+                    logger.info(
+                        "Failed (OOM) to predict batch of size "
+                        f"{len(sequences)}. Try lowering --max-tokens-per-batch."
+                    )
+                else:
+                    logger.info(
+                        f"Failed (OOM) on sequence {headers[0]} of length "
+                        f"{len(sequences[0])}."
+                    )
+                continue
+            raise
+
+        pdbs = ef.output_to_pdb(output)
+        elapsed = timeit.default_timer() - start
+        elapsed_per_seq = elapsed / len(headers)
+        mean_plddt = np.asarray(output["mean_plddt"])
+        ptm = np.asarray(output["ptm"])
+        for header, seq, pdb_str, pl, tm in zip(
+            headers, sequences, pdbs, mean_plddt, ptm
+        ):
+            output_file = args.pdb / f"{header}.pdb"
+            output_file.write_text(pdb_str)
+            num_completed += 1
+            logger.info(
+                f"Predicted structure for {header} with length {len(seq)}, "
+                f"pLDDT {pl:0.1f}, pTM {tm:0.3f} in {elapsed_per_seq:0.1f}s "
+                f"({num_completed} / {num_sequences} completed)"
+            )
+
+
+def main():
+    run(create_parser().parse_args())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,185 @@
+"""Zero-shot variant effect prediction (DMS scoring).
+
+Reference semantics: examples/variant-prediction/predict.py — strategies
+wt-marginals (one pass), masked-marginals (one masked pass per position),
+pseudo-ppl (per-variant masked scan); MSA Transformer path masks positions in
+the first MSA row only.
+
+TPU-first: the reference's per-position python loop of forward passes becomes
+batched masked forwards — positions are masked in parallel across the batch
+axis (same math, ~batch× fewer dispatches).
+"""
+
+from __future__ import annotations
+
+import argparse
+import pathlib
+
+import numpy as np
+
+
+def create_parser():
+    parser = argparse.ArgumentParser(
+        description="Label a deep mutational scan with predictions from an ensemble of ESM models."
+    )
+    parser.add_argument(
+        "--model-location", type=str, help="PyTorch model file OR name of pretrained model",
+        nargs="+", required=True,
+    )
+    parser.add_argument("--sequence", type=str, help="Base sequence to which mutations were applied")
+    parser.add_argument("--dms-input", type=pathlib.Path, help="CSV file containing the deep mutational scan")
+    parser.add_argument("--mutation-col", type=str, default="mutant", help="column with mutations (like P76A)")
+    parser.add_argument("--dms-output", type=pathlib.Path, help="Output file containing the deep mutational scan along with predictions")
+    parser.add_argument("--offset-idx", type=int, default=0, help="Offset of the mutation positions in `--mutation-col`")
+    parser.add_argument(
+        "--scoring-strategy", type=str, default="wt-marginals",
+        choices=["wt-marginals", "pseudo-ppl", "masked-marginals"],
+    )
+    parser.add_argument("--msa-path", type=pathlib.Path, help="path to MSA in a3m format (required for MSA Transformer)")
+    parser.add_argument("--msa-samples", type=int, default=400, help="number of sequences from the start of the MSA")
+    parser.add_argument("--mask-batch", type=int, default=64, help="positions scored per device batch (masked-marginals)")
+    parser.add_argument("--nogpu", action="store_true")
+    return parser
+
+
+def label_row(row, sequence, token_probs, alphabet, offset_idx):
+    """(reference predict.py:107-115)"""
+    wt, idx, mt = row[0], int(row[1:-1]) - offset_idx, row[-1]
+    assert sequence[idx] == wt, "The listed wildtype does not match the provided sequence"
+    wt_enc, mt_enc = alphabet.get_idx(wt), alphabet.get_idx(mt)
+    return float(token_probs[0, 1 + idx, mt_enc] - token_probs[0, 1 + idx, wt_enc])
+
+
+def masked_marginals(model, alphabet, tokens, mask_batch: int = 64):
+    """Batched masked-marginals: positions masked in parallel across the batch
+    axis (math identical to reference predict.py:205-215)."""
+    import jax
+
+    L = tokens.shape[1]
+    rows = []
+    for start in range(0, L, mask_batch):
+        idxs = np.arange(start, min(start + mask_batch, L))
+        batch = np.repeat(tokens, len(idxs), axis=0)
+        batch[np.arange(len(idxs)), idxs] = alphabet.mask_idx
+        out = model(batch)
+        logp = jax.nn.log_softmax(out["logits"], axis=-1)
+        rows.append(np.asarray(logp)[np.arange(len(idxs)), idxs])
+    return np.concatenate(rows, axis=0)[None]  # (1, L, V)
+
+
+def msa_masked_marginals(model, alphabet, tokens, mask_batch: int = 8):
+    """MSA variant: mask position i of the FIRST row only
+    (reference predict.py:161-178)."""
+    import jax
+
+    L = tokens.shape[2]
+    rows = []
+    for start in range(0, L, mask_batch):
+        idxs = np.arange(start, min(start + mask_batch, L))
+        batch = np.repeat(tokens, len(idxs), axis=0)
+        batch[np.arange(len(idxs)), 0, idxs] = alphabet.mask_idx
+        out = model(batch)
+        logp = jax.nn.log_softmax(out["logits"], axis=-1)
+        rows.append(np.asarray(logp)[np.arange(len(idxs)), 0, idxs])
+    return np.concatenate(rows, axis=0)[None]
+
+
+def compute_pppl(row, sequence, model, alphabet, offset_idx, mask_batch: int = 64):
+    """(reference predict.py:118-144), batched over positions."""
+    import jax
+
+    wt, idx, mt = row[0], int(row[1:-1]) - offset_idx, row[-1]
+    assert sequence[idx] == wt
+    sequence = sequence[:idx] + mt + sequence[idx + 1 :]
+    _, _, tokens = alphabet.get_batch_converter()([("protein1", sequence)])
+
+    total = 0.0
+    # reference iterates i in range(1, len(sequence) - 1)
+    positions = np.arange(1, len(sequence) - 1)
+    for start in range(0, len(positions), mask_batch):
+        idxs = positions[start : start + mask_batch]
+        batch = np.repeat(tokens, len(idxs), axis=0)
+        batch[np.arange(len(idxs)), idxs] = alphabet.mask_idx
+        logp = jax.nn.log_softmax(model(batch)["logits"], axis=-1)
+        logp = np.asarray(logp)
+        for k, i in enumerate(idxs):
+            total += logp[k, i, alphabet.get_idx(sequence[i])]
+    return float(total)
+
+
+def read_msa(path, nseq):
+    from ..data import read_fasta
+
+    out = []
+    for i, (desc, seq) in enumerate(read_fasta(path, keep_insertions=False, to_upper=True)):
+        if i >= nseq:
+            break
+        out.append((desc, seq))
+    return out
+
+
+def run(args):
+    import jax
+    import pandas as pd
+
+    from .. import pretrained
+
+    if args.nogpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    df = pd.read_csv(args.dms_input)
+
+    for model_location in args.model_location:
+        model, alphabet = pretrained.load_model_and_alphabet(model_location)
+        batch_converter = alphabet.get_batch_converter()
+
+        if model.kind == "msa":
+            data = [read_msa(args.msa_path, args.msa_samples)]
+            assert args.scoring_strategy == "masked-marginals", (
+                "MSA Transformer only supports masked marginal strategy"
+            )
+            _, _, tokens = batch_converter(data)
+            token_probs = msa_masked_marginals(model, alphabet, tokens)
+            df[model_location] = df.apply(
+                lambda row: label_row(
+                    row[args.mutation_col], args.sequence, token_probs, alphabet, args.offset_idx
+                ),
+                axis=1,
+            )
+        else:
+            _, _, tokens = batch_converter([("protein1", args.sequence)])
+            if args.scoring_strategy == "wt-marginals":
+                logp = jax.nn.log_softmax(model(tokens)["logits"], axis=-1)
+                token_probs = np.asarray(logp)
+                df[model_location] = df.apply(
+                    lambda row: label_row(
+                        row[args.mutation_col], args.sequence, token_probs, alphabet, args.offset_idx
+                    ),
+                    axis=1,
+                )
+            elif args.scoring_strategy == "masked-marginals":
+                token_probs = masked_marginals(model, alphabet, tokens, args.mask_batch)
+                df[model_location] = df.apply(
+                    lambda row: label_row(
+                        row[args.mutation_col], args.sequence, token_probs, alphabet, args.offset_idx
+                    ),
+                    axis=1,
+                )
+            elif args.scoring_strategy == "pseudo-ppl":
+                df[model_location] = df.apply(
+                    lambda row: compute_pppl(
+                        row[args.mutation_col], args.sequence, model, alphabet,
+                        args.offset_idx, args.mask_batch,
+                    ),
+                    axis=1,
+                )
+
+    df.to_csv(args.dms_output)
+
+
+def main():
+    run(create_parser().parse_args())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""CLI flows: esm-extract end-to-end on example FASTA with a local checkpoint,
+variant scoring strategies vs. reference math."""
+
+import argparse
+import pathlib
+
+import numpy as np
+import pytest
+import torch
+
+from tests.conftest import add_reference_to_path
+
+add_reference_to_path()
+
+from esm.model.esm2 import ESM2 as RefESM2  # noqa: E402
+
+from esm_tpu import pretrained  # noqa: E402
+
+FASTA = "/root/reference/examples/data/few_proteins.fasta"
+
+
+@pytest.fixture(scope="module")
+def fake_ckpt(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("ckpt")
+    torch.manual_seed(0)
+    ref = RefESM2(num_layers=2, embed_dim=32, attention_heads=2)
+    state = {
+        (
+            f"encoder.sentence_encoder.{k}"
+            if not k.startswith("lm_head")
+            else f"encoder.{k}"
+        ): v
+        for k, v in ref.state_dict().items()
+    }
+    cfg = argparse.Namespace(
+        encoder_layers=2, encoder_embed_dim=32, encoder_attention_heads=2,
+        token_dropout=True,
+    )
+    path = tmp_path / "esm2_t2_cli_UR50D.pt"
+    torch.save({"cfg": {"model": cfg}, "model": state}, path)
+    torch.save(
+        {
+            "model": {
+                "contact_head.regression.weight": torch.randn(1, 4),
+                "contact_head.regression.bias": torch.randn(1),
+            }
+        },
+        tmp_path / "esm2_t2_cli_UR50D-contact-regression.pt",
+    )
+    return str(path)
+
+
+def test_extract_cli(fake_ckpt, tmp_path):
+    from esm_tpu.cli import extract
+
+    args = extract.create_parser().parse_args(
+        [
+            fake_ckpt,
+            FASTA,
+            str(tmp_path / "out"),
+            "--repr_layers", "0", "-1",
+            "--include", "mean", "per_tok", "bos", "contacts",
+        ]
+    )
+    extract.run(args)
+
+    import esm_tpu
+
+    seqs = dict(esm_tpu.read_fasta(FASTA))
+    model, alphabet = pretrained.load_model_and_alphabet_local(fake_ckpt)
+    for label, seq in seqs.items():
+        f = tmp_path / "out" / f"{label}.pt"
+        assert f.exists(), label
+        data = torch.load(f, weights_only=False)
+        assert set(data["representations"].keys()) == {0, 2}
+        assert data["representations"][2].shape == (len(seq), 32)
+        assert data["mean_representations"][2].shape == (32,)
+        assert data["contacts"].shape == (len(seq), len(seq))
+        # mean must equal direct forward mean over real tokens
+        _, _, toks = alphabet.get_batch_converter()([(label, seq)])
+        out = model(toks, repr_layers=[2])
+        expect = np.asarray(out["representations"][2])[0, 1 : len(seq) + 1].mean(0)
+        np.testing.assert_allclose(
+            data["mean_representations"][2].numpy(), expect, atol=2e-5, rtol=1e-3
+        )
+
+
+def test_variant_scoring_strategies(fake_ckpt, tmp_path):
+    import pandas as pd
+
+    from esm_tpu.cli import predict_variants
+
+    seq = "KALTARQQEVFDLIRD"
+    df = pd.DataFrame({"mutant": ["K1A", "A2G", "D16K"]})
+    dms_in = tmp_path / "dms.csv"
+    df.to_csv(dms_in, index=False)
+
+    for strategy in ["wt-marginals", "masked-marginals", "pseudo-ppl"]:
+        out_csv = tmp_path / f"out_{strategy}.csv"
+        args = predict_variants.create_parser().parse_args(
+            [
+                "--model-location", fake_ckpt,
+                "--sequence", seq,
+                "--dms-input", str(dms_in),
+                "--dms-output", str(out_csv),
+                "--offset-idx", "1",
+                "--scoring-strategy", strategy,
+            ]
+        )
+        predict_variants.run(args)
+        out = pd.read_csv(out_csv)
+        assert fake_ckpt in out.columns
+        assert np.isfinite(out[fake_ckpt]).all()
+
+    # wt-marginals must match direct computation
+    import jax
+
+    model, alphabet = pretrained.load_model_and_alphabet_local(fake_ckpt)
+    _, _, toks = alphabet.get_batch_converter()([("p", seq)])
+    logp = np.asarray(jax.nn.log_softmax(model(toks)["logits"], axis=-1))
+    wt, mt = alphabet.get_idx("K"), alphabet.get_idx("A")
+    expect = logp[0, 1, mt] - logp[0, 1, wt]
+    got = pd.read_csv(tmp_path / "out_wt-marginals.csv")[fake_ckpt][0]
+    np.testing.assert_allclose(got, expect, atol=1e-5)
