@@ -1,0 +1,53 @@
+"""Native (orbax) checkpoint save/load for sharded parameter pytrees.
+
+The reference only *loads* torch .pt checkpoints (SURVEY §5.4); this adds the
+TPU-native persistence path: params converted once from .pt are saved in orbax
+format and thereafter restore directly onto a device mesh (each host reads its
+shards — no full-tree host materialization).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+
+
+def save_params(path: str, params: Any) -> None:
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, params, force=True)
+
+
+def load_params(path: str, template: Optional[Any] = None, mesh=None, specs=None):
+    """Restore params. With (mesh, specs) the arrays are restored sharded;
+    with a template they restore to its shapes/dtypes; bare restore otherwise."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        if mesh is not None and template is not None:
+            from jax.sharding import NamedSharding
+
+            if specs is None:
+                from ..parallel.sharding import param_specs
+
+                specs = param_specs(template)
+            abstract = jax.tree.map(
+                lambda x, s: jax.ShapeDtypeStruct(
+                    x.shape, x.dtype, sharding=NamedSharding(mesh, s)
+                ),
+                template,
+                specs,
+                is_leaf=lambda x: hasattr(x, "shape"),
+            )
+            return ckptr.restore(path, abstract)
+        if template is not None:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), template
+            )
+            return ckptr.restore(path, abstract)
+        return ckptr.restore(path)

@@ -507,3 +507,25 @@ def esmfold_v0():
 
 def esmfold_v1():
     return load_esmfold("esmfold_3B_v1")
+
+
+# Structure-module-only ablations (reference esm/pretrained.py:422-553)
+
+_SM_ONLY_SIZES = ["8M", "8M_270K", "35M", "35M_270K", "150M", "150M_270K",
+                  "650M", "650M_270K", "3B", "3B_270K", "15B"]
+
+
+def _make_smonly(size):
+    def ctor():
+        return load_esmfold(f"esmfold_structure_module_only_{size}")
+
+    ctor.__name__ = f"esmfold_structure_module_only_{size}"
+    ctor.__doc__ = (
+        f"ESMFold baseline (structure-module-only) using ESM-2 {size}. "
+        "Returns (cfg, params, alphabet)."
+    )
+    return ctor
+
+
+for _size in _SM_ONLY_SIZES:
+    globals()[f"esmfold_structure_module_only_{_size}"] = _make_smonly(_size)
