@@ -1,0 +1,263 @@
+"""LM-driven protein design (MCMC), TPU-native.
+
+Reference semantics: examples/lm-design/ — Designer with energies
+  * masked-LM pseudo-likelihood (utils/lm.py:20-58, lm_design.py:204-283):
+    E_LM(x, i) = -log p(x_i | x_\\i) with position i masked, scaled by LM_w/L;
+  * n-gram KL to natural sequence statistics (utils/ngram.py:59-73);
+  * distogram cross-entropy vs a target structure via a linear projection of
+    attention maps (utils/linear_projection.py:85-135) — module implemented,
+    weights load from the released projection checkpoint;
+and the fixed-backbone Metropolis-Hastings loop with single-site uniform
+proposals (utils/fixedbb.py:17-56).
+
+TPU-native redesign: the reference runs a 170k-iteration python loop with two
+LM forwards per step. Here the whole MH chain is one lax.scan jitted on
+device — current and proposal energies are evaluated in a single stacked
+forward, and the chain state never leaves the chip.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.alphabet import Alphabet
+from ..models import esm2
+
+# Standard amino acids (design proposal support), in ESM vocab order 4..23
+NUM_STANDARD_AA = 20
+AA_OFFSET = 4
+
+
+@dataclass(frozen=True)
+class DesignConfig:
+    num_iter: int = 1000
+    temperature: float = 1.0       # MH acceptance temperature
+    lm_weight: float = 1.0
+    ngram_weight: float = 0.0
+    ngram_orders: Tuple[int, ...] = (1, 2, 3)
+    seed: int = 0
+
+
+def _masked_lm_logprobs(params, cfg: esm2.ESM2Config, tokens: jax.Array, pos: jax.Array):
+    """-log p(x_pos | x_\\pos): mask position pos (per row), one forward.
+
+    tokens: (B, T) WITH bos/eos; pos: (B,) absolute index into T.
+    Returns (B, V) logprobs at the masked position."""
+    b = tokens.shape[0]
+    masked = tokens.at[jnp.arange(b), pos].set(cfg.mask_idx)
+    out = esm2.apply(params, cfg, masked)
+    logits = out["logits"][jnp.arange(b), pos]
+    return jax.nn.log_softmax(logits, axis=-1)
+
+
+def _ngram_energy_tables(ngram_stats: Dict[int, Dict[tuple, float]]):
+    """Dense log-probability tables per order from {order: {aa_tuple: p}}."""
+    tables = {}
+    for order, stats in ngram_stats.items():
+        t = np.full((NUM_STANDARD_AA,) * order, 1e-5, np.float32)
+        for k, v in stats.items():
+            t[k] = max(v, 1e-5)
+        tables[order] = jnp.log(jnp.asarray(t))
+    return tables
+
+
+def ngram_kl(seq_aa: jax.Array, log_table: jax.Array, order: int) -> jax.Array:
+    """KL(observed ngram freq || natural stats) for one sequence of standard-AA
+    ids (0..19). jit-friendly dense formulation of utils/ngram.py:59-73."""
+    L = seq_aa.shape[-1]
+    n = L - order + 1
+    idx = jnp.stack([seq_aa[..., i : i + n] for i in range(order)], axis=0)
+    logq = log_table[tuple(idx)]                      # (n,) natural logprobs
+    # observed frequency of this exact ngram occurrence within the sequence:
+    # p_k = count(gram_k)/n; sum over distinct grams p log(p/q) equals
+    # mean over positions of log(p_pos/q_pos) with p_pos the count/n.
+    flat = idx.T  # (n, order)
+    same = jnp.all(flat[:, None, :] == flat[None, :, :], axis=-1)
+    counts = jnp.sum(same, axis=-1).astype(jnp.float32)
+    logp = jnp.log(counts / n)
+    return jnp.mean(logp - logq)
+
+
+class Designer:
+    """Fixed-backbone / free sequence design via MH over LM energy."""
+
+    def __init__(
+        self,
+        lm_params,
+        lm_cfg: esm2.ESM2Config,
+        alphabet: Alphabet,
+        ngram_stats: Optional[Dict[int, Dict[tuple, float]]] = None,
+    ):
+        self.params = lm_params
+        self.cfg = lm_cfg
+        self.alphabet = alphabet
+        self.ngram_tables = (
+            _ngram_energy_tables(ngram_stats) if ngram_stats else None
+        )
+
+
+    def design(
+        self,
+        seed_seq: str,
+        cfg: DesignConfig = DesignConfig(),
+        batch: int = 1,
+    ) -> Tuple[list, np.ndarray, float]:
+        """Run the MH chain from a seed sequence. Returns (sequences,
+        energy trace (num_iter, B), acceptance rate)."""
+        _, _, toks = self.alphabet.get_batch_converter()(
+            [(f"seed{i}", seed_seq) for i in range(batch)]
+        )
+        tokens, energies, accepts = _run_chain(
+            self.params, self.cfg, self.ngram_tables, cfg,
+            jnp.asarray(toks), jax.random.PRNGKey(cfg.seed),
+        )
+        tokens = np.asarray(tokens)
+        seqs = [
+            "".join(self.alphabet.get_tok(int(a)) for a in row[1:-1])
+            for row in tokens
+        ]
+        return seqs, np.asarray(energies), float(np.mean(np.asarray(accepts)))
+
+
+def load_ngram_stats_pickles(paths: Dict[int, str]) -> Dict[int, Dict[tuple, float]]:
+    """Read the reference's ngram_stats pickle format ({aa_str_tuple: count})
+    and renormalize (utils/ngram.py:16-48)."""
+    import pickle
+
+    seq_encode = [
+        "L", "A", "G", "V", "S", "E", "R", "T", "I", "D",
+        "P", "K", "Q", "N", "F", "Y", "M", "H", "W", "C",
+    ]
+    out = {}
+    for order, path in paths.items():
+        with open(path, "rb") as f:
+            raw = pickle.load(f)
+        idx_dict = {}
+        for k, v in raw.items():
+            try:
+                ids = tuple(seq_encode.index(ki) for ki in k)
+            except ValueError:
+                continue
+            idx_dict[ids] = v
+        total = sum(idx_dict.values())
+        out[order] = {k: max(v / total, 1e-5) for k, v in idx_dict.items()}
+    return out
+
+
+def _total_energy(lm_params, lm_cfg, ngram_tables, cfg: DesignConfig, tokens, pos):
+    """Total energy at single-site mask pos. tokens: (B, T) with bos/eos."""
+    b = tokens.shape[0]
+    logp = _masked_lm_logprobs(lm_params, lm_cfg, tokens, pos)
+    token_at = tokens[jnp.arange(b), pos]
+    lm_nll = -logp[jnp.arange(b), token_at]
+    L = tokens.shape[1] - 2
+    e = cfg.lm_weight * lm_nll / L
+    if ngram_tables is not None and cfg.ngram_weight:
+        seq_aa = jnp.clip(tokens[:, 1:-1] - AA_OFFSET, 0, NUM_STANDARD_AA - 1)
+        for order in cfg.ngram_orders:
+            e = e + cfg.ngram_weight * jax.vmap(
+                lambda s: ngram_kl(s, ngram_tables[order], order)
+            )(seq_aa)
+    return e
+
+
+@partial(jax.jit, static_argnames=("lm_cfg", "cfg"))
+def _run_chain(lm_params, lm_cfg, ngram_tables, cfg: DesignConfig, tokens0, rng):
+    """The full MH chain as one on-device scan (vs. the reference's python
+    loop, utils/fixedbb.py:17-56)."""
+    b, t = tokens0.shape
+    L = t - 2  # designable positions exclude bos/eos
+
+    def step(carry, _):
+        tokens, rng = carry
+        rng, r_pos, r_prop, r_acc = jax.random.split(rng, 4)
+        pos = 1 + jax.random.randint(r_pos, (b,), 0, L)
+        prop_aa = AA_OFFSET + jax.random.randint(r_prop, (b,), 0, NUM_STANDARD_AA)
+        proposal = tokens.at[jnp.arange(b), pos].set(prop_aa.astype(tokens.dtype))
+        # single stacked forward scores current and proposal together
+        stacked = jnp.concatenate([tokens, proposal], axis=0)
+        e = _total_energy(
+            lm_params, lm_cfg, ngram_tables, cfg, stacked, jnp.concatenate([pos, pos])
+        )
+        e_cur, e_prop = e[:b], e[b:]
+        log_a = (e_cur - e_prop) / cfg.temperature
+        accept = jnp.log(jax.random.uniform(r_acc, (b,), minval=1e-20)) < log_a
+        tokens = jnp.where(accept[:, None], proposal, tokens)
+        return (tokens, rng), (e_cur, accept)
+
+    (tokens, _), (energies, accepts) = jax.lax.scan(
+        step, (tokens0, rng), None, length=cfg.num_iter
+    )
+    return tokens, energies, accepts
+
+
+# ---------------------------------------------------------------------------
+# Structure energy: linear projection distogram model
+# (reference examples/lm-design/utils/linear_projection.py:85-135)
+# ---------------------------------------------------------------------------
+
+DISTOGRAM_BINS = dict(
+    N_BINS=18, CUTOFF_BIN=5, MIN_DIST=2.5, MAX_DIST=20, CONTACT_DIST=8,
+    THETA_BINS=18, PHI_BINS=8, OMEGA_BINS=18, TORSION_BINS=50,
+)
+
+
+def distogram_projection_apply(proj_params, lm_params, lm_cfg, tokens):
+    """Regress distance/angle bin logits from LM attention maps.
+
+    1x1 convs over the (layers*heads)-channel attention stack become per-pair
+    linears; dist/omega read the symmetrized maps, theta/phi the asymmetric.
+    proj_params: {"conv1": {"kernel" (C, 36), "bias"}, "conv2": ...} with the
+    torch Conv2d (out,in,1,1) weights converted to (in, out).
+    Returns dict of (B, L', L', bins) logits (bos/eos stripped).
+    """
+    out = esm2.apply(lm_params, lm_cfg, tokens, need_head_weights=True)
+    attn = out["attentions"]                        # (B, Lyr, H, T, T)
+    b, nl, nh, t, _ = attn.shape
+    attn = attn.reshape(b, nl * nh, t, t)[:, :, 1:-1, 1:-1]
+    attn = jnp.transpose(attn, (0, 2, 3, 1))        # (B, L, L, C)
+    attn_sym = attn + jnp.swapaxes(attn, 1, 2)
+
+    from ..ops.common import linear
+
+    nb = DISTOGRAM_BINS["N_BINS"]
+    nth = DISTOGRAM_BINS["THETA_BINS"]
+    out1 = linear(proj_params["conv1"], attn_sym)
+    out2 = linear(proj_params["conv2"], attn)
+    return {
+        "logits": out1[..., :nb],
+        "omega_logits": out1[..., nb:],
+        "theta_logits": out2[..., :nth],
+        "phi_logits": out2[..., nth:],
+    }
+
+
+def convert_distogram_projection(sd):
+    """torch Conv2d (out,in,1,1) state dict -> per-pair linear params."""
+    import numpy as _np
+
+    def conv(prefix):
+        w = sd[f"{prefix}.weight"]
+        w = w.detach().cpu().float().numpy() if hasattr(w, "detach") else _np.asarray(w)
+        b = sd[f"{prefix}.bias"]
+        b = b.detach().cpu().float().numpy() if hasattr(b, "detach") else _np.asarray(b)
+        return {"kernel": _np.ascontiguousarray(w[:, :, 0, 0].T), "bias": b}
+
+    return {"conv1": conv("conv1"), "conv2": conv("conv2")}
+
+
+def distogram_cross_entropy(logits, target_bins, mask=None):
+    """Distogram CCE energy vs a target binning (lm_design.py:240-283)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, target_bins[..., None], axis=-1)[..., 0]
+    if mask is not None:
+        return jnp.sum(nll * mask, axis=(-1, -2)) / jnp.maximum(
+            jnp.sum(mask, axis=(-1, -2)), 1.0
+        )
+    return jnp.mean(nll, axis=(-1, -2))

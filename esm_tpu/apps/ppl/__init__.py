@@ -1,0 +1,21 @@
+from .energy import (
+    EnergyTerm,
+    MatchSecondaryStructure,
+    MaximizeGlobularity,
+    MaximizePLDDT,
+    MaximizePTM,
+    MaximizeSurfaceExposure,
+    MinimizeCRmsd,
+    MinimizeDRmsd,
+    MinimizeSurfaceExposure,
+    MinimizeSurfaceHydrophobics,
+    SymmetryRing,
+)
+from .folding import ESMFoldCallback, FoldingCallback, FoldingResult
+from .optimize import run_simulated_annealing
+from .program import ProgramNode
+from .sequence import (
+    ConstantSequenceSegment,
+    FixedLengthSequenceSegment,
+    VariableLengthSequenceSegment,
+)

@@ -1,0 +1,131 @@
+"""Application layer: lm-design MCMC and protein-programming-language
+annealing drive end-to-end with tiny random models."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from esm_tpu.data import Alphabet
+from esm_tpu.models import esm2
+
+
+@pytest.fixture(scope="module")
+def tiny_lm():
+    alphabet = Alphabet.from_architecture("ESM-1b")
+    cfg = esm2.ESM2Config.from_alphabet(
+        alphabet, num_layers=2, embed_dim=32, attention_heads=2
+    )
+    params = esm2.init(jax.random.PRNGKey(0), cfg)
+    return params, cfg, alphabet
+
+
+def test_lm_design_chain(tiny_lm):
+    from esm_tpu.apps import lm_design
+
+    params, cfg, alphabet = tiny_lm
+    designer = lm_design.Designer(params, cfg, alphabet)
+    seqs, energies, acc_rate = designer.design(
+        "KALTARQQEVFDLIRD", lm_design.DesignConfig(num_iter=30), batch=2
+    )
+    assert len(seqs) == 2 and len(seqs[0]) == 16
+    assert energies.shape == (30, 2)
+    assert np.isfinite(energies).all()
+    assert 0.0 <= acc_rate <= 1.0
+    # designs only contain standard residues
+    assert all(c in "LAGVSERTIDPKQNFYMHWC" for c in seqs[0])
+
+
+def test_lm_design_ngram_energy():
+    from esm_tpu.apps.lm_design import _ngram_energy_tables, ngram_kl
+
+    import jax.numpy as jnp
+
+    stats = {2: {(0, 1): 0.5, (1, 0): 0.5}}
+    tables = _ngram_energy_tables(stats)
+    seq_match = jnp.asarray([0, 1, 0, 1, 0])  # alternating = high prob grams
+    seq_miss = jnp.asarray([5, 6, 7, 8, 9])
+    kl_match = float(ngram_kl(seq_match, tables[2], 2))
+    kl_miss = float(ngram_kl(seq_miss, tables[2], 2))
+    assert kl_match < kl_miss
+
+
+def test_ppl_annealing(tiny_lm):
+    from esm_tpu.apps import ppl
+    from esm_tpu.models import esmfold as ef
+    from esm_tpu.models.esmfold.structure_module import StructureModuleConfig
+    from esm_tpu.models.esmfold.trunk import FoldingTrunkConfig
+
+    params, cfg, alphabet = tiny_lm
+    fold_cfg = ef.ESMFoldConfig(
+        esm=cfg,
+        trunk=FoldingTrunkConfig(
+            num_blocks=1,
+            sequence_state_dim=32,
+            pairwise_state_dim=32,
+            sequence_head_width=16,
+            pairwise_head_width=16,
+            max_recycles=1,
+            structure_module=StructureModuleConfig(
+                c_s=32, c_z=32, c_ipa=8, c_resnet=16, no_heads_ipa=4, no_blocks=1
+            ),
+        ),
+    )
+    fold_params = ef.init_esmfold(jax.random.PRNGKey(1), fold_cfg, alphabet)
+    callback = ppl.ESMFoldCallback(fold_params, fold_cfg, num_recycles=0, bucket=16)
+
+    np.random.seed(0)
+    program = ppl.ProgramNode(
+        children=[
+            ppl.ProgramNode(sequence_segment=ppl.FixedLengthSequenceSegment(8)),
+            ppl.ProgramNode(sequence_segment=ppl.FixedLengthSequenceSegment(8)),
+        ],
+        energy_function_terms=[ppl.MaximizePTM(), ppl.MaximizePLDDT(), ppl.SymmetryRing()],
+        energy_function_weights=[1.0, 1.0, 1.0],
+    )
+    state = ppl.run_simulated_annealing(
+        program, callback, total_num_steps=4, display_progress=False
+    )
+    assert state.num_steps == 4
+    assert np.isfinite(state.best_energy)
+    assert len(state.best_sequence) == 16
+    # per-term values recorded with names
+    names = [n for n, _, _ in state.best_energy_term_fn_values]
+    assert any("MaximizePTM" in n for n in names)
+
+
+def test_ppl_geometry():
+    from esm_tpu.apps.ppl.geometry import annotate_sse_ca, kabsch_superimpose, rmsd, sasa
+
+    g = np.random.RandomState(0)
+    # kabsch: rotated copy should superimpose to ~0 rmsd
+    a = g.randn(10, 3)
+    theta = 0.7
+    R = np.array(
+        [[np.cos(theta), -np.sin(theta), 0], [np.sin(theta), np.cos(theta), 0], [0, 0, 1]]
+    )
+    b = a @ R.T + 5.0
+    moved = kabsch_superimpose(a, b)
+    assert rmsd(a, moved) < 1e-6
+
+    # sasa: isolated atom fully exposed; tightly caged atom buried
+    coords = np.concatenate([[[0.0, 0, 0]], 2.5 * _octahedron()], axis=0)
+    elements = np.array(["C"] * coords.shape[0])
+    areas = sasa(coords, elements)
+    lone = sasa(np.zeros((1, 3)), np.array(["C"]))
+    assert areas[0] < lone[0] * 0.5  # center substantially buried
+
+    # sse: ideal helix CA trace annotated as helix
+    t = np.arange(12)
+    helix = np.stack(
+        [2.3 * np.cos(t * 1.745), 2.3 * np.sin(t * 1.745), 1.5 * t], axis=-1
+    )
+    sse = annotate_sse_ca(helix)
+    assert (sse == "a").mean() > 0.5
+
+
+def _octahedron():
+    return np.array(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        np.float64,
+    )
