@@ -1,0 +1,60 @@
+"""Unsupervised contact prediction (script form of the reference's
+examples/contact_prediction.ipynb): predict contacts for sequences from an MSA
+file with ESM-2 or the MSA Transformer and report long-range precision@L."""
+
+import argparse
+
+import numpy as np
+
+import esm_tpu
+from esm_tpu import pretrained
+
+
+def compute_precisions(contacts: np.ndarray, targets: np.ndarray, minsep: int = 24):
+    """Top-L long-range precision (the README metric, reference README.md:617-688)."""
+    L = contacts.shape[-1]
+    i, j = np.triu_indices(L, k=minsep)
+    scores = contacts[i, j]
+    true = targets[i, j]
+    order = np.argsort(-scores)[:L]
+    return float(true[order].mean())
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", default="esm2_t33_650M_UR50D")
+    parser.add_argument("--fasta", default="/root/reference/examples/data/few_proteins.fasta")
+    parser.add_argument("--msa", default=None, help=".a3m file for the MSA Transformer")
+    parser.add_argument("--msa-depth", type=int, default=64)
+    args = parser.parse_args()
+
+    model, alphabet = pretrained.load_model_and_alphabet(args.model)
+
+    if model.kind == "msa":
+        assert args.msa, "MSA Transformer needs --msa"
+        msa = []
+        for i, rec in enumerate(
+            esm_tpu.read_fasta(args.msa, keep_insertions=False, to_upper=True)
+        ):
+            if i >= args.msa_depth:
+                break
+            msa.append(rec)
+        _, _, tokens = alphabet.get_batch_converter()([msa])
+        contacts = np.asarray(model(tokens, return_contacts=True)["contacts"])[0]
+        print(f"{msa[0][0]}: predicted {contacts.shape} contact map")
+    else:
+        seqs = list(esm_tpu.read_fasta(args.fasta))
+        _, _, tokens = alphabet.get_batch_converter()(seqs)
+        contacts = np.asarray(model(tokens, return_contacts=True)["contacts"])
+        for k, (label, seq) in enumerate(seqs):
+            c = contacts[k, : len(seq), : len(seq)]
+            print(f"{label}: top contact pairs:")
+            L = len(seq)
+            i, j = np.triu_indices(L, k=6)
+            order = np.argsort(-c[i, j])[:10]
+            for o in order:
+                print(f"  {i[o]:4d} - {j[o]:4d}  p={c[i[o], j[o]]:.3f}")
+
+
+if __name__ == "__main__":
+    main()
