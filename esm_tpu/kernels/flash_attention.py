@@ -140,8 +140,8 @@ def flash_attention(
     v: jax.Array,
     *,
     key_padding_mask: Optional[jax.Array] = None,
-    block_q: int = 512,
-    block_k: int = 512,
+    block_q: int = 1024,
+    block_k: int = 1024,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Flash attention on (B, H, T, d) tensors. q must already be scaled (and

@@ -101,6 +101,7 @@ def triangular_self_attention_block(
     seq_heads: int,
     pair_heads: int,
     mask: Optional[jax.Array] = None,
+    chunk_size: Optional[int] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """One trunk block (reference esm/esmfold/v1/tri_self_attn_block.py:106-160):
     pair->seq bias, gated seq attention, seq MLP; seq->pair outer update,
@@ -129,10 +130,12 @@ def triangular_self_attention_block(
         params["tri_mul_in"], z, outgoing=False, mask=tri_mask
     )
     z = z + triangle_attention(
-        params["tri_att_start"], z, num_heads=pair_heads, starting=True, mask=tri_mask
+        params["tri_att_start"], z, num_heads=pair_heads, starting=True,
+        mask=tri_mask, chunk_size=chunk_size,
     )
     z = z + triangle_attention(
-        params["tri_att_end"], z, num_heads=pair_heads, starting=False, mask=tri_mask
+        params["tri_att_end"], z, num_heads=pair_heads, starting=False,
+        mask=tri_mask, chunk_size=chunk_size,
     )
     z = residue_mlp(params["mlp_pair"], z)
     return s, z

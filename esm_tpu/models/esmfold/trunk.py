@@ -19,6 +19,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec
 
 from ...ops.common import layer_norm, linear
 from .blocks import relative_position, triangular_self_attention_block
@@ -37,6 +38,12 @@ class FoldingTrunkConfig:
     pairwise_head_width: int = 32
     position_bins: int = 32
     max_recycles: int = 4
+    chunk_size: Optional[int] = None   # triangle-attention row chunking (O(L) memory)
+    # Sequence-parallel pair-tensor sharding: PartitionSpec for the (B, I, J, C)
+    # pair activations, e.g. PS(None, "tp") to shard rows over the tp axis.
+    # Apply inside `with mesh:`; XLA inserts the all-to-alls between the
+    # row-phase and column-phase triangle ops.
+    pair_spec: Optional[PartitionSpec] = None
     structure_module: StructureModuleConfig = field(default_factory=StructureModuleConfig)
 
     @property
@@ -66,10 +73,17 @@ def distogram_bins(coords: jax.Array, min_bin=3.375, max_bin=21.375, num_bins=RE
     return jnp.sum(d2 > boundaries, axis=-1)
 
 
+def _constrain_pair(z, cfg: FoldingTrunkConfig):
+    if cfg.pair_spec is not None:
+        z = jax.lax.with_sharding_constraint(z, cfg.pair_spec)
+    return z
+
+
 def trunk_iter(params, cfg: FoldingTrunkConfig, s, z, residx, mask):
     z = z + relative_position(
         params["pairwise_positional_embedding"], residx, mask, bins=cfg.position_bins
     ).astype(z.dtype)
+    z = _constrain_pair(z, cfg)
 
     def body(carry, block_params):
         s, z = carry
@@ -80,8 +94,9 @@ def trunk_iter(params, cfg: FoldingTrunkConfig, s, z, residx, mask):
             seq_heads=cfg.seq_heads,
             pair_heads=cfg.pair_heads,
             mask=mask,
+            chunk_size=cfg.chunk_size,
         )
-        return (s, z), None
+        return (s, _constrain_pair(z, cfg)), None
 
     (s, z), _ = jax.lax.scan(body, (s, z), params["blocks"])
     return s, z

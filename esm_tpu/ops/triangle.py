@@ -61,9 +61,15 @@ def triangle_attention(
     starting: bool,
     mask: Optional[jax.Array] = None,
     inf: float = 1e9,
+    chunk_size: Optional[int] = None,
 ) -> jax.Array:
     """z: (B, I, J, C); mask: (B, I, J). Gated MHA over the J axis per row
-    (starting) or over I per column (ending). Returns the residual update."""
+    (starting) or over I per column (ending). Returns the residual update.
+
+    ``chunk_size``: process this many rows at a time via lax.map — the naive
+    logits tensor is O(I·H·J²) = O(L³·H), so chunking over rows is the memory
+    lever (reference: openfold chunk_layer plumbed through
+    esm/esmfold/v1/esmfold.py:354-360 set_chunk_size)."""
     if mask is None:
         mask = jnp.ones(z.shape[:-1], z.dtype)
 
@@ -73,7 +79,7 @@ def triangle_attention(
 
     zn = layer_norm(params["layer_norm"], z)
 
-    # additive biases: mask (B, I, 1, 1, J) + triangle (B, 1, H, I, J)
+    # additive biases: mask (B, I, 1, 1, J) + triangle (B, 1, H, Jq, Jk)
     mask_bias = (inf * (mask - 1.0))[..., :, None, None, :]
     tri = linear(params["linear"], zn)  # (B, I, J, H)
     tri_bias = jnp.transpose(tri, (0, 3, 1, 2))[:, None]  # (B, 1, H, I, J)
@@ -81,24 +87,37 @@ def triangle_attention(
     b, i, j, c = zn.shape
     head_dim = c // num_heads
 
-    def heads(t):
-        return t.reshape(b, i, j, num_heads, head_dim).transpose(0, 1, 3, 2, 4)
+    def attend_rows(zr, mb):
+        """zr: (B, ci, J, C) rows; mb: (B, ci, 1, 1, J). Row-local attention."""
+        ci = zr.shape[1]
 
-    q = heads(linear(params["mha"]["linear_q"], zn)) / (head_dim ** 0.5)
-    k = heads(linear(params["mha"]["linear_k"], zn))
-    v = heads(linear(params["mha"]["linear_v"], zn))
+        def heads(t):
+            return t.reshape(b, ci, j, num_heads, head_dim).transpose(0, 1, 3, 2, 4)
 
-    a = jnp.einsum("bihqd,bihkd->bihqk", q, k)  # (B, I, H, Jq, Jk)
-    a = a + mask_bias        # (B, I, 1, 1, J): mask keys per row
-    a = a + tri_bias         # (B, 1, H, Jq, Jk): pair bias by (query, key) position
-    a = softmax_fp32(a)
+        q = heads(linear(params["mha"]["linear_q"], zr)) / (head_dim ** 0.5)
+        k = heads(linear(params["mha"]["linear_k"], zr))
+        v = heads(linear(params["mha"]["linear_v"], zr))
 
-    o = jnp.einsum("bihqk,bihkd->bihqd", a, v)
-    o = o.transpose(0, 1, 3, 2, 4).reshape(b, i, j, c)
+        a = jnp.einsum("bihqd,bihkd->bihqk", q, k)  # (B, ci, H, Jq, Jk)
+        a = a + mb
+        a = a + tri_bias
+        a = softmax_fp32(a)
+        o = jnp.einsum("bihqk,bihkd->bihqd", a, v)
+        o = o.transpose(0, 1, 3, 2, 4).reshape(b, ci, j, c)
+        g = jax.nn.sigmoid(linear(params["mha"]["linear_g"], zr))
+        return linear(params["mha"]["linear_o"], o * g)
 
-    g = jax.nn.sigmoid(linear(params["mha"]["linear_g"], zn))
-    o = o * g
-    o = linear(params["mha"]["linear_o"], o)
+    if chunk_size is None or chunk_size >= i:
+        o = attend_rows(zn, mask_bias)
+    else:
+        pad = (-i) % chunk_size
+        znp = jnp.pad(zn, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        mbp = jnp.pad(mask_bias, ((0, 0), (0, pad), (0, 0), (0, 0), (0, 0)))
+        nc = (i + pad) // chunk_size
+        znp = znp.reshape(b, nc, chunk_size, j, c).transpose(1, 0, 2, 3, 4)
+        mbp = mbp.reshape(b, nc, chunk_size, 1, 1, j).transpose(1, 0, 2, 3, 4, 5)
+        o = jax.lax.map(lambda args: attend_rows(*args), (znp, mbp))
+        o = o.transpose(1, 0, 2, 3, 4).reshape(b, i + pad, j, c)[:, :i]
 
     if not starting:
         o = jnp.swapaxes(o, -2, -3)

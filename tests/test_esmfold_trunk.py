@@ -214,3 +214,32 @@ def test_esmfold_end_to_end_smoke():
     assert "END" in pdbs[0]
     # multimer: linker residues masked out of atom37_atom_exists
     assert "TER" in pdbs[1]
+
+
+def test_chunked_triangle_attention_matches():
+    """chunk_size changes memory, not numerics."""
+    import jax.numpy as jnp
+    from esm_tpu.ops.triangle import triangle_attention
+
+    torch.manual_seed(9)
+    ref = hf.EsmFoldTriangleAttention(C_Z, 16, C_Z // 16, starting=True, inf=1e9).eval()
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.normal_(0, 0.3)
+    from esm_tpu.io import convert_esmfold as cv2
+
+    params = cv2.convert_tri_att({f"m.{k}": v for k, v in ref.state_dict().items()}, "m")
+    g = np.random.RandomState(10)
+    z = g.randn(2, 13, 13, C_Z).astype(np.float32)
+    mask = np.ones((2, 13, 13), np.float32)
+    full = triangle_attention(
+        params, jnp.asarray(z), num_heads=2, starting=True, mask=jnp.asarray(mask)
+    )
+    for chunk in (4, 5, 13, 64):
+        chunked = triangle_attention(
+            params, jnp.asarray(z), num_heads=2, starting=True,
+            mask=jnp.asarray(mask), chunk_size=chunk,
+        )
+        np.testing.assert_allclose(
+            np.asarray(chunked), np.asarray(full), atol=1e-5, err_msg=str(chunk)
+        )

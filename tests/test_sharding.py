@@ -83,3 +83,63 @@ def test_train_step_on_mesh():
         )
         losses.append(float(metrics["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_esmfold_trunk_pair_sharding():
+    """Sequence-parallel pair tensor: trunk forward with the (B, I, J, C) pair
+    activations sharded over the tp axis matches the unsharded forward."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as PS
+
+    from esm_tpu.models import esmfold as ef
+    from esm_tpu.models.esmfold.structure_module import StructureModuleConfig
+    from esm_tpu.models.esmfold.trunk import FoldingTrunkConfig, folding_trunk_apply
+
+    alphabet = Alphabet.from_architecture("ESM-1b")
+    tcfg = FoldingTrunkConfig(
+        num_blocks=1,
+        sequence_state_dim=64,
+        pairwise_state_dim=32,
+        sequence_head_width=16,
+        pairwise_head_width=16,
+        max_recycles=1,
+        structure_module=StructureModuleConfig(
+            c_s=32, c_z=32, c_ipa=8, c_resnet=16, no_heads_ipa=4, no_blocks=1
+        ),
+    )
+    fcfg = ef.ESMFoldConfig(
+        esm=esm2.ESM2Config.from_alphabet(
+            alphabet, num_layers=1, embed_dim=32, attention_heads=2
+        ),
+        trunk=tcfg,
+    )
+    params = ef.init_esmfold(jax.random.PRNGKey(3), fcfg, alphabet)
+
+    g = np.random.RandomState(0)
+    b, l = 1, 16
+    s = jnp.asarray(g.randn(b, l, 64).astype(np.float32) * 0.3)
+    z = jnp.asarray(g.randn(b, l, l, 32).astype(np.float32) * 0.3)
+    aa = jnp.asarray(g.randint(0, 20, (b, l)))
+    residx = jnp.asarray(np.tile(np.arange(l, dtype=np.int32), (b, 1)))
+    mask = jnp.ones((b, l), jnp.float32)
+
+    out_single = folding_trunk_apply(
+        params["trunk"], tcfg, s, z, aa, residx, mask, no_recycles=0
+    )
+
+    mesh = make_mesh(MeshConfig(data=1, fsdp=1, tp=8))
+    tcfg_sh = dataclasses.replace(tcfg, pair_spec=PS(None, "tp"))
+    with mesh:
+        out_sh = folding_trunk_apply(
+            params["trunk"], tcfg_sh, s, z, aa, residx, mask, no_recycles=0
+        )
+    np.testing.assert_allclose(
+        np.asarray(out_sh["s_z"]), np.asarray(out_single["s_z"]), atol=2e-5, rtol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sh["positions"]),
+        np.asarray(out_single["positions"]),
+        atol=2e-4,
+        rtol=1e-3,
+    )
