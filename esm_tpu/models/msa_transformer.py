@@ -39,6 +39,10 @@ class MSATransformerConfig:
     attention_heads: int = 12
     max_positions: int = 1024
     embed_positions_msa: bool = True
+    # Auto-chunk the axial attentions when R*C exceeds this (reference
+    # max_tokens_per_msa, esm/model/msa_transformer.py:229-238). Shapes are
+    # static under jit, so chunk sizes resolve at trace time.
+    max_tokens_per_msa: int = 2 ** 14
     # Alphabet-derived (msa_transformer alphabet)
     alphabet_size: int = 33
     padding_idx: int = 1
@@ -136,9 +140,13 @@ def _axial_layer_apply(
     num_heads: int,
     padding_mask: Optional[jax.Array],
     need_head_weights: bool,
+    max_tokens_per_msa: int = 2 ** 14,
 ):
     """One AxialTransformerLayer: three pre-LN residual blocks
     (reference esm/modules.py:196-221,360-392)."""
+    b, r, c, d = x.shape
+    chunk_rows = max(1, max_tokens_per_msa // c) if r * c > max_tokens_per_msa else None
+    chunk_cols = max(1, max_tokens_per_msa // r) if r * c > max_tokens_per_msa else None
     # Row attention block
     h = layer_norm(layer_params["row_self_attention"]["layer_norm"], x)
     h, row_probs = row_self_attention(
@@ -146,6 +154,7 @@ def _axial_layer_apply(
         h,
         num_heads=num_heads,
         padding_mask=padding_mask,
+        max_rows_per_chunk=chunk_rows,
     )
     x = x + h
     # Column attention block
@@ -155,6 +164,7 @@ def _axial_layer_apply(
         h,
         num_heads=num_heads,
         padding_mask=padding_mask,
+        max_cols_per_chunk=chunk_cols,
     )
     x = x + h
     # FFN block
@@ -219,6 +229,7 @@ def apply(
             num_heads=cfg.attention_heads,
             padding_mask=padding_mask,
             need_head_weights=need_head_weights,
+            max_tokens_per_msa=cfg.max_tokens_per_msa,
         )
         ys = {}
         if return_representations:

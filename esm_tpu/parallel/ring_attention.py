@@ -1,0 +1,100 @@
+"""Ring attention: sequence-sharded self-attention over a mesh axis.
+
+The reference's only long-context strategy is chunking/truncation
+(esm/axial_attention.py:40-69, scripts/extract.py:52-57 — SURVEY §5.7). Here
+the sequence axis is sharded across chips and KV blocks rotate around the ring
+via ppermute while each chip computes flash attention on the block in front of
+it — communication overlaps compute, total traffic equals one all-gather but
+pipelined (jax-ml scaling-book recipe; guide: ring collectives).
+
+Semantics match ops/attention.multihead_attention for bidirectional (ESM-style)
+attention with a key-padding mask: each chip maintains online-softmax state
+(m, l, acc) across ring steps — the cross-chip softmax combine is exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+
+NEG_INF = -1e30
+
+
+def _local_attend(q, k, v, bias):
+    """One block attention: q (B,H,Tq,d), k/v (B,H,Tk,d), bias (B,Tk).
+    Returns (out_unnormalized, m, l) in fp32."""
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    s = s + bias[:, None, None, :]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    acc = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v).astype(jnp.float32)
+    return acc, m, l
+
+
+def _ring_body(q, k, v, bias, axis_name: str):
+    """shard_map body: q/k/v (B, H, T/N, d) local shards; bias (B, T/N)."""
+    n = jax.lax.psum(1, axis_name)
+
+    def step(carry, _):
+        k_blk, v_blk, b_blk, m, l, acc = carry
+        blk_acc, blk_m, blk_l = _local_attend(q, k_blk, v_blk, b_blk)
+        m_new = jnp.maximum(m, blk_m)
+        alpha = jnp.exp(m - m_new)
+        beta = jnp.exp(blk_m - m_new)
+        acc = acc * alpha + blk_acc * beta
+        l = l * alpha + blk_l * beta
+        m = m_new
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+        b_blk = jax.lax.ppermute(b_blk, axis_name, perm)
+        return (k_blk, v_blk, b_blk, m, l, acc), None
+
+    b_, h_, tq, d = q.shape
+    m0 = jnp.full((b_, h_, tq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b_, h_, tq, 1), jnp.float32)
+    acc0 = jnp.zeros((b_, h_, tq, d), jnp.float32)
+    # mark the init state as device-varying over the ring axis (shard_map typing)
+    m0, l0, acc0 = jax.lax.pvary((m0, l0, acc0), (axis_name,))
+
+    (k, v, bias, m, l, acc), _ = jax.lax.scan(
+        step, (k, v, bias, m0, l0, acc0), None, length=n
+    )
+    out = acc / jnp.where(l == 0.0, 1.0, l)
+    return out.astype(q.dtype)
+
+
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh,
+    *,
+    axis_name: str = "tp",
+    key_padding_mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Sequence-sharded attention. q/k/v: (B, H, T, d) with T divisible by the
+    ring size; key_padding_mask: (B, T) bool True=pad. q must be pre-scaled."""
+    b, h, t, d = q.shape
+    if key_padding_mask is not None:
+        bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
+    else:
+        bias = jnp.zeros((b, t), jnp.float32)
+
+    seq_spec = PS(None, None, axis_name, None)
+    bias_spec = PS(None, axis_name)
+
+    fn = jax.shard_map(
+        functools.partial(_ring_body, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(seq_spec, seq_spec, seq_spec, bias_spec),
+        out_specs=seq_spec,
+    )
+    return fn(q, k, v, bias)

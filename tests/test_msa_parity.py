@@ -10,6 +10,7 @@ from tests.conftest import add_reference_to_path
 add_reference_to_path()
 
 import torch  # noqa: E402
+import jax  # noqa: E402
 
 from esm.model.msa_transformer import MSATransformer as RefMSA  # noqa: E402
 from esm.data import Alphabet as RefAlphabet  # noqa: E402
@@ -116,3 +117,44 @@ def test_msa_single_row(ref_and_params):
     np.testing.assert_allclose(
         np.asarray(out["logits"]), out_ref["logits"].numpy(), atol=3e-5, rtol=1e-5
     )
+
+
+def test_chunked_axial_attention_matches(ref_and_params):
+    """Row/column chunking changes memory, not numerics (reference
+    esm/axial_attention.py chunked inference paths)."""
+    import jax.numpy as jnp
+
+    from esm_tpu.ops.axial_attention import column_self_attention, row_self_attention
+
+    _, params, cfg = ref_and_params
+    lp = jax.tree.map(lambda x: x[0], params["layers"])
+    g = np.random.RandomState(11)
+    b, r, c = 2, 7, 9
+    x = jnp.asarray(g.randn(b, r, c, cfg.embed_dim).astype(np.float32))
+    mask = np.zeros((b, r, c), bool)
+    mask[1, :, 7:] = True
+    mask = jnp.asarray(mask)
+
+    row_p = lp["row_self_attention"]["layer"]
+    full, full_probs = row_self_attention(
+        row_p, x, num_heads=cfg.attention_heads, padding_mask=mask
+    )
+    for ck in (2, 3, 7):
+        out, probs = row_self_attention(
+            row_p, x, num_heads=cfg.attention_heads, padding_mask=mask,
+            max_rows_per_chunk=ck,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(probs), np.asarray(full_probs), atol=2e-5)
+
+    col_p = lp["column_self_attention"]["layer"]
+    full, full_probs = column_self_attention(
+        col_p, x, num_heads=cfg.attention_heads, padding_mask=mask
+    )
+    for ck in (2, 4, 9):
+        out, probs = column_self_attention(
+            col_p, x, num_heads=cfg.attention_heads, padding_mask=mask,
+            max_cols_per_chunk=ck,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(probs), np.asarray(full_probs), atol=2e-5)

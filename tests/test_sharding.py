@@ -143,3 +143,30 @@ def test_esmfold_trunk_pair_sharding():
         atol=2e-4,
         rtol=1e-3,
     )
+
+
+def test_ring_attention_matches_exact():
+    """Sequence-sharded ring attention == single-device attention."""
+    from esm_tpu.ops.common import softmax_fp32
+    from esm_tpu.parallel.ring_attention import ring_attention
+
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, h, t, d = 2, 4, 64, 16
+    q = jax.random.normal(kq, (b, h, t, d)) * 0.3
+    k = jax.random.normal(kk, (b, h, t, d))
+    v = jax.random.normal(kv, (b, h, t, d))
+    mask = np.zeros((b, t), bool)
+    mask[0, 50:] = True
+    mask = jnp.asarray(mask)
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+    logits = jnp.where(mask[:, None, None, :], -jnp.inf, logits)
+    exact = jnp.einsum("bhqk,bhkd->bhqd", softmax_fp32(logits), v)
+
+    mesh = make_mesh(MeshConfig(data=1, fsdp=1, tp=8))
+    out = ring_attention(q, k, v, mesh, key_padding_mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(out[0, :, :50]), np.asarray(exact[0, :, :50]), atol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(exact[1]), atol=2e-5)
