@@ -150,25 +150,56 @@ def test_rotation_equivariance(models):
 
 
 def test_sample_incremental_matches_teacher_forcing(models):
-    """The scan/KV-cache decode path must agree with the teacher-forced
-    decoder on the sampled prefix (internal consistency of the cache)."""
+    """The scan/KV-cache decode path must produce the same per-step logits as
+    the teacher-forced decoder on an identical token prefix."""
+    from esm_tpu.models.inverse_folding.transformer import (
+        decoder_step,
+        init_decode_cache,
+    )
+    from esm_tpu.models.inverse_folding.model import encoder_apply
+
     _, params, cfg, alphabet, _ = models
     coords = _fake_coords(seed=4, missing=False)
+    L = coords.shape[0]
     designed = ifm.sample(params, cfg, alphabet, coords, temperature=1e-4, seed=1)
-    assert len(designed) == coords.shape[0]
-    # greedy re-decode with teacher forcing must produce the same sequence
+    assert len(designed) == L
+
     conv = ifm.CoordBatchConverter(alphabet)
     bc, conf, _, _, pmask = conv([(coords, None, None)])
-    tokens = np.full((1, coords.shape[0] + 1), cfg.mask_idx, np.int32)
+    tokens = np.full((1, L + 1), cfg.mask_idx, np.int32)
     tokens[0, 0] = cfg.cath_idx
     tokens[0, 1:] = [alphabet.get_idx(c) for c in designed]
-    logits = ifm.apply(
-        params, cfg, jnp.asarray(bc), jnp.asarray(pmask), jnp.asarray(conf),
-        jnp.asarray(tokens[:, :-1]),
+
+    # teacher-forced logits (B, V, T)
+    tf_logits = np.asarray(
+        ifm.apply(
+            params, cfg, jnp.asarray(bc), jnp.asarray(pmask), jnp.asarray(conf),
+            jnp.asarray(tokens[:, :-1]),
+        )
     )
-    greedy = np.argmax(np.asarray(logits)[0], axis=0)
-    redecoded = "".join(alphabet.get_tok(int(t)) for t in greedy)
-    assert redecoded == designed, (redecoded, designed)
+
+    # incremental decode over the SAME fixed prefix
+    enc = encoder_apply(params["encoder"], cfg, jnp.asarray(bc), jnp.asarray(pmask), jnp.asarray(conf))
+    cache = init_decode_cache(
+        params["decoder"], enc,
+        num_heads=cfg.decoder_attention_heads,
+        num_layers=cfg.decoder_layers,
+        max_len=L,
+    )
+    for i in range(L):
+        logits, cache = decoder_step(
+            params["decoder"],
+            jnp.asarray(tokens[:, i]),
+            i,
+            cache,
+            num_heads=cfg.decoder_attention_heads,
+            num_layers=cfg.decoder_layers,
+            padding_idx=cfg.padding_idx,
+            enc_padding_mask=jnp.asarray(pmask),
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits)[0], tf_logits[0, :, i], atol=1e-4, err_msg=f"step {i}"
+        )
 
 
 def test_sample_partial_seq(models):
