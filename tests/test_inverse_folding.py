@@ -198,7 +198,7 @@ def test_sample_incremental_matches_teacher_forcing(models):
             enc_padding_mask=jnp.asarray(pmask),
         )
         np.testing.assert_allclose(
-            np.asarray(logits)[0], tf_logits[0, :, i], atol=1e-4, err_msg=f"step {i}"
+            np.asarray(logits)[0], tf_logits[0, :, i], atol=1e-3, err_msg=f"step {i}"
         )
 
 
