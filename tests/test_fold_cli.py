@@ -1,0 +1,134 @@
+"""esm-fold CLI end-to-end with synthesized checkpoints (tiny ESMFold + LM)."""
+
+import argparse
+import os
+
+import numpy as np
+import pytest
+import torch
+
+from transformers.models.esm.configuration_esm import (
+    StructureModuleConfig as HFSMConfig,
+    TrunkConfig as HFTrunkConfig,
+)
+import transformers.models.esm.modeling_esmfold as hf
+
+from tests.conftest import add_reference_to_path
+
+add_reference_to_path()
+
+from esm.model.esm2 import ESM2 as RefESM2  # noqa: E402
+
+C_S, C_Z = 64, 32
+
+
+def _make_cache(tmp_path):
+    """Write fake LM + ESMFold checkpoints into an ESM_TPU_CACHE dir."""
+    cache = tmp_path / "cache"
+    cache.mkdir()
+
+    # LM checkpoint for esm_type "esm2_8M" -> name esm2_t6_8M_UR50D_500K
+    torch.manual_seed(0)
+    lm = RefESM2(num_layers=2, embed_dim=32, attention_heads=2)
+    lm_state = {
+        (
+            f"encoder.sentence_encoder.{k}"
+            if not k.startswith("lm_head")
+            else f"encoder.{k}"
+        ): v
+        for k, v in lm.state_dict().items()
+    }
+    lm_cfg = argparse.Namespace(
+        encoder_layers=2, encoder_embed_dim=32, encoder_attention_heads=2,
+        token_dropout=True,
+    )
+    torch.save(
+        {"cfg": {"model": lm_cfg}, "model": lm_state},
+        cache / "esm2_t6_8M_UR50D_500K.pt",
+    )
+
+    # ESMFold checkpoint: trunk state from the HF oracle + top-level heads
+    hf_cfg = HFTrunkConfig(
+        num_blocks=1,
+        sequence_state_dim=C_S,
+        pairwise_state_dim=C_Z,
+        sequence_head_width=16,
+        pairwise_head_width=16,
+        dropout=0,
+        max_recycles=2,
+        structure_module=HFSMConfig(
+            sequence_dim=32, pairwise_dim=C_Z, ipa_dim=8, resnet_dim=16,
+            num_heads_ipa=4, num_blocks=1,
+        ),
+    )
+    trunk = hf.EsmFoldingTrunk(hf_cfg)
+    sd = {f"trunk.{k}": v for k, v in trunk.state_dict().items()}
+
+    def lin(name, i, o, bias=True):
+        sd[f"{name}.weight"] = torch.randn(o, i) * 0.05
+        if bias:
+            sd[f"{name}.bias"] = torch.zeros(o)
+
+    n_tokens = 23
+    sd["esm_s_combine"] = torch.zeros(3)  # lm layers + 1
+    sd["esm_s_mlp.0.weight"] = torch.ones(32)
+    sd["esm_s_mlp.0.bias"] = torch.zeros(32)
+    lin("esm_s_mlp.1", 32, C_S)
+    lin("esm_s_mlp.3", C_S, C_S)
+    sd["embedding.weight"] = torch.randn(n_tokens, C_S) * 0.02
+    lin("distogram_head", C_Z, 64)
+    lin("ptm_head", C_Z, 64)
+    lin("lm_head", C_S, n_tokens)
+    sd["lddt_head.0.weight"] = torch.ones(32)
+    sd["lddt_head.0.bias"] = torch.zeros(32)
+    lin("lddt_head.1", 32, 16)
+    lin("lddt_head.2", 16, 16)
+    lin("lddt_head.3", 16, 37 * 50)
+
+    fold_cfg = argparse.Namespace(
+        esm_type="esm2_8M",
+        use_esm_attn_map=False,
+        lddt_head_hid_dim=16,
+        trunk=argparse.Namespace(
+            num_blocks=1,
+            sequence_state_dim=C_S,
+            pairwise_state_dim=C_Z,
+            sequence_head_width=16,
+            pairwise_head_width=16,
+            position_bins=32,
+            max_recycles=2,
+            structure_module=argparse.Namespace(
+                c_s=32, c_z=C_Z, c_ipa=8, c_resnet=16, no_heads_ipa=4,
+                no_qk_points=4, no_v_points=8, no_blocks=1,
+                no_transition_layers=1, no_resnet_blocks=2, no_angles=7,
+                trans_scale_factor=10,
+            ),
+        ),
+    )
+    fold_path = cache / "esmfold_tiny.pt"
+    torch.save({"cfg": {"model": fold_cfg}, "model": sd}, fold_path)
+    return cache, fold_path
+
+
+def test_fold_cli_end_to_end(tmp_path, monkeypatch):
+    cache, fold_path = _make_cache(tmp_path)
+    monkeypatch.setenv("ESM_TPU_CACHE", str(cache))
+
+    fasta = tmp_path / "in.fasta"
+    fasta.write_text(">seqA\nMKTVRQERLK\n>seqB\nKALTARQ\n>dimer\nMKT:RQE\n")
+
+    from esm_tpu.cli import fold
+
+    args = fold.create_parser().parse_args(
+        ["-i", str(fasta), "-o", str(tmp_path / "pdbs"),
+         "-m", str(fold_path), "--num-recycles", "1"]
+    )
+    fold.run(args)
+
+    for name, ln in [("seqA", 10), ("seqB", 7)]:
+        pdb = (tmp_path / "pdbs" / f"{name}.pdb").read_text()
+        assert pdb.startswith("ATOM")
+        # one CA per residue
+        assert pdb.count(" CA ") == ln
+    dimer = (tmp_path / "pdbs" / "dimer.pdb").read_text()
+    assert " A" in dimer and "TER" in dimer

@@ -1,0 +1,87 @@
+"""Golden tests against released checkpoints (reference README/test goldens).
+
+These activate automatically when real weights are present in the cache
+(``~/.cache/esm_tpu/checkpoints`` or $ESM_TPU_CACHE) — e.g. after
+``python -m esm_tpu.cli.download``. They are skipped in the zero-egress CI
+environment; the same numeric gates the reference uses:
+  * ESMFold 65-mer mean pLDDT 88.3 ± 0.3 (reference tests/test_readme.py:76-91)
+  * ESM-IF1 fixture perplexity 4.40 ± 0.02 (reference tests/test_inverse_folding.py:41-46)
+  * ESM2-650M logits finite + self-consistent on example FASTA
+"""
+
+import json
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+CACHE = Path(os.environ.get("ESM_TPU_CACHE", Path.home() / ".cache/esm_tpu/checkpoints"))
+
+
+def _have(name: str) -> bool:
+    return (CACHE / f"{name}.pt").exists()
+
+
+@pytest.mark.skipif(not _have("esm2_t33_650M_UR50D"), reason="weights not downloaded")
+def test_esm2_650m_embeddings():
+    from esm_tpu import pretrained
+
+    model, alphabet = pretrained.esm2_t33_650M_UR50D()
+    data = [("protein1", "MKTVRQERLKSIVRILERSKEPVSGAQLAEELSVSRQVIVQDIAYLRSLGYNIVATPRGYVLAGG")]
+    _, _, tokens = alphabet.get_batch_converter()(data)
+    out = model(tokens, repr_layers=[33], return_contacts=True)
+    logits = np.asarray(out["logits"])
+    assert np.isfinite(logits).all()
+    # the model should overwhelmingly predict the input residues back
+    pred = logits[0, 1:-1].argmax(-1)
+    target = np.asarray(tokens)[0, 1:-1]
+    assert (pred == target).mean() > 0.9
+
+
+@pytest.mark.skipif(not _have("esmfold_3B_v1"), reason="weights not downloaded")
+def test_esmfold_golden_plddt():
+    from esm_tpu import pretrained
+    from esm_tpu.models import esmfold as ef
+
+    cfg, params, alphabet = pretrained.esmfold_v1()
+    seq = (
+        "MKTVRQERLKSIVRILERSKEPVSGAQLAEELSVSRQVIVQDIAYLRSLGYNIVATPRGYVLAGG"
+    )
+    out = ef.infer(params, cfg, seq)
+    mean_plddt = float(np.asarray(out["mean_plddt"])[0])
+    assert abs(mean_plddt - 88.3) < 0.5, mean_plddt
+
+
+@pytest.mark.skipif(
+    not _have("esm_if1_gvp4_t16_142M_UR50"), reason="weights not downloaded"
+)
+def test_if1_golden_perplexity():
+    from esm_tpu import pretrained
+
+    fixture = Path("/root/reference/tests/inverse_folding_test_example.json")
+    if not fixture.exists():
+        pytest.skip("fixture not available")
+    with open(fixture) as f:
+        examples = json.load(f)
+
+    import jax
+    import jax.numpy as jnp
+
+    from esm_tpu.models import inverse_folding as ifm
+
+    model, alphabet = pretrained.esm_if1_gvp4_t16_142M_UR50()
+    conv = ifm.CoordBatchConverter(alphabet)
+    batch = [(e["coords"], None, e["seq"]) for e in examples[:3]]
+    coords, confidence, _, tokens, padding_mask = conv(batch)
+    prev = jnp.asarray(tokens[:, :-1])
+    target = np.asarray(tokens[:, 1:])
+    logits = model.forward(
+        jnp.asarray(coords), jnp.asarray(padding_mask), jnp.asarray(confidence), prev
+    )
+    logp = np.asarray(jax.nn.log_softmax(logits, axis=1))
+    loss = -np.take_along_axis(logp, target[:, None, :], axis=1)[:, 0]
+    coord_mask = np.isfinite(coords.sum(axis=(-1, -2)))[:, 1:-1]
+    avgloss = np.sum(loss * coord_mask) / np.sum(coord_mask)
+    # reference golden: exp(avgloss) == 4.40 ± 0.01 (tests/test_inverse_folding.py:41-46)
+    np.testing.assert_allclose(4.40, float(np.exp(avgloss)), atol=2e-2)
