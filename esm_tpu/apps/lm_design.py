@@ -261,3 +261,31 @@ def distogram_cross_entropy(logits, target_bins, mask=None):
             jnp.sum(mask, axis=(-1, -2)), 1.0
         )
     return jnp.mean(nll, axis=(-1, -2))
+
+
+@partial(jax.jit, static_argnames=("lm_cfg", "num_steps"))
+def gibbs_free_generation(
+    lm_params, lm_cfg, tokens0, rng, num_steps: int, temperature: float = 1.0
+):
+    """Free sequence generation by blocked Gibbs sampling from the masked-LM
+    conditionals (the sequence half of the reference's free_generation loop,
+    examples/lm-design/utils/free_generation.py:22-73 — the structure
+    resampling half requires the released distogram projection weights and
+    plugs in via distogram_projection_apply)."""
+    b, t = tokens0.shape
+    L = t - 2
+
+    def step(carry, _):
+        tokens, rng = carry
+        rng, r_pos, r_draw = jax.random.split(rng, 3)
+        pos = 1 + jax.random.randint(r_pos, (b,), 0, L)
+        logp = _masked_lm_logprobs(lm_params, lm_cfg, tokens, pos)
+        # restrict to the 20 standard AAs
+        vmask = jnp.full((logp.shape[-1],), -jnp.inf)
+        vmask = vmask.at[AA_OFFSET : AA_OFFSET + NUM_STANDARD_AA].set(0.0)
+        draw = jax.random.categorical(r_draw, logp / temperature + vmask, axis=-1)
+        tokens = tokens.at[jnp.arange(b), pos].set(draw.astype(tokens.dtype))
+        return (tokens, rng), None
+
+    (tokens, _), _ = jax.lax.scan(step, (tokens0, rng), None, length=num_steps)
+    return tokens

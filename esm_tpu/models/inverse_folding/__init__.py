@@ -1,6 +1,7 @@
 from .model import (
     GVPTransformerConfig,
     apply,
+    get_encoder_output,
     get_sequence_loss,
     sample,
     score_sequence,

@@ -276,3 +276,15 @@ def sample(
     if return_tokens:
         return out
     return "".join(alphabet.get_tok(int(a)) for a in out)
+
+
+def get_encoder_output(params, cfg, alphabet: Alphabet, coords):
+    """Encoder representations for a backbone, bos/eos stripped
+    (reference esm/inverse_folding/util.py:133-143). Returns (L, C)."""
+    converter = CoordBatchConverter(alphabet)
+    batch_coords, conf, _, _, padding_mask = converter([(coords, None, None)])
+    enc = encoder_apply(
+        params["encoder"], cfg, jnp.asarray(batch_coords),
+        jnp.asarray(padding_mask), jnp.asarray(conf),
+    )
+    return enc[0, 1:-1]
