@@ -50,6 +50,7 @@ def _args():
 
 @pytest.fixture(scope="module")
 def models():
+    torch.manual_seed(7)  # seed HERE: import-time seeding is destroyed by other modules
     args = _args()
     ref_alphabet = RefAlphabet.from_architecture("invariant_gvp")
     ref = esm.inverse_folding.gvp_transformer.GVPTransformerModel(args, ref_alphabet)
