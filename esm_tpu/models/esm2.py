@@ -148,22 +148,35 @@ def apply(
                        output, layer L = final-LN output) when requested
       attentions:      (B, L, H, T, T) when need_head_weights
       contacts:        (B, T', T') when return_contacts
+
+    Memory note (TPU-first deviation from the reference): with
+    ``return_contacts=True, need_head_weights=False`` the contact regression is
+    accumulated *inside* the layer scan — peak memory is one (B, H, T, T) map
+    instead of the reference's stacked (B, L, H, T, T)
+    (esm/model/esm2.py:133-141). Pass ``need_head_weights=True`` to also get
+    the full attention stack (the reference's behavior).
     """
-    if return_contacts:
-        need_head_weights = True
+    streaming_contacts = return_contacts and not need_head_weights
 
     padding_mask = tokens == cfg.padding_idx
     x = embed_tokens(params, cfg, tokens)
     h0 = x
 
-    x, hiddens, attn = transformer_stack_apply(
-        params["layers"],
-        x,
-        static=cfg.layer_static(),
-        key_padding_mask=padding_mask,
-        collect_hiddens=return_representations,
-        need_head_weights=need_head_weights,
-    )
+    contact_acc = None
+    if streaming_contacts:
+        x, hiddens, contact_acc = _stack_with_streaming_contacts(
+            params, cfg, x, tokens, padding_mask, return_representations
+        )
+        attn = None
+    else:
+        x, hiddens, attn = transformer_stack_apply(
+            params["layers"],
+            x,
+            static=cfg.layer_static(),
+            key_padding_mask=padding_mask,
+            collect_hiddens=return_representations,
+            need_head_weights=need_head_weights,
+        )
 
     x = layer_norm(params["emb_layer_norm_after"], x)
 
@@ -196,7 +209,66 @@ def apply(
                 append_eos=cfg.append_eos,
                 eos_idx=cfg.eos_idx,
             )
+    elif streaming_contacts:
+        bias = params["contact_head"]["regression"].get("bias")
+        logits_c = contact_acc
+        if bias is not None:
+            logits_c = logits_c + bias.astype(logits_c.dtype)[0]
+        result["contacts"] = jax.nn.sigmoid(logits_c)
     return result
+
+
+def _stack_with_streaming_contacts(
+    params, cfg: ESM2Config, x, tokens, padding_mask, collect_hiddens: bool
+):
+    """Layer scan that folds the contact-head regression into the loop:
+    each layer's (B, H, T, T) attention map is masked, bos/eos-stripped,
+    symmetrized+APC'd and contracted with that layer's regression weights,
+    accumulating a (B, T', T') sum — equivalent to the reference's
+    stack-then-regress (esm/modules.py:317-357) without materializing the
+    (B, L, H, T, T) stack."""
+    from functools import partial as _partial
+
+    from ..ops.common import apc, symmetrize
+    from .lm_common import transformer_layer_apply
+
+    static = cfg.layer_static()
+    keep = 1.0 - padding_mask.astype(jnp.float32)
+    pair_mask = keep[:, None, :] * keep[:, :, None]              # (B, T, T)
+    if cfg.append_eos:
+        eos_keep = (tokens != cfg.eos_idx).astype(jnp.float32)
+        eos_pair = eos_keep[:, None, :] * eos_keep[:, :, None]
+    reg_w = params["contact_head"]["regression"]["kernel"].reshape(
+        cfg.num_layers, cfg.attention_heads
+    )
+
+    b, t = tokens.shape
+    t_out = t - int(cfg.append_eos) - int(cfg.prepend_bos)
+
+    def body(carry, xs):
+        h, acc = carry
+        layer_params, w_l = xs
+        h, probs = transformer_layer_apply(
+            layer_params,
+            h,
+            static=static,
+            key_padding_mask=padding_mask,
+            need_head_weights=True,
+        )
+        a = probs.astype(jnp.float32) * pair_mask[:, None]
+        if cfg.append_eos:
+            a = a * eos_pair[:, None]
+            a = a[..., :-1, :-1]
+        if cfg.prepend_bos:
+            a = a[..., 1:, 1:]
+        feats = apc(symmetrize(a))                               # (B, H, T', T')
+        acc = acc + jnp.einsum("bhij,h->bij", feats, w_l)
+        ys = {"hidden": h} if collect_hiddens else {}
+        return (h, acc), ys
+
+    acc0 = jnp.zeros((b, t_out, t_out), jnp.float32)
+    (x, acc), ys = jax.lax.scan(body, (x, acc0), (params["layers"], reg_w))
+    return x, ys.get("hidden"), acc
 
 
 def representations_dict(result: dict, repr_layers: Sequence[int]) -> dict:

@@ -70,6 +70,7 @@ def test_esm2_forward_parity(ref_and_params, with_padding, with_mask):
         params,
         cfg,
         toks,
+        need_head_weights=True,
         return_contacts=True,
         return_representations=True,
     )
@@ -117,3 +118,16 @@ def test_esm2_init_shapes():
     assert params["layers"]["fc1"]["kernel"].shape == (2, 64, 256)
     out = esm2.apply(params, cfg, _tokens())
     assert out["logits"].shape == (2, 18, 33)
+
+
+def test_esm2_streaming_contacts_match_stacked(ref_and_params):
+    """The in-scan contact accumulation equals the reference stack-then-regress."""
+    _, params, cfg = ref_and_params
+    toks = _tokens()
+    stacked = esm2.apply(params, cfg, toks, need_head_weights=True, return_contacts=True)
+    streaming = esm2.apply(params, cfg, toks, return_contacts=True)
+    assert "attentions" not in streaming
+    np.testing.assert_allclose(
+        np.asarray(streaming["contacts"]), np.asarray(stacked["contacts"]),
+        atol=1e-5, rtol=1e-5,
+    )
