@@ -44,6 +44,9 @@ class FoldingTrunkConfig:
     # Apply inside `with mesh:`; XLA inserts the all-to-alls between the
     # row-phase and column-phase triangle ops.
     pair_spec: Optional[PartitionSpec] = None
+    # bf16 compute for the 48-block trunk (LN/softmax stay fp32; the structure
+    # module always runs fp32 — geometry is precision-sensitive)
+    compute_dtype: jnp.dtype = jnp.float32
     structure_module: StructureModuleConfig = field(default_factory=StructureModuleConfig)
 
     @property
@@ -80,6 +83,8 @@ def _constrain_pair(z, cfg: FoldingTrunkConfig):
 
 
 def trunk_iter(params, cfg: FoldingTrunkConfig, s, z, residx, mask):
+    s = s.astype(cfg.compute_dtype)
+    z = z.astype(cfg.compute_dtype)
     z = z + relative_position(
         params["pairwise_positional_embedding"], residx, mask, bins=cfg.position_bins
     ).astype(z.dtype)
@@ -99,7 +104,7 @@ def trunk_iter(params, cfg: FoldingTrunkConfig, s, z, residx, mask):
         return (s, _constrain_pair(z, cfg)), None
 
     (s, z), _ = jax.lax.scan(body, (s, z), params["blocks"])
-    return s, z
+    return s.astype(jnp.float32), z.astype(jnp.float32)
 
 
 def folding_trunk_apply(
