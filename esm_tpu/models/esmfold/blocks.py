@@ -102,6 +102,7 @@ def triangular_self_attention_block(
     pair_heads: int,
     mask: Optional[jax.Array] = None,
     chunk_size: Optional[int] = None,
+    use_flash_tri: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """One trunk block (reference esm/esmfold/v1/tri_self_attn_block.py:106-160):
     pair->seq bias, gated seq attention, seq MLP; seq->pair outer update,
@@ -131,11 +132,11 @@ def triangular_self_attention_block(
     )
     z = z + triangle_attention(
         params["tri_att_start"], z, num_heads=pair_heads, starting=True,
-        mask=tri_mask, chunk_size=chunk_size,
+        mask=tri_mask, chunk_size=chunk_size, use_flash=use_flash_tri,
     )
     z = z + triangle_attention(
         params["tri_att_end"], z, num_heads=pair_heads, starting=False,
-        mask=tri_mask, chunk_size=chunk_size,
+        mask=tri_mask, chunk_size=chunk_size, use_flash=use_flash_tri,
     )
     z = residue_mlp(params["mlp_pair"], z)
     return s, z

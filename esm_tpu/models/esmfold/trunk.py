@@ -47,6 +47,7 @@ class FoldingTrunkConfig:
     # bf16 compute for the 48-block trunk (LN/softmax stay fp32; the structure
     # module always runs fp32 — geometry is precision-sensitive)
     compute_dtype: jnp.dtype = jnp.float32
+    use_flash_tri: bool = False   # fused Pallas triangle attention (J<=1024)
     structure_module: StructureModuleConfig = field(default_factory=StructureModuleConfig)
 
     @property
@@ -100,6 +101,7 @@ def trunk_iter(params, cfg: FoldingTrunkConfig, s, z, residx, mask):
             pair_heads=cfg.pair_heads,
             mask=mask,
             chunk_size=cfg.chunk_size,
+            use_flash_tri=cfg.use_flash_tri,
         )
         return (s, _constrain_pair(z, cfg)), None
 

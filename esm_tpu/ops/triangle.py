@@ -62,6 +62,7 @@ def triangle_attention(
     mask: Optional[jax.Array] = None,
     inf: float = 1e9,
     chunk_size: Optional[int] = None,
+    use_flash: bool = False,
 ) -> jax.Array:
     """z: (B, I, J, C); mask: (B, I, J). Gated MHA over the J axis per row
     (starting) or over I per column (ending). Returns the residual update.
@@ -107,7 +108,24 @@ def triangle_attention(
         g = jax.nn.sigmoid(linear(params["mha"]["linear_g"], zr))
         return linear(params["mha"]["linear_o"], o * g)
 
-    if chunk_size is None or chunk_size >= i:
+    if use_flash and not (i > 1024 or j > 1024):
+        # Fused Pallas path: nothing bigger than one (J, J) tile materializes
+        # (see esm_tpu/kernels/triangle_attention.py). VMEM-bounded to J<=1024.
+        from ..kernels.triangle_attention import NEG_INF, triangle_attention_fused
+
+        def heads5(t):
+            return t.reshape(b, i, j, num_heads, head_dim).transpose(0, 1, 3, 2, 4)
+
+        q = heads5(linear(params["mha"]["linear_q"], zn)) / (head_dim ** 0.5)
+        k = heads5(linear(params["mha"]["linear_k"], zn))
+        v = heads5(linear(params["mha"]["linear_v"], zn))
+        tri_b = jnp.transpose(tri, (0, 3, 1, 2)).astype(jnp.float32)  # (B,H,J,J)
+        key_bias = jnp.where(mask > 0, 0.0, NEG_INF).astype(jnp.float32)  # (B,I,J)
+        o = triangle_attention_fused(q, k, v, tri_b, key_bias)
+        o = o.transpose(0, 1, 3, 2, 4).reshape(b, i, j, c)
+        g = jax.nn.sigmoid(linear(params["mha"]["linear_g"], zn))
+        o = linear(params["mha"]["linear_o"], o * g)
+    elif chunk_size is None or chunk_size >= i:
         o = attend_rows(zn, mask_bias)
     else:
         pad = (-i) % chunk_size

@@ -243,3 +243,32 @@ def test_chunked_triangle_attention_matches():
         np.testing.assert_allclose(
             np.asarray(chunked), np.asarray(full), atol=1e-5, err_msg=str(chunk)
         )
+
+
+def test_fused_triangle_attention_matches():
+    """The Pallas fused triangle-attention path equals the XLA path."""
+    import jax.numpy as jnp
+    from esm_tpu.ops.triangle import triangle_attention
+    from esm_tpu.io import convert_esmfold as cv2
+
+    torch.manual_seed(11)
+    ref = hf.EsmFoldTriangleAttention(C_Z, 16, C_Z // 16, starting=True, inf=1e9).eval()
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.normal_(0, 0.3)
+    params = cv2.convert_tri_att({f"m.{k}": v for k, v in ref.state_dict().items()}, "m")
+    g = np.random.RandomState(12)
+    z = g.randn(2, 9, 9, C_Z).astype(np.float32)
+    mask = np.ones((2, 9, 9), np.float32)
+    mask[1, :, 7:] = 0
+    for starting in (True, False):
+        full = triangle_attention(
+            params, jnp.asarray(z), num_heads=2, starting=starting, mask=jnp.asarray(mask)
+        )
+        fused = triangle_attention(
+            params, jnp.asarray(z), num_heads=2, starting=starting,
+            mask=jnp.asarray(mask), use_flash=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused), np.asarray(full), atol=2e-5, err_msg=str(starting)
+        )
