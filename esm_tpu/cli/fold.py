@@ -89,6 +89,14 @@ def run(args):
     else:
         cfg, params, alphabet = pretrained.esmfold_v1()
 
+    if args.chunk_size is not None:
+        # reference set_chunk_size semantics (esm/esmfold/v1/esmfold.py:354-360)
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, trunk=dataclasses.replace(cfg.trunk, chunk_size=args.chunk_size)
+        )
+
     args.pdb.mkdir(exist_ok=True, parents=True)
 
     num_completed = 0
