@@ -141,7 +141,11 @@ def convert_trunk(sd: Mapping, p: str = "trunk") -> Dict:
         "pairwise_positional_embedding": {
             "embedding": {"weight": _np(sd[f"{p}.pairwise_positional_embedding.embedding.weight"])}
         },
-        "blocks": _stack([convert_trunk_block(sd, f"{p}.blocks.{i}") for i in range(n)]),
+        "blocks": (
+            _stack([convert_trunk_block(sd, f"{p}.blocks.{i}") for i in range(n)])
+            if n > 0
+            else None
+        ),
         "recycle_s_norm": _layer_norm(sd, f"{p}.recycle_s_norm"),
         "recycle_z_norm": _layer_norm(sd, f"{p}.recycle_z_norm"),
         "recycle_disto": {"weight": _np(sd[f"{p}.recycle_disto.weight"])},

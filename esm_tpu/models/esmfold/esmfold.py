@@ -75,9 +75,11 @@ def _lm_representations(
     esm_params,
     esm_cfg: esm2.ESM2Config,
     esmaa: jax.Array,
-) -> jax.Array:
+    need_attn_map: bool = False,
+):
     """Run the frozen LM with bos/eos handling
-    (reference esm/esmfold/v1/esmfold.py:118-145). Returns (B, L, layers+1, C)."""
+    (reference esm/esmfold/v1/esmfold.py:118-145). Returns
+    ((B, L, layers+1, C), optional (B, L, L, layers*H) attention stack)."""
     b, l = esmaa.shape
     bosi, eosi = esm_cfg.cls_idx, esm_cfg.eos_idx
     bos = jnp.full((b, 1), bosi, esmaa.dtype)
@@ -87,10 +89,24 @@ def _lm_representations(
     eos_pos = jnp.sum(esmaa != 1, axis=1)
     esmaa = esmaa.at[jnp.arange(b), eos_pos].set(eosi)
 
-    res = esm2.apply(esm_params, esm_cfg, esmaa, return_representations=True)
+    res = esm2.apply(
+        esm_params,
+        esm_cfg,
+        esmaa,
+        return_representations=True,
+        need_head_weights=need_attn_map,
+    )
     reps = res["representations"]                      # (L+1, B, T, C)
     esm_s = jnp.transpose(reps, (1, 2, 0, 3))          # (B, T, layers+1, C)
-    return esm_s[:, 1:-1]                              # strip bos/eos
+    esm_z = None
+    if need_attn_map:
+        # (B, Lyr, H, T, T) -> (B, Tk, Tq, Lyr*H), bos/eos stripped
+        # (reference esmfold.py:140-144)
+        att = res["attentions"]
+        bb, nl, nh, t, _ = att.shape
+        esm_z = jnp.transpose(att, (0, 4, 3, 1, 2)).reshape(bb, t, t, nl * nh)
+        esm_z = esm_z[:, 1:-1, 1:-1, :]
+    return esm_s[:, 1:-1], esm_z                       # strip bos/eos
 
 
 @partial(jax.jit, static_argnames=("cfg", "num_recycles"))
@@ -118,7 +134,9 @@ def apply(
     if masking_pattern is not None:
         esmaa = jnp.where(masking_pattern == 1, cfg.esm.mask_idx, esmaa)
 
-    esm_s = _lm_representations(params["esm"], cfg.esm, esmaa)
+    esm_s, esm_z = _lm_representations(
+        params["esm"], cfg.esm, esmaa, need_attn_map=cfg.use_esm_attn_map
+    )
     esm_s = jax.lax.stop_gradient(esm_s.astype(jnp.float32))
 
     # softmax-weighted combine over layers (esmfold.py:200)
@@ -129,7 +147,14 @@ def apply(
     h = jax.nn.relu(linear(params["esm_s_mlp"]["fc1"], h))
     s_s_0 = linear(params["esm_s_mlp"]["fc2"], h)
 
-    s_z_0 = jnp.zeros((b, l, l, cfg.trunk.pairwise_state_dim), s_s_0.dtype)
+    if cfg.use_esm_attn_map:
+        # pairwise features from the LM attention maps (esmfold.py:78-84,203-208)
+        esm_z = jax.lax.stop_gradient(esm_z.astype(jnp.float32))
+        hz = layer_norm(params["esm_z_mlp"]["norm"], esm_z)
+        hz = jax.nn.relu(linear(params["esm_z_mlp"]["fc1"], hz))
+        s_z_0 = linear(params["esm_z_mlp"]["fc2"], hz)
+    else:
+        s_z_0 = jnp.zeros((b, l, l, cfg.trunk.pairwise_state_dim), s_s_0.dtype)
 
     s_s_0 = s_s_0 + jnp.take(params["embedding"]["weight"], aa, axis=0)
 

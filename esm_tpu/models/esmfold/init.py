@@ -152,6 +152,9 @@ def init_esmfold(key, cfg: ESMFoldConfig, alphabet: Alphabet, dtype=jnp.float32)
         )
         for _ in range(tc.num_blocks)
     ]
+    blocks_stacked = (
+        jax.tree.map(lambda *xs: jnp.stack(xs, 0), *blocks) if blocks else None
+    )
     trunk = {
         "pairwise_positional_embedding": {
             "embedding": {
@@ -159,7 +162,7 @@ def init_esmfold(key, cfg: ESMFoldConfig, alphabet: Alphabet, dtype=jnp.float32)
                 * jax.random.normal(kg(), (2 * tc.position_bins + 2, c_z), dtype)
             }
         },
-        "blocks": jax.tree.map(lambda *xs: jnp.stack(xs, 0), *blocks),
+        "blocks": blocks_stacked,
         "recycle_s_norm": init_layer_norm(c_s, dtype),
         "recycle_z_norm": init_layer_norm(c_z, dtype),
         "recycle_disto": {
@@ -171,7 +174,7 @@ def init_esmfold(key, cfg: ESMFoldConfig, alphabet: Alphabet, dtype=jnp.float32)
     }
 
     esm_feats = cfg.esm.embed_dim
-    return {
+    out = {
         "esm": esm_params,
         "af2_to_esm": jnp.asarray(af2_to_esm_table(alphabet)),
         "esm_s_combine": jnp.zeros((cfg.esm.num_layers + 1,), dtype),
@@ -194,3 +197,11 @@ def init_esmfold(key, cfg: ESMFoldConfig, alphabet: Alphabet, dtype=jnp.float32)
             "fc3": _lin(kg, cfg.lddt_head_hid_dim, 37 * cfg.lddt_bins),
         },
     }
+    if cfg.use_esm_attn_map:
+        esm_attns = cfg.esm.num_layers * cfg.esm.attention_heads
+        out["esm_z_mlp"] = {
+            "norm": init_layer_norm(esm_attns, dtype),
+            "fc1": _lin(kg, esm_attns, c_z),
+            "fc2": _lin(kg, c_z, c_z),
+        }
+    return out

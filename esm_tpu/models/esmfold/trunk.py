@@ -105,7 +105,8 @@ def trunk_iter(params, cfg: FoldingTrunkConfig, s, z, residx, mask):
         )
         return (s, _constrain_pair(z, cfg)), None
 
-    (s, z), _ = jax.lax.scan(body, (s, z), params["blocks"])
+    if params.get("blocks") is not None:
+        (s, z), _ = jax.lax.scan(body, (s, z), params["blocks"])
     return s.astype(jnp.float32), z.astype(jnp.float32)
 
 

@@ -272,3 +272,34 @@ def test_fused_triangle_attention_matches():
         np.testing.assert_allclose(
             np.asarray(fused), np.asarray(full), atol=2e-5, err_msg=str(starting)
         )
+
+
+def test_esmfold_attn_map_and_sm_only():
+    """use_esm_attn_map pairwise init + structure-module-only (0 trunk blocks)."""
+    from esm_tpu.data import Alphabet
+    from esm_tpu.models import esm2
+    from esm_tpu.models import esmfold as ef
+
+    alphabet = Alphabet.from_architecture("ESM-1b")
+    esm_cfg = esm2.ESM2Config.from_alphabet(
+        alphabet, num_layers=2, embed_dim=32, attention_heads=2
+    )
+    cfg = ef.ESMFoldConfig(
+        esm=esm_cfg,
+        use_esm_attn_map=True,
+        trunk=FoldingTrunkConfig(
+            num_blocks=0,   # structure-module-only ablation shape
+            sequence_state_dim=64,
+            pairwise_state_dim=32,
+            sequence_head_width=16,
+            pairwise_head_width=16,
+            max_recycles=1,
+            structure_module=StructureModuleConfig(
+                c_s=32, c_z=32, c_ipa=8, c_resnet=16, no_heads_ipa=4, no_blocks=1
+            ),
+        ),
+    )
+    params = ef.init_esmfold(jax.random.PRNGKey(5), cfg, alphabet)
+    out = ef.infer(params, cfg, "MKTVRQERLK", num_recycles=0)
+    assert np.isfinite(np.asarray(out["positions"])).all()
+    assert np.isfinite(np.asarray(out["ptm"])).all()
