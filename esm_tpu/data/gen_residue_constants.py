@@ -51,7 +51,6 @@ def main():
     # make_atom14_masks, reference esm/esmfold/v1/esmfold.py:240)
     restype_atom14_to_atom37 = []
     restype_atom37_to_atom14 = []
-    restype_atom14_m = []
     atom_order = {name: i for i, name in enumerate(rc.atom_types)}
     for rt in rc.restypes:
         names3 = rc.restype_1to3[rt]
@@ -63,11 +62,9 @@ def main():
         restype_atom37_to_atom14.append(
             [(atom14_order.get(n, 0)) for n in rc.atom_types]
         )
-        restype_atom14_m.append([(1.0 if n else 0.0) for n in atom14_names])
     # UNK row
     restype_atom14_to_atom37.append([0] * 14)
     restype_atom37_to_atom14.append([0] * 37)
-    restype_atom14_m.append([0.0] * 14)
     out["restype_atom14_to_atom37"] = np.asarray(restype_atom14_to_atom37, np.int32)
     out["restype_atom37_to_atom14"] = np.asarray(restype_atom37_to_atom14, np.int32)
 

@@ -93,7 +93,27 @@ def _num_layers(sd: Mapping[str, np.ndarray]) -> int:
     return n + 1
 
 
-def convert_esm2(sd: Mapping[str, np.ndarray]) -> Dict:
+def _default_contact_head(n_layers: int, n_heads: int) -> Dict:
+    """Zero-init head used when regression weights are absent (ESM-1v etc.) —
+    keeps predict_contacts callable; the reference warns and predicts from a
+    randomly-initialized head (esm/pretrained.py:198-217)."""
+    return {
+        "regression": {
+            "kernel": np.zeros((n_layers * n_heads, 1), np.float32),
+            "bias": np.zeros((1,), np.float32),
+        }
+    }
+
+
+def _attention_heads(sd: Mapping[str, np.ndarray]) -> int:
+    # head count is not in the state dict; infer from q_proj width assuming the
+    # released models' 64-dim heads when possible (only used for the fallback
+    # zero contact head, where only total width n_layers*n_heads matters).
+    d = _np(sd["layers.0.self_attn.q_proj.weight"]).shape[0]
+    return max(1, d // 64)
+
+
+def convert_esm2(sd: Mapping[str, np.ndarray], attention_heads: int = None) -> Dict:
     """ESM-2 state dict (canonical key layout, reference esm/model/esm2.py) ->
     esm_tpu.models.esm2 param pytree."""
     n = _num_layers(sd)
@@ -105,6 +125,9 @@ def convert_esm2(sd: Mapping[str, np.ndarray]) -> Dict:
     }
     if "contact_head.regression.weight" in sd:
         params["contact_head"] = convert_contact_head(sd)
+    else:
+        heads = attention_heads or _attention_heads(sd)
+        params["contact_head"] = _default_contact_head(n, heads)
     return params
 
 
@@ -127,6 +150,9 @@ def convert_esm1(sd: Mapping[str, np.ndarray], *, model_version: str) -> Dict:
     }
     if "contact_head.regression.weight" in sd:
         params["contact_head"] = convert_contact_head(sd)
+    else:
+        d = _np(sd["layers.0.self_attn.q_proj.weight"]).shape[0]
+        params["contact_head"] = _default_contact_head(n, max(1, d // 64))
     if is_1b:
         params["embed_positions"] = {"weight": _np(sd["embed_positions.weight"])}
         if "emb_layer_norm_before.weight" in sd:

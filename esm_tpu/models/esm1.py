@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,7 @@ from ..data.alphabet import Alphabet
 from ..ops.common import init_embedding, init_layer_norm, init_linear_torch_default, layer_norm
 from ..ops.heads import contact_head, roberta_lm_head
 from ..ops.positional import learned_positional_embedding, sinusoidal_positional_embedding
-from .lm_common import LayerStatic, init_transformer_stack, transformer_stack_apply
+from .lm_common import representations_dict, LayerStatic, init_transformer_stack, transformer_stack_apply
 
 
 @dataclass(frozen=True)
@@ -36,17 +36,30 @@ class ESM1Config:
     emb_layer_norm_before: bool = True
     token_dropout: bool = False
     final_bias: bool = True          # ESM-1 only: bias on embed_out
-    # Alphabet-derived
+    # Alphabet-derived; None = fill from the architecture's alphabet in
+    # __post_init__ (ESM-1 and ESM-1b have different token layouts)
     alphabet_size: int = 33
     padding_idx: int = 1
-    mask_idx: int = 32
-    cls_idx: int = 0
+    mask_idx: Optional[int] = None
+    cls_idx: Optional[int] = None
     eos_idx: int = 2
     prepend_bos: bool = True
-    append_eos: bool = True
+    append_eos: Optional[bool] = None
     # Execution
     compute_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+
+    def __post_init__(self):
+        from ..data.alphabet import Alphabet
+
+        if self.mask_idx is None or self.cls_idx is None or self.append_eos is None:
+            a = Alphabet.from_architecture(self.model_version)
+            if self.mask_idx is None:
+                object.__setattr__(self, "mask_idx", a.mask_idx)
+            if self.cls_idx is None:
+                object.__setattr__(self, "cls_idx", a.cls_idx)
+            if self.append_eos is None:
+                object.__setattr__(self, "append_eos", a.append_eos)
 
     @property
     def is_1b(self) -> bool:
@@ -207,6 +220,3 @@ def apply(
     return result
 
 
-def representations_dict(result: dict, repr_layers: Sequence[int]) -> dict:
-    reps = result["representations"]
-    return {i: reps[i] for i in repr_layers}

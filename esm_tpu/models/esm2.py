@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..data.alphabet import Alphabet
 from ..ops.common import init_embedding, init_layer_norm, init_linear_torch_default, layer_norm
 from ..ops.heads import contact_head, roberta_lm_head
-from .lm_common import LayerStatic, init_transformer_stack, transformer_stack_apply
+from .lm_common import representations_dict, LayerStatic, init_transformer_stack, transformer_stack_apply
 
 
 @dataclass(frozen=True)
@@ -129,7 +129,10 @@ def embed_tokens(params, cfg: ESM2Config, tokens: jax.Array) -> jax.Array:
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "need_head_weights", "return_contacts", "return_representations"),
+    static_argnames=(
+        "cfg", "need_head_weights", "return_contacts", "return_representations",
+        "repr_layers",
+    ),
 )
 def apply(
     params,
@@ -139,6 +142,7 @@ def apply(
     need_head_weights: bool = False,
     return_contacts: bool = False,
     return_representations: bool = False,
+    repr_layers=None,
 ):
     """Forward pass. tokens: (B, T) int32.
 
@@ -157,6 +161,16 @@ def apply(
     the full attention stack (the reference's behavior).
     """
     streaming_contacts = return_contacts and not need_head_weights
+    if repr_layers is not None:
+        repr_layers = tuple(sorted({
+            (i if i >= 0 else cfg.num_layers + 1 + i) for i in repr_layers
+        }))
+    # 1-based mid-stack layer ids collected selectively inside the scan
+    mid_layers = (
+        tuple(i for i in repr_layers if 1 <= i <= cfg.num_layers - 1)
+        if (repr_layers is not None and not return_representations)
+        else None
+    )
 
     padding_mask = tokens == cfg.padding_idx
     x = embed_tokens(params, cfg, tokens)
@@ -168,6 +182,11 @@ def apply(
             params, cfg, x, tokens, padding_mask, return_representations
         )
         attn = None
+        if mid_layers:
+            raise NotImplementedError(
+                "repr_layers selection with streaming contacts: pass "
+                "need_head_weights=True or return_representations=True"
+            )
     else:
         x, hiddens, attn = transformer_stack_apply(
             params["layers"],
@@ -175,6 +194,7 @@ def apply(
             static=cfg.layer_static(),
             key_padding_mask=padding_mask,
             collect_hiddens=return_representations,
+            collect_layer_ids=mid_layers,
             need_head_weights=need_head_weights,
         )
 
@@ -186,6 +206,16 @@ def apply(
         # layer's entry is the post-LN value (reference esm/model/esm2.py:123-128).
         reps = jnp.concatenate([h0[None], hiddens[:-1], x[None].astype(hiddens.dtype)], axis=0)
         result["representations"] = reps
+    elif repr_layers is not None:
+        # memory-frugal path: only the requested layers were kept
+        reps_dict = {}
+        for j, layer_id in enumerate(mid_layers or ()):
+            reps_dict[layer_id] = hiddens[j]
+        if 0 in repr_layers:
+            reps_dict[0] = h0
+        if cfg.num_layers in repr_layers:
+            reps_dict[cfg.num_layers] = x  # x is already post-final-LN here
+        result["representations"] = reps_dict
 
     logits = roberta_lm_head(
         params["lm_head"], x.astype(jnp.float32), params["embed_tokens"]["weight"]
@@ -271,7 +301,3 @@ def _stack_with_streaming_contacts(
     return x, ys.get("hidden"), acc
 
 
-def representations_dict(result: dict, repr_layers: Sequence[int]) -> dict:
-    """Select reference-style {layer_index: (B,T,D)} from stacked reps."""
-    reps = result["representations"]
-    return {i: reps[i] for i in repr_layers}

@@ -86,7 +86,7 @@ def _lm_representations(
     pad_col = jnp.full((b, 1), esm_cfg.padding_idx, esmaa.dtype)
     esmaa = jnp.concatenate([bos, esmaa, pad_col], axis=1)
     # first padding slot becomes eos
-    eos_pos = jnp.sum(esmaa != 1, axis=1)
+    eos_pos = jnp.sum(esmaa != esm_cfg.padding_idx, axis=1)
     esmaa = esmaa.at[jnp.arange(b), eos_pos].set(eosi)
 
     res = esm2.apply(

@@ -148,26 +148,19 @@ def gvp_conv_apply(
     return sum_s, sum_v
 
 
-def _message_specs(n_layers: int, vector_gate: bool):
-    """Static per-GVP kwargs for a GVPConv message function
-    (reference gvp_modules.py:293-308)."""
+def _gvp_specs(n_layers: int, vector_gate: bool):
+    """Static per-GVP kwargs for a GVP MLP (message or feed-forward — both use
+    the same activation layout: activation-free final GVP; reference
+    gvp_modules.py:293-308, 373-382)."""
     if n_layers == 1:
         return [dict(scalar_act=False, vector_act=False)]
-    specs = [dict(vector_gate=vector_gate)]
-    for _ in range(n_layers - 2):
-        specs.append(dict(vector_gate=vector_gate))
+    specs = [dict(vector_gate=vector_gate) for _ in range(n_layers - 1)]
     specs.append(dict(scalar_act=False, vector_act=False))
     return specs
 
 
-def _ff_specs(n_feedforward: int, vector_gate: bool):
-    if n_feedforward == 1:
-        return [dict(scalar_act=False, vector_act=False)]
-    specs = [dict(vector_gate=vector_gate)]
-    for _ in range(n_feedforward - 2):
-        specs.append(dict(vector_gate=vector_gate))
-    specs.append(dict(scalar_act=False, vector_act=False))
-    return specs
+_message_specs = _gvp_specs
+_ff_specs = _gvp_specs
 
 
 def gvp_conv_layer_apply(

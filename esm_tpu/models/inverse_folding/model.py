@@ -52,11 +52,12 @@ class GVPTransformerConfig:
     gvp_edge_hidden_dim_scalar: int = 32
     gvp_edge_hidden_dim_vector: int = 1
     gvp_num_encoder_layers: int = 4
-    # alphabet
+    # alphabet (invariant_gvp: 31 prepend+std tokens padded to 32 with <null_1>,
+    # then <mask>=32, <cath>=33, <af2>=34)
     alphabet_size: int = 35
     padding_idx: int = 1
-    mask_idx: int = 31
-    cath_idx: int = 32
+    mask_idx: int = 32
+    cath_idx: int = 33
 
     @classmethod
     def from_alphabet(cls, alphabet: Alphabet, **kw) -> "GVPTransformerConfig":

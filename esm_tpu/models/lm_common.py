@@ -81,19 +81,35 @@ def transformer_stack_apply(
     static: LayerStatic,
     key_padding_mask: Optional[jax.Array] = None,
     collect_hiddens: bool = False,
+    collect_layer_ids: Optional[Tuple[int, ...]] = None,
     need_head_weights: bool = False,
 ) -> Tuple[jax.Array, Optional[jax.Array], Optional[jax.Array]]:
     """Scan the layer body over stacked per-layer params.
 
     Returns (x, hiddens, attentions):
-      hiddens:    (L, B, T, D) layer outputs (post-residual, pre-final-LN) or None
+      hiddens:    (L, B, T, D) all layer outputs when collect_hiddens, or
+                  (k, B, T, D) for the requested 1-based ``collect_layer_ids``
+                  only (the memory-frugal path: the reference stores only the
+                  repr_layers it was asked for, esm/model/esm2.py:117-118) —
+                  None otherwise
       attentions: (L, B, H, T, S) per-head attention probabilities or None
     """
+    selective = collect_layer_ids is not None and not collect_hiddens
+    if selective:
+        sel = jnp.asarray(collect_layer_ids, jnp.int32)
+        buf0 = jnp.zeros((len(collect_layer_ids),) + x.shape, x.dtype)
+        carry0 = (x, jnp.int32(0), buf0)
+    else:
+        carry0 = x
 
     def body(carry, layer_params):
+        if selective:
+            h_in, i, buf = carry
+        else:
+            h_in = carry
         h, probs = transformer_layer_apply(
             layer_params,
-            carry,
+            h_in,
             static=static,
             key_padding_mask=key_padding_mask,
             need_head_weights=need_head_weights,
@@ -103,10 +119,17 @@ def transformer_stack_apply(
             ys["hidden"] = h
         if need_head_weights:
             ys["attn"] = probs
+        if selective:
+            match = sel == (i + 1)
+            buf = jnp.where(match[:, None, None, None], h[None], buf)
+            return (h, i + 1, buf), ys
         return h, ys
 
-    x, ys = jax.lax.scan(body, x, stacked_params)
-    return x, ys.get("hidden"), ys.get("attn")
+    out, ys = jax.lax.scan(body, carry0, stacked_params)
+    if selective:
+        x, _, buf = out
+        return x, buf, ys.get("attn")
+    return out, ys.get("hidden"), ys.get("attn")
 
 
 def init_transformer_layer(
@@ -156,3 +179,11 @@ def init_transformer_stack(
         for k in keys
     ]
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
+
+
+def representations_dict(result: dict, repr_layers, num_layers: int = None) -> dict:
+    """Select reference-style {layer_index: array} from a stacked (L+1, ...)
+    representations tensor; negative indices resolve against num_layers."""
+    reps = result["representations"]
+    n = (num_layers if num_layers is not None else reps.shape[0] - 1)
+    return {(i if i >= 0 else n + 1 + i): reps[i] for i in repr_layers}

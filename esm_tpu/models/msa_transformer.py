@@ -29,6 +29,7 @@ from ..ops.common import (
 )
 from ..ops.heads import contact_head, roberta_lm_head
 from ..ops.positional import learned_positional_embedding
+from .lm_common import representations_dict
 
 
 @dataclass(frozen=True)
@@ -271,6 +272,3 @@ def apply(
     return result
 
 
-def representations_dict(result: dict, repr_layers: Sequence[int]) -> dict:
-    reps = result["representations"]
-    return {i: reps[i] for i in repr_layers}

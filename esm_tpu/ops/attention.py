@@ -97,7 +97,7 @@ def multihead_attention(
         q = apply_rotary(q, cos[:t], sin[:t])
         k = apply_rotary(k, cos, sin)
 
-    if use_flash and not need_weights:
+    if use_flash and not need_weights and attn_mask is None:
         from ..kernels.flash_attention import flash_attention
 
         out = flash_attention(q, k, v, key_padding_mask=key_padding_mask)

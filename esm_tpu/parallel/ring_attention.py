@@ -42,7 +42,9 @@ def _ring_body(q, k, v, bias, axis_name: str):
     """shard_map body: q/k/v (B, H, T/N, d) local shards; bias (B, T/N)."""
     n = jax.lax.psum(1, axis_name)
 
-    def step(carry, _):
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def step(carry, step_idx):
         k_blk, v_blk, b_blk, m, l, acc = carry
         blk_acc, blk_m, blk_l = _local_attend(q, k_blk, v_blk, b_blk)
         m_new = jnp.maximum(m, blk_m)
@@ -51,10 +53,14 @@ def _ring_body(q, k, v, bias, axis_name: str):
         acc = acc * alpha + blk_acc * beta
         l = l * alpha + blk_l * beta
         m = m_new
-        perm = [(i, (i + 1) % n) for i in range(n)]
-        k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
-        v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
-        b_blk = jax.lax.ppermute(b_blk, axis_name, perm)
+
+        def rotate(blks):
+            return tuple(jax.lax.ppermute(x, axis_name, perm) for x in blks)
+
+        # the final step's rotation would be discarded — skip the ICI traffic
+        k_blk, v_blk, b_blk = jax.lax.cond(
+            step_idx < n - 1, rotate, lambda blks: blks, (k_blk, v_blk, b_blk)
+        )
         return (k_blk, v_blk, b_blk, m, l, acc), None
 
     b_, h_, tq, d = q.shape
@@ -65,7 +71,7 @@ def _ring_body(q, k, v, bias, axis_name: str):
     m0, l0, acc0 = jax.lax.pvary((m0, l0, acc0), (axis_name,))
 
     (k, v, bias, m, l, acc), _ = jax.lax.scan(
-        step, (k, v, bias, m0, l0, acc0), None, length=n
+        step, (k, v, bias, m0, l0, acc0), jnp.arange(n)
     )
     out = acc / jnp.where(l == 0.0, 1.0, l)
     return out.astype(q.dtype)

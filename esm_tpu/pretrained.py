@@ -183,6 +183,19 @@ class LMHandle:
         from .models import esm1, esm2, msa_transformer
 
         mod = {"esm2": esm2, "esm1": esm1, "msa": msa_transformer}[self.kind]
+        if self.kind == "esm2" and repr_layers and not (
+            return_contacts and not need_head_weights
+        ):
+            # memory-frugal path: only the requested layers are kept in-scan
+            out = mod.apply(
+                self.params,
+                self.cfg,
+                jnp.asarray(tokens),
+                need_head_weights=need_head_weights,
+                return_contacts=return_contacts,
+                repr_layers=tuple(repr_layers),
+            )
+            return dict(out)
         out = mod.apply(
             self.params,
             self.cfg,
@@ -260,7 +273,7 @@ def _build_lm_from_state(model_name, args, state, arch, regression_data):
             attention_heads=cfg_src["encoder_attention_heads"],
             token_dropout=cfg_src["token_dropout"],
         )
-        params = convert.convert_esm2(state)
+        params = convert.convert_esm2(state, attention_heads=cfg.attention_heads)
         return LMHandle("esm2", cfg, params, alphabet)
     if arch == "roberta_large":
         alphabet = Alphabet.from_architecture("ESM-1b")

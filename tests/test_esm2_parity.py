@@ -131,3 +131,20 @@ def test_esm2_streaming_contacts_match_stacked(ref_and_params):
         np.asarray(streaming["contacts"]), np.asarray(stacked["contacts"]),
         atol=1e-5, rtol=1e-5,
     )
+
+
+def test_esm2_selective_repr_layers(ref_and_params):
+    """In-scan selective layer collection equals full-stack selection."""
+    _, params, cfg = ref_and_params
+    toks = _tokens()
+    full = esm2.apply(params, cfg, toks, return_representations=True)
+    sel = esm2.apply(params, cfg, toks, repr_layers=(0, 2, cfg.num_layers))
+    reps = sel["representations"]
+    assert set(reps.keys()) == {0, 2, cfg.num_layers}
+    for i in reps:
+        np.testing.assert_allclose(
+            np.asarray(reps[i]),
+            np.asarray(full["representations"][i]),
+            atol=1e-6,
+            err_msg=f"layer {i}",
+        )
