@@ -171,6 +171,16 @@ class LMHandle:
     def attention_heads(self) -> int:
         return self.cfg.attention_heads
 
+    def with_options(self, **kw) -> "LMHandle":
+        """Return a handle with execution options changed (compute_dtype,
+        use_flash, ...). E.g. ``model.with_options(compute_dtype=jnp.bfloat16,
+        use_flash=True)`` for TPU serving."""
+        import dataclasses
+
+        return LMHandle(
+            self.kind, dataclasses.replace(self.cfg, **kw), self.params, self.alphabet
+        )
+
     def __call__(
         self,
         tokens,
