@@ -140,9 +140,11 @@ def apply(
     return_contacts: bool = False,
     return_representations: bool = False,
 ):
-    """Forward pass mirroring reference esm/model/esm1.py:116-196."""
-    if return_contacts:
-        need_head_weights = True
+    """Forward pass mirroring reference esm/model/esm1.py:116-196.
+
+    As in esm2.apply, ``return_contacts=True`` without need_head_weights uses
+    the streaming in-scan contact accumulation (no (B, L, H, T, T) stack)."""
+    streaming_contacts = return_contacts and not need_head_weights
 
     padding_mask = tokens == cfg.padding_idx
     embed_scale = 1.0 if cfg.is_1b else float(cfg.embed_dim) ** 0.5
@@ -169,14 +171,24 @@ def apply(
     x = x.astype(cfg.compute_dtype)
     h0 = x
 
-    x, hiddens, attn = transformer_stack_apply(
-        params["layers"],
-        x,
-        static=cfg.layer_static(),
-        key_padding_mask=padding_mask,
-        collect_hiddens=return_representations,
-        need_head_weights=need_head_weights,
-    )
+    contact_acc = None
+    if streaming_contacts:
+        from .esm2 import _stack_with_streaming_contacts
+
+        x, hiddens, contact_acc = _stack_with_streaming_contacts(
+            params, cfg, x, tokens, padding_mask, return_representations,
+            strip_last_key=not cfg.is_1b,
+        )
+        attn = None
+    else:
+        x, hiddens, attn = transformer_stack_apply(
+            params["layers"],
+            x,
+            static=cfg.layer_static(),
+            key_padding_mask=padding_mask,
+            collect_hiddens=return_representations,
+            need_head_weights=need_head_weights,
+        )
 
     result = {}
     if cfg.is_1b:
@@ -217,6 +229,12 @@ def apply(
                 append_eos=cfg.append_eos,
                 eos_idx=cfg.eos_idx,
             )
+    elif streaming_contacts:
+        bias = params["contact_head"]["regression"].get("bias")
+        logits_c = contact_acc
+        if bias is not None:
+            logits_c = logits_c + bias.astype(logits_c.dtype)[0]
+        result["contacts"] = jax.nn.sigmoid(logits_c)
     return result
 
 

@@ -249,16 +249,16 @@ def apply(
 
 
 def _stack_with_streaming_contacts(
-    params, cfg: ESM2Config, x, tokens, padding_mask, collect_hiddens: bool
+    params, cfg, x, tokens, padding_mask, collect_hiddens: bool,
+    strip_last_key: bool = False,
 ):
     """Layer scan that folds the contact-head regression into the loop:
-    each layer's (B, H, T, T) attention map is masked, bos/eos-stripped,
+    each layer's (B, H, T, S) attention map is masked, bos/eos-stripped,
     symmetrized+APC'd and contracted with that layer's regression weights,
     accumulating a (B, T', T') sum — equivalent to the reference's
     stack-then-regress (esm/modules.py:317-357) without materializing the
-    (B, L, H, T, T) stack."""
-    from functools import partial as _partial
-
+    (B, L, H, T, T) stack. ``strip_last_key`` removes the bias_kv null
+    attention column first (ESM-1, reference esm/model/esm1.py:181-183)."""
     from ..ops.common import apc, symmetrize
     from .lm_common import transformer_layer_apply
 
@@ -285,7 +285,10 @@ def _stack_with_streaming_contacts(
             key_padding_mask=padding_mask,
             need_head_weights=True,
         )
-        a = probs.astype(jnp.float32) * pair_mask[:, None]
+        a = probs.astype(jnp.float32)
+        if strip_last_key:
+            a = a[..., :-1]
+        a = a * pair_mask[:, None]
         if cfg.append_eos:
             a = a * eos_pair[:, None]
             a = a[..., :-1, :-1]

@@ -83,7 +83,10 @@ def test_esm1_forward_parity(arch):
             repr_layers=list(range(args.layers + 1)),
             return_contacts=True,
         )
-    out = esm1.apply(params, cfg, toks, return_contacts=True, return_representations=True)
+    out = esm1.apply(
+        params, cfg, toks, need_head_weights=True, return_contacts=True,
+        return_representations=True,
+    )
 
     np.testing.assert_allclose(
         np.asarray(out["logits"]), out_ref["logits"].numpy(), atol=3e-5, rtol=1e-5
@@ -101,4 +104,31 @@ def test_esm1_forward_parity(arch):
     )
     np.testing.assert_allclose(
         np.asarray(out["contacts"]), out_ref["contacts"].numpy(), atol=3e-5, rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize("arch", ["roberta_large", "protein_bert_base"])
+def test_esm1_streaming_contacts_match(arch):
+    """Streaming in-scan contacts equal the stacked path (incl. the ESM-1
+    bias_kv null-column strip)."""
+    ref, args = _make_ref(arch)
+    version = "ESM-1b" if arch == "roberta_large" else "ESM-1"
+    alphabet = Alphabet.from_architecture(version)
+    params = convert_esm1(ref.state_dict(), model_version=version)
+    cfg = esm1.ESM1Config.from_alphabet(
+        alphabet,
+        model_version=version,
+        num_layers=args.layers,
+        embed_dim=args.embed_dim,
+        ffn_embed_dim=args.ffn_embed_dim,
+        attention_heads=args.attention_heads,
+        emb_layer_norm_before=getattr(args, "emb_layer_norm_before", False),
+    )
+    _, _, toks = alphabet.get_batch_converter()([("a", "KALTARQQEVFDLIRD"), ("b", "LAGVS")])
+    stacked = esm1.apply(params, cfg, toks, need_head_weights=True, return_contacts=True)
+    streaming = esm1.apply(params, cfg, toks, return_contacts=True)
+    assert "attentions" not in streaming
+    np.testing.assert_allclose(
+        np.asarray(streaming["contacts"]), np.asarray(stacked["contacts"]),
+        atol=1e-5, rtol=1e-5,
     )

@@ -170,3 +170,18 @@ def test_ring_attention_matches_exact():
         np.asarray(out[0, :, :50]), np.asarray(exact[0, :, :50]), atol=2e-5
     )
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(exact[1]), atol=2e-5)
+
+
+def test_memory_plan():
+    """15B sharded over (1,2,4) must fit a v5e's 16 GB; unsharded must not."""
+    import jax.numpy as jnp2
+
+    from esm_tpu.parallel.memory_plan import plan_model
+
+    cfg = esm2.ESM2Config.from_alphabet(
+        Alphabet.from_architecture("ESM-1b"), **esm2.ESM2_SIZES["esm2_t48_15B_UR50D"]
+    )
+    p_sh = plan_model(cfg, MeshConfig(1, 2, 4), dtype=jnp2.bfloat16)
+    p_un = plan_model(cfg, MeshConfig(1, 1, 1), dtype=jnp2.bfloat16)
+    assert p_sh["total_bytes"] == p_un["total_bytes"]
+    assert p_sh["per_device_bytes"] < 16e9 < p_un["per_device_bytes"]
