@@ -98,9 +98,9 @@ class ESMFoldCallback(FoldingCallback):
         mask37 = np.asarray(out["atom37_atom_exists"])[0, :L]
         plddt37 = np.asarray(out["plddt"])[0, :L]
         ptm = float(np.asarray(out["ptm"])[0])
-        mean_plddt = float(
-            (plddt37 * mask37).sum() / np.maximum(mask37.sum(), 1.0)
-        ) / 100.0
+        # CA-only residue mean (atom37 index 1), matching the reference
+        # EsmFoldv1 callback's per-residue pLDDT
+        mean_plddt = float(plddt37[:, 1].mean()) / 100.0
 
         atom_types = rc.atom_types()
         r3 = rc.restype_1to3()

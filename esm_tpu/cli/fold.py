@@ -13,18 +13,26 @@ import pathlib
 import sys
 import timeit
 
-logger = logging.getLogger()
-logger.setLevel(logging.INFO)
-formatter = logging.Formatter(
-    "%(asctime)s | %(levelname)s | %(name)s | %(message)s",
-    datefmt="%y/%m/%d %H:%M:%S",
-)
-console_handler = logging.StreamHandler(sys.stdout)
-console_handler.setLevel(logging.INFO)
-console_handler.setFormatter(formatter)
-logger.addHandler(console_handler)
+logger = logging.getLogger(__name__)
 
 PathLike = str
+
+
+def _setup_logging():
+    """CLI-entry logging config (kept out of import time so importing this
+    module does not mutate the process's root logger)."""
+    root = logging.getLogger()
+    root.setLevel(logging.INFO)
+    if not any(getattr(h, "_esm_tpu_fold", False) for h in root.handlers):
+        formatter = logging.Formatter(
+            "%(asctime)s | %(levelname)s | %(name)s | %(message)s",
+            datefmt="%y/%m/%d %H:%M:%S",
+        )
+        handler = logging.StreamHandler(sys.stdout)
+        handler.setLevel(logging.INFO)
+        handler.setFormatter(formatter)
+        handler._esm_tpu_fold = True
+        root.addHandler(handler)
 
 
 def create_batched_sequence_dataset(sequences, max_tokens_per_batch: int = 1024):
@@ -141,6 +149,7 @@ def run(args):
 
 
 def main():
+    _setup_logging()
     run(create_parser().parse_args())
 
 

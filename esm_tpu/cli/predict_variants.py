@@ -139,7 +139,7 @@ def run(args):
                 "MSA Transformer only supports masked marginal strategy"
             )
             _, _, tokens = batch_converter(data)
-            token_probs = msa_masked_marginals(model, alphabet, tokens)
+            token_probs = msa_masked_marginals(model, alphabet, tokens, args.mask_batch)
             df[model_location] = df.apply(
                 lambda row: label_row(
                     row[args.mutation_col], args.sequence, token_probs, alphabet, args.offset_idx

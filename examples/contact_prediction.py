@@ -26,7 +26,12 @@ def main():
     parser.add_argument("--fasta", default="/root/reference/examples/data/few_proteins.fasta")
     parser.add_argument("--msa", default=None, help=".a3m file for the MSA Transformer")
     parser.add_argument("--msa-depth", type=int, default=64)
+    parser.add_argument(
+        "--targets-npz", default=None,
+        help=".npz of {label: LxL binary contact map} to score precision@L against",
+    )
     args = parser.parse_args()
+    targets = dict(np.load(args.targets_npz)) if args.targets_npz else None
 
     model, alphabet = pretrained.load_model_and_alphabet(args.model)
 
@@ -48,6 +53,10 @@ def main():
         contacts = np.asarray(model(tokens, return_contacts=True)["contacts"])
         for k, (label, seq) in enumerate(seqs):
             c = contacts[k, : len(seq), : len(seq)]
+            if targets is not None and label in targets:
+                p_at_l = compute_precisions(c, targets[label])
+                print(f"{label}: long-range precision@L = {p_at_l:.3f}")
+                continue
             print(f"{label}: top contact pairs:")
             L = len(seq)
             i, j = np.triu_indices(L, k=6)

@@ -31,7 +31,9 @@ def main():
     )
     print(f"acceptance rate: {acc:.2%}")
     for i, s in enumerate(seqs):
-        print(f"design {i}: E={float(energies[-1, i]):.4f}  {s}")
+        # energies[t] is the energy of the state ENTERING step t; the final
+        # accepted design's energy is one step ahead of the trace
+        print(f"design {i}: E_trace_end={float(energies[-1, i]):.4f}  {s}")
 
 
 if __name__ == "__main__":

@@ -57,9 +57,6 @@ def test_train_step_on_mesh():
     # constant lr: the default schedule warms up from 0, so step 0 is a no-op
     tx = optax.adamw(1e-3)
     state = training.init_state(params, tx)
-    state = jax.tree.map(
-        lambda x: x, state
-    )
     # place params (opt state mirrors param shardings via jit output propagation)
     state = training.TrainState(
         shard_params(mesh, state.params), state.opt_state, state.step
