@@ -50,6 +50,10 @@ def create_parser():
         help="truncate sequences longer than the given value",
     )
     parser.add_argument("--npz", action="store_true", help="write .npz instead of torch .pt files")
+    parser.add_argument(
+        "--fp32-precision", action="store_true",
+        help="force float32 matmul precision (parity-grade numerics on TPU; slower)",
+    )
     parser.add_argument("--nogpu", action="store_true", help="do not use accelerator even if available")
     return parser
 
@@ -62,6 +66,10 @@ def run(args):
 
     if args.nogpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.fp32_precision:
+        # TPU fp32 matmuls round through bf16 by default; HIGHEST precision is
+        # required for parity-grade outputs (see PARITY.md)
+        jax.config.update("jax_default_matmul_precision", "float32")
 
     model, alphabet = pretrained.load_model_and_alphabet(args.model_location)
 

@@ -129,7 +129,10 @@ def init(key: jax.Array, cfg: ESM1Config, dtype=jnp.float32):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "need_head_weights", "return_contacts", "return_representations"),
+    static_argnames=(
+        "cfg", "need_head_weights", "return_contacts", "return_representations",
+        "repr_layers",
+    ),
 )
 def apply(
     params,
@@ -139,6 +142,7 @@ def apply(
     need_head_weights: bool = False,
     return_contacts: bool = False,
     return_representations: bool = False,
+    repr_layers=None,
 ):
     """Forward pass mirroring reference esm/model/esm1.py:116-196.
 
@@ -171,10 +175,27 @@ def apply(
     x = x.astype(cfg.compute_dtype)
     h0 = x
 
+    if repr_layers is not None:
+        repr_layers = tuple(sorted({
+            (i if i >= 0 else cfg.num_layers + 1 + i) for i in repr_layers
+        }))
+    last_special = cfg.is_1b  # ESM-1b applies final LN to the last repr layer
+    mid_cut = cfg.num_layers - 1 if last_special else cfg.num_layers
+    mid_layers = (
+        tuple(i for i in repr_layers if 1 <= i <= mid_cut)
+        if (repr_layers is not None and not return_representations)
+        else None
+    )
+
     contact_acc = None
     if streaming_contacts:
         from .esm2 import _stack_with_streaming_contacts
 
+        if mid_layers:
+            raise NotImplementedError(
+                "repr_layers selection with streaming contacts: pass "
+                "need_head_weights=True or return_representations=True"
+            )
         x, hiddens, contact_acc = _stack_with_streaming_contacts(
             params, cfg, x, tokens, padding_mask, return_representations,
             strip_last_key=not cfg.is_1b,
@@ -187,6 +208,7 @@ def apply(
             static=cfg.layer_static(),
             key_padding_mask=padding_mask,
             collect_hiddens=return_representations,
+            collect_layer_ids=mid_layers,
             need_head_weights=need_head_weights,
         )
 
@@ -198,12 +220,28 @@ def apply(
                 [h0[None], hiddens[:-1], x[None].astype(hiddens.dtype)], axis=0
             )
             result["representations"] = reps
+        elif repr_layers is not None:
+            reps_dict = {
+                lid: hiddens[j] for j, lid in enumerate(mid_layers or ())
+            }
+            if 0 in repr_layers:
+                reps_dict[0] = h0
+            if cfg.num_layers in repr_layers:
+                reps_dict[cfg.num_layers] = x  # post-final-LN
+            result["representations"] = reps_dict
         logits = roberta_lm_head(
             params["lm_head"], x.astype(jnp.float32), params["embed_tokens"]["weight"]
         )
     else:
         if return_representations:
             result["representations"] = jnp.concatenate([h0[None], hiddens], axis=0)
+        elif repr_layers is not None:
+            reps_dict = {
+                lid: hiddens[j] for j, lid in enumerate(mid_layers or ())
+            }
+            if 0 in repr_layers:
+                reps_dict[0] = h0
+            result["representations"] = reps_dict
         x32 = x.astype(jnp.float32)
         logits = jnp.dot(x32, params["embed_out"]["kernel"])
         if "bias" in params["embed_out"]:

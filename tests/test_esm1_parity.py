@@ -132,3 +132,25 @@ def test_esm1_streaming_contacts_match(arch):
         np.asarray(streaming["contacts"]), np.asarray(stacked["contacts"]),
         atol=1e-5, rtol=1e-5,
     )
+
+
+@pytest.mark.parametrize("arch", ["roberta_large", "protein_bert_base"])
+def test_esm1_selective_repr_layers(arch):
+    ref, args = _make_ref(arch)
+    version = "ESM-1b" if arch == "roberta_large" else "ESM-1"
+    alphabet = Alphabet.from_architecture(version)
+    params = convert_esm1(ref.state_dict(), model_version=version)
+    cfg = esm1.ESM1Config.from_alphabet(
+        alphabet, model_version=version, num_layers=args.layers,
+        embed_dim=args.embed_dim, ffn_embed_dim=args.ffn_embed_dim,
+        attention_heads=args.attention_heads,
+        emb_layer_norm_before=getattr(args, "emb_layer_norm_before", False),
+    )
+    _, _, toks = alphabet.get_batch_converter()([("a", "KALTARQQEVFDLIRD")])
+    full = esm1.apply(params, cfg, toks, return_representations=True)
+    sel = esm1.apply(params, cfg, toks, repr_layers=(0, 1, args.layers))
+    for i, arr in sel["representations"].items():
+        np.testing.assert_allclose(
+            np.asarray(arr), np.asarray(full["representations"][i]),
+            atol=1e-6, err_msg=f"layer {i}",
+        )
