@@ -70,6 +70,14 @@ def create_parser():
         help="Chunks axial attention computation (memory/speed tradeoff)",
     )
     parser.add_argument("--cpu-only", action="store_true")
+    parser.add_argument(
+        "--bf16-trunk", action="store_true",
+        help="bf16 compute in the folding trunk (~1.6x faster; LN/softmax stay fp32)",
+    )
+    parser.add_argument(
+        "--fused-triangle", action="store_true",
+        help="fused Pallas triangle-attention kernels (fastest; J<=1024; long first compile)",
+    )
     return parser
 
 
@@ -97,12 +105,21 @@ def run(args):
     else:
         cfg, params, alphabet = pretrained.esmfold_v1()
 
+    import dataclasses
+
+    trunk_updates = {}
     if args.chunk_size is not None:
         # reference set_chunk_size semantics (esm/esmfold/v1/esmfold.py:354-360)
-        import dataclasses
+        trunk_updates["chunk_size"] = args.chunk_size
+    if args.bf16_trunk:
+        import jax.numpy as jnp
 
+        trunk_updates["compute_dtype"] = jnp.bfloat16
+    if args.fused_triangle:
+        trunk_updates["use_flash_tri"] = True
+    if trunk_updates:
         cfg = dataclasses.replace(
-            cfg, trunk=dataclasses.replace(cfg.trunk, chunk_size=args.chunk_size)
+            cfg, trunk=dataclasses.replace(cfg.trunk, **trunk_updates)
         )
 
     args.pdb.mkdir(exist_ok=True, parents=True)
