@@ -25,7 +25,9 @@ NEG_INF = -1e30
 
 
 def _kernel(q_ref, k_ref, v_ref, tri_ref, maskb_ref, o_ref):
-    """Grid (B, I, H). Blocks:
+    """Grid (B, H, I) — I innermost so the (J, J) triangle-bias tile, whose
+    index depends only on (b, h), stays resident in VMEM across all rows
+    instead of being re-fetched every step. Blocks:
     q/k/v: (1, 1, 1, J, d); tri: (1, 1, J, J); maskb: (1, 1, 1, J);
     o: (1, 1, 1, J, d)."""
     q = q_ref[0, 0, 0]                        # (J, d)
@@ -63,16 +65,16 @@ def triangle_attention_fused(
 
     return pl.pallas_call(
         _kernel,
-        grid=(b, i, h),
+        grid=(b, h, i),
         in_specs=[
-            pl.BlockSpec((1, 1, 1, j, d), lambda bb, ii, hh: (bb, ii, hh, 0, 0)),
-            pl.BlockSpec((1, 1, 1, j, d), lambda bb, ii, hh: (bb, ii, hh, 0, 0)),
-            pl.BlockSpec((1, 1, 1, j, d), lambda bb, ii, hh: (bb, ii, hh, 0, 0)),
-            pl.BlockSpec((1, 1, j, j), lambda bb, ii, hh: (bb, hh, 0, 0)),
-            pl.BlockSpec((1, 1, 1, j), lambda bb, ii, hh: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, 1, 1, j, d), lambda bb, hh, ii: (bb, ii, hh, 0, 0)),
+            pl.BlockSpec((1, 1, 1, j, d), lambda bb, hh, ii: (bb, ii, hh, 0, 0)),
+            pl.BlockSpec((1, 1, 1, j, d), lambda bb, hh, ii: (bb, ii, hh, 0, 0)),
+            pl.BlockSpec((1, 1, j, j), lambda bb, hh, ii: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, 1, j), lambda bb, hh, ii: (bb, ii, 0, 0)),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, 1, j, d), lambda bb, ii, hh: (bb, ii, hh, 0, 0)
+            (1, 1, 1, j, d), lambda bb, hh, ii: (bb, ii, hh, 0, 0)
         ),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(

@@ -181,7 +181,10 @@ def _axial_layer_apply(
 
 @partial(
     jax.jit,
-    static_argnames=("cfg", "need_head_weights", "return_contacts", "return_representations"),
+    static_argnames=(
+        "cfg", "need_head_weights", "return_contacts", "return_representations",
+        "repr_layers",
+    ),
 )
 def apply(
     params,
@@ -191,6 +194,7 @@ def apply(
     need_head_weights: bool = False,
     return_contacts: bool = False,
     return_representations: bool = False,
+    repr_layers=None,
 ):
     """Forward pass. tokens: (B, R, C) int32.
 
@@ -223,10 +227,33 @@ def apply(
     x = x.astype(cfg.compute_dtype)
     h0 = x
 
+    if repr_layers is not None:
+        repr_layers = tuple(sorted({
+            (i if i >= 0 else cfg.num_layers + 1 + i) for i in repr_layers
+        }))
+    mid_layers = (
+        tuple(i for i in repr_layers if 1 <= i <= cfg.num_layers - 1)
+        if (repr_layers is not None and not return_representations)
+        else None
+    )
+    selective = mid_layers is not None
+    if selective:
+        sel = jnp.asarray(mid_layers, jnp.int32) if mid_layers else None
+        buf0 = (
+            jnp.zeros((len(mid_layers),) + x.shape, x.dtype) if mid_layers else None
+        )
+        carry0 = (x, jnp.int32(0), buf0)
+    else:
+        carry0 = x
+
     def body(carry, layer_params):
+        if selective:
+            h_in, li, buf = carry
+        else:
+            h_in = carry
         h, row_probs, col_probs = _axial_layer_apply(
             layer_params,
-            carry,
+            h_in,
             num_heads=cfg.attention_heads,
             padding_mask=padding_mask,
             need_head_weights=need_head_weights,
@@ -238,9 +265,18 @@ def apply(
         if need_head_weights:
             ys["row"] = row_probs
             ys["col"] = col_probs
+        if selective:
+            if buf is not None:
+                match = sel == (li + 1)
+                buf = jnp.where(match[:, None, None, None, None], h[None], buf)
+            return (h, li + 1, buf), ys
         return h, ys
 
-    x, ys = jax.lax.scan(body, x, params["layers"])
+    out, ys = jax.lax.scan(body, carry0, params["layers"])
+    if selective:
+        x, _, sel_buf = out
+    else:
+        x = out
 
     x = layer_norm(params["emb_layer_norm_after"], x)
 
@@ -249,6 +285,13 @@ def apply(
         hiddens = ys["hidden"]
         reps = jnp.concatenate([h0[None], hiddens[:-1], x[None].astype(hiddens.dtype)], axis=0)
         result["representations"] = reps
+    elif repr_layers is not None:
+        reps_dict = {lid: sel_buf[j] for j, lid in enumerate(mid_layers or ())}
+        if 0 in repr_layers:
+            reps_dict[0] = h0
+        if cfg.num_layers in repr_layers:
+            reps_dict[cfg.num_layers] = x  # post-final-LN
+        result["representations"] = reps_dict
 
     result["logits"] = roberta_lm_head(
         params["lm_head"], x.astype(jnp.float32), params["embed_tokens"]["weight"]

@@ -193,9 +193,7 @@ class LMHandle:
         from .models import esm1, esm2, msa_transformer
 
         mod = {"esm2": esm2, "esm1": esm1, "msa": msa_transformer}[self.kind]
-        if self.kind in ("esm2", "esm1") and repr_layers and not (
-            return_contacts and not need_head_weights
-        ):
+        if repr_layers and not (return_contacts and not need_head_weights):
             # memory-frugal path: only the requested layers are kept in-scan
             out = mod.apply(
                 self.params,

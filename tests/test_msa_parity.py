@@ -158,3 +158,15 @@ def test_chunked_axial_attention_matches(ref_and_params):
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(full), atol=2e-5)
         np.testing.assert_allclose(np.asarray(probs), np.asarray(full_probs), atol=2e-5)
+
+
+def test_msa_selective_repr_layers(ref_and_params):
+    _, params, cfg = ref_and_params
+    toks = _msa_tokens(False)
+    full = msa_transformer.apply(params, cfg, toks, return_representations=True)
+    sel = msa_transformer.apply(params, cfg, toks, repr_layers=(0, 1, cfg.num_layers))
+    for i, arr in sel["representations"].items():
+        np.testing.assert_allclose(
+            np.asarray(arr), np.asarray(full["representations"][i]),
+            atol=1e-6, err_msg=f"layer {i}",
+        )
