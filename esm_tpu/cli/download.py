@@ -26,15 +26,17 @@ def main():
         if name.startswith("esmfold"):
             path = pretrained._download(pretrained.MODEL_URL.format(name))
             print(f"  -> {path}")
-            # also fetch the LM checkpoint this fold model depends on
-            import torch
+            if args.skip_load:
+                # still fetch the LM checkpoint this fold model depends on
+                # (load_esmfold does this itself in the smoke-load path)
+                import torch
 
-            ck = torch.load(path, map_location="cpu", weights_only=False)
-            lm_name = pretrained.ESM_REGISTRY_FOR_FOLD[ck["cfg"]["model"].esm_type]
-            pretrained._download(pretrained.MODEL_URL.format(lm_name))
-            if pretrained._has_regression_weights(lm_name):
-                pretrained._download(pretrained.REGRESSION_URL.format(lm_name))
-            if not args.skip_load:
+                ck = torch.load(path, map_location="cpu", weights_only=False)
+                lm_name = pretrained.ESM_REGISTRY_FOR_FOLD[ck["cfg"]["model"].esm_type]
+                pretrained._download(pretrained.MODEL_URL.format(lm_name))
+                if pretrained._has_regression_weights(lm_name):
+                    pretrained._download(pretrained.REGRESSION_URL.format(lm_name))
+            else:
                 pretrained.load_esmfold(name)
         else:
             pretrained._download(pretrained.MODEL_URL.format(name))

@@ -38,6 +38,7 @@ def create_parser():
     parser.add_argument("--msa-path", type=pathlib.Path, help="path to MSA in a3m format (required for MSA Transformer)")
     parser.add_argument("--msa-samples", type=int, default=400, help="number of sequences from the start of the MSA")
     parser.add_argument("--mask-batch", type=int, default=64, help="positions scored per device batch (masked-marginals)")
+    parser.add_argument("--msa-mask-batch", type=int, default=8, help="positions per device batch for the MSA Transformer (each position replicates the whole MSA)")
     parser.add_argument("--nogpu", action="store_true")
     return parser
 
@@ -139,7 +140,7 @@ def run(args):
                 "MSA Transformer only supports masked marginal strategy"
             )
             _, _, tokens = batch_converter(data)
-            token_probs = msa_masked_marginals(model, alphabet, tokens, args.mask_batch)
+            token_probs = msa_masked_marginals(model, alphabet, tokens, args.msa_mask_batch)
             df[model_location] = df.apply(
                 lambda row: label_row(
                     row[args.mutation_col], args.sequence, token_probs, alphabet, args.offset_idx

@@ -105,17 +105,11 @@ def _default_contact_head(n_layers: int, n_heads: int) -> Dict:
     }
 
 
-def _attention_heads(sd: Mapping[str, np.ndarray]) -> int:
-    # head count is not in the state dict; infer from q_proj width assuming the
-    # released models' 64-dim heads when possible (only used for the fallback
-    # zero contact head, where only total width n_layers*n_heads matters).
-    d = _np(sd["layers.0.self_attn.q_proj.weight"]).shape[0]
-    return max(1, d // 64)
-
-
 def convert_esm2(sd: Mapping[str, np.ndarray], attention_heads: int = None) -> Dict:
     """ESM-2 state dict (canonical key layout, reference esm/model/esm2.py) ->
-    esm_tpu.models.esm2 param pytree."""
+    esm_tpu.models.esm2 param pytree. ``attention_heads`` enables a zero-init
+    fallback contact head when regression weights are absent (head count is
+    not recoverable from the state dict)."""
     n = _num_layers(sd)
     params = {
         "embed_tokens": {"weight": _np(sd["embed_tokens.weight"])},
@@ -125,13 +119,14 @@ def convert_esm2(sd: Mapping[str, np.ndarray], attention_heads: int = None) -> D
     }
     if "contact_head.regression.weight" in sd:
         params["contact_head"] = convert_contact_head(sd)
-    else:
-        heads = attention_heads or _attention_heads(sd)
-        params["contact_head"] = _default_contact_head(n, heads)
+    elif attention_heads is not None:
+        params["contact_head"] = _default_contact_head(n, attention_heads)
     return params
 
 
-def convert_esm1(sd: Mapping[str, np.ndarray], *, model_version: str) -> Dict:
+def convert_esm1(
+    sd: Mapping[str, np.ndarray], *, model_version: str, attention_heads: int = None
+) -> Dict:
     """ESM-1/1b state dict (reference esm/model/esm1.py) -> param pytree.
 
     model_version: "ESM-1" (sinusoidal pos, bias_kv, untied embed_out) or
@@ -150,9 +145,8 @@ def convert_esm1(sd: Mapping[str, np.ndarray], *, model_version: str) -> Dict:
     }
     if "contact_head.regression.weight" in sd:
         params["contact_head"] = convert_contact_head(sd)
-    else:
-        d = _np(sd["layers.0.self_attn.q_proj.weight"]).shape[0]
-        params["contact_head"] = _default_contact_head(n, max(1, d // 64))
+    elif attention_heads is not None:
+        params["contact_head"] = _default_contact_head(n, attention_heads)
     if is_1b:
         params["embed_positions"] = {"weight": _np(sd["embed_positions.weight"])}
         if "emb_layer_norm_before.weight" in sd:
@@ -176,7 +170,9 @@ def _axial_attn(sd: Mapping[str, np.ndarray], prefix: str) -> Dict:
     }
 
 
-def convert_msa_transformer(sd: Mapping[str, np.ndarray]) -> Dict:
+def convert_msa_transformer(
+    sd: Mapping[str, np.ndarray], attention_heads: int = None
+) -> Dict:
     """MSA Transformer state dict (reference esm/model/msa_transformer.py) ->
     param pytree. Each axial layer is three NormalizedResidualBlocks whose
     inner module lives under ``.layer`` (reference esm/modules.py:360-392)."""
@@ -215,4 +211,6 @@ def convert_msa_transformer(sd: Mapping[str, np.ndarray]) -> Dict:
         params["msa_position_embedding"] = _np(sd["msa_position_embedding"])[0]
     if "contact_head.regression.weight" in sd:
         params["contact_head"] = convert_contact_head(sd)
+    elif attention_heads is not None:
+        params["contact_head"] = _default_contact_head(n, attention_heads)
     return params

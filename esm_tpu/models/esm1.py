@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,7 @@ from ..data.alphabet import Alphabet
 from ..ops.common import init_embedding, init_layer_norm, init_linear_torch_default, layer_norm
 from ..ops.heads import contact_head, roberta_lm_head
 from ..ops.positional import learned_positional_embedding, sinusoidal_positional_embedding
-from .lm_common import representations_dict, LayerStatic, init_transformer_stack, transformer_stack_apply
+from .lm_common import normalize_repr_layers, LayerStatic, init_transformer_stack, transformer_stack_apply
 
 
 @dataclass(frozen=True)
@@ -175,10 +175,7 @@ def apply(
     x = x.astype(cfg.compute_dtype)
     h0 = x
 
-    if repr_layers is not None:
-        repr_layers = tuple(sorted({
-            (i if i >= 0 else cfg.num_layers + 1 + i) for i in repr_layers
-        }))
+    repr_layers = normalize_repr_layers(repr_layers, cfg.num_layers)
     last_special = cfg.is_1b  # ESM-1b applies final LN to the last repr layer
     mid_cut = cfg.num_layers - 1 if last_special else cfg.num_layers
     mid_layers = (

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, replace
 from functools import partial
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..data.alphabet import Alphabet
 from ..ops.common import init_embedding, init_layer_norm, init_linear_torch_default, layer_norm
 from ..ops.heads import contact_head, roberta_lm_head
-from .lm_common import representations_dict, LayerStatic, init_transformer_stack, transformer_stack_apply
+from .lm_common import normalize_repr_layers, LayerStatic, init_transformer_stack, transformer_stack_apply
 
 
 @dataclass(frozen=True)
@@ -161,10 +161,7 @@ def apply(
     the full attention stack (the reference's behavior).
     """
     streaming_contacts = return_contacts and not need_head_weights
-    if repr_layers is not None:
-        repr_layers = tuple(sorted({
-            (i if i >= 0 else cfg.num_layers + 1 + i) for i in repr_layers
-        }))
+    repr_layers = normalize_repr_layers(repr_layers, cfg.num_layers)
     # 1-based mid-stack layer ids collected selectively inside the scan
     mid_layers = (
         tuple(i for i in repr_layers if 1 <= i <= cfg.num_layers - 1)

@@ -181,9 +181,12 @@ def init_transformer_stack(
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
 
 
-def representations_dict(result: dict, repr_layers, num_layers: int = None) -> dict:
-    """Select reference-style {layer_index: array} from a stacked (L+1, ...)
-    representations tensor; negative indices resolve against num_layers."""
-    reps = result["representations"]
-    n = (num_layers if num_layers is not None else reps.shape[0] - 1)
-    return {(i if i >= 0 else n + 1 + i): reps[i] for i in repr_layers}
+def normalize_repr_layers(repr_layers, num_layers: int):
+    """Resolve negative layer indices against num_layers and dedupe/sort —
+    the reference accepts e.g. ``repr_layers=[-1]`` (scripts/extract.py:87-90).
+    Returns a hashable tuple usable as a static jit argument, or None."""
+    if repr_layers is None:
+        return None
+    return tuple(sorted({
+        (i if i >= 0 else num_layers + 1 + i) for i in repr_layers
+    }))

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ from ..ops.common import (
 )
 from ..ops.heads import contact_head, roberta_lm_head
 from ..ops.positional import learned_positional_embedding
-from .lm_common import representations_dict
+from .lm_common import normalize_repr_layers
 
 
 @dataclass(frozen=True)
@@ -227,10 +227,7 @@ def apply(
     x = x.astype(cfg.compute_dtype)
     h0 = x
 
-    if repr_layers is not None:
-        repr_layers = tuple(sorted({
-            (i if i >= 0 else cfg.num_layers + 1 + i) for i in repr_layers
-        }))
+    repr_layers = normalize_repr_layers(repr_layers, cfg.num_layers)
     mid_layers = (
         tuple(i for i in repr_layers if 1 <= i <= cfg.num_layers - 1)
         if (repr_layers is not None and not return_representations)

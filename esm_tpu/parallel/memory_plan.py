@@ -40,8 +40,9 @@ def plan(params_or_shapes, mesh_cfg: MeshConfig, dtype_bytes: int = None) -> Dic
             for ax in (axes if isinstance(axes, tuple) else (axes,)):
                 shard *= axis_sizes.get(ax, 1)
         total += nbytes
-        per_dev += nbytes // shard
-        largest = max(largest, nbytes // shard)
+        shard_bytes = -(-nbytes // shard)  # ceil: the fullest device's share
+        per_dev += shard_bytes
+        largest = max(largest, shard_bytes)
     return {
         "total_bytes": total,
         "per_device_bytes": per_dev,

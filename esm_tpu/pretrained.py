@@ -296,7 +296,9 @@ def _build_lm_from_state(model_name, args, state, arch, regression_data):
             emb_layer_norm_before=args.get("emb_layer_norm_before", False),
             token_dropout=args.get("token_dropout", False),
         )
-        params = convert.convert_esm1(state, model_version="ESM-1b")
+        params = convert.convert_esm1(
+            state, model_version="ESM-1b", attention_heads=args["attention_heads"]
+        )
         return LMHandle("esm1", cfg, params, alphabet)
     if arch == "protein_bert_base":
         alphabet = Alphabet.from_architecture("ESM-1")
@@ -310,7 +312,9 @@ def _build_lm_from_state(model_name, args, state, arch, regression_data):
             final_bias=args.get("final_bias", True),
             token_dropout=args.get("token_dropout", False),
         )
-        params = convert.convert_esm1(state, model_version="ESM-1")
+        params = convert.convert_esm1(
+            state, model_version="ESM-1", attention_heads=args["attention_heads"]
+        )
         return LMHandle("esm1", cfg, params, alphabet)
     if arch == "msa_transformer":
         alphabet = Alphabet.from_architecture("msa_transformer")
@@ -323,7 +327,9 @@ def _build_lm_from_state(model_name, args, state, arch, regression_data):
             max_positions=args["max_positions"],
             embed_positions_msa=args.get("embed_positions_msa", False),
         )
-        params = convert.convert_msa_transformer(state)
+        params = convert.convert_msa_transformer(
+            state, attention_heads=args["attention_heads"]
+        )
         return LMHandle("msa", cfg, params, alphabet)
     raise ValueError(f"Unknown architecture {arch}")
 
