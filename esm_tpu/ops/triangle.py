@@ -39,8 +39,17 @@ def triangle_multiplicative_update(
     mask = mask[..., None].astype(z.dtype)
 
     zn = layer_norm(params["layer_norm_in"], z)
-    a = mask * jax.nn.sigmoid(linear(params["linear_a_g"], zn)) * linear(params["linear_a_p"], zn)
-    b = mask * jax.nn.sigmoid(linear(params["linear_b_g"], zn)) * linear(params["linear_b_p"], zn)
+    # One fused projection GEMM for [a_g | a_p | b_g | b_p | g]: zn is an
+    # O(L^2 * C) HBM tensor, so five separate 128-wide linears re-read it five
+    # times; column-wise the concatenated GEMM is numerically identical.
+    c = zn.shape[-1]
+    names = ("linear_a_g", "linear_a_p", "linear_b_g", "linear_b_p", "linear_g")
+    kern = jnp.concatenate([params[n]["kernel"] for n in names], axis=1)
+    bias = jnp.concatenate([params[n]["bias"] for n in names])
+    p = jnp.dot(zn, kern.astype(zn.dtype)) + bias.astype(zn.dtype)
+    a_g, a_p, b_g, b_p, g_l = (p[..., k * c:(k + 1) * c] for k in range(5))
+    a = mask * jax.nn.sigmoid(a_g) * a_p
+    b = mask * jax.nn.sigmoid(b_g) * b_p
 
     if outgoing:
         x = jnp.einsum("bikc,bjkc->bijc", a, b)
@@ -49,8 +58,7 @@ def triangle_multiplicative_update(
 
     x = layer_norm(params["layer_norm_out"], x)
     x = linear(params["linear_z"], x)
-    g = jax.nn.sigmoid(linear(params["linear_g"], zn))
-    return x * g
+    return x * jax.nn.sigmoid(g_l)
 
 
 def triangle_attention(
@@ -111,6 +119,9 @@ def triangle_attention(
     if use_flash and not (i > 1024 or j > 1024):
         # Fused Pallas path: nothing bigger than one (J, J) tile materializes
         # (see esm_tpu/kernels/triangle_attention.py). VMEM-bounded to J<=1024.
+        # Measured (L=1000, v5e): separate q/k/v projections beat a fused
+        # 3C-wide GEMM — XLA fuses each head-layout transpose into its GEMM
+        # epilogue, while the fused variant materializes the 6-D transpose.
         from ..kernels.triangle_attention import NEG_INF, triangle_attention_fused
 
         def heads5(t):
