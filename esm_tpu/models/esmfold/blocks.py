@@ -124,6 +124,10 @@ def triangular_self_attention_block(
     tri_mask = None
     if mask is not None:
         tri_mask = (mask[:, :, None] * mask[:, None, :]).astype(z.dtype)
+    # Tri-mul stays on the XLA path: the fused stage kernels
+    # (ops.triangle.triangle_multiplicative_update_fused) measure equal-or-worse
+    # on the tunneled chip — its effective HBM bandwidth (~240 GB/s measured)
+    # and per-dispatch overhead make XLA's own fusion already optimal here.
     z = z + triangle_multiplicative_update(
         params["tri_mul_out"], z, outgoing=True, mask=tri_mask
     )

@@ -61,6 +61,32 @@ def triangle_multiplicative_update(
     return x * jax.nn.sigmoid(g_l)
 
 
+def triangle_multiplicative_update_fused(
+    params,
+    z: jax.Array,
+    *,
+    outgoing: bool,
+    mask: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Fused-kernel variant: returns ``z + update`` (the residual add is folded
+    into the epilogue kernel). The O(L^3*C) einsum stays in XLA (it maps onto
+    the MXU directly); the surrounding LN/gating/projection pipelines run as
+    two Pallas kernels so the O(L^2*C) pair tensor crosses HBM once per stage
+    (see esm_tpu/kernels/triangle_mul.py). Same math as
+    :func:`triangle_multiplicative_update`.
+    """
+    from ..kernels.triangle_mul import tri_mul_epilogue, tri_mul_stage1
+
+    if mask is None:
+        mask = jnp.ones(z.shape[:-1], z.dtype)
+    a, b = tri_mul_stage1(z, mask, params)
+    if outgoing:
+        x = jnp.einsum("bikc,bjkc->bijc", a, b)
+    else:
+        x = jnp.einsum("bkic,bkjc->bijc", a, b)
+    return tri_mul_epilogue(x, z, params)
+
+
 def triangle_attention(
     params,
     z: jax.Array,

@@ -12,7 +12,11 @@ from esm_tpu.models.esmfold.blocks import (
     gated_attention, pair_to_sequence, residue_mlp, sequence_to_pair,
     triangular_self_attention_block,
 )
-from esm_tpu.ops.triangle import triangle_attention, triangle_multiplicative_update
+from esm_tpu.ops.triangle import (
+    triangle_attention,
+    triangle_multiplicative_update,
+    triangle_multiplicative_update_fused,
+)
 from esm_tpu.ops.common import layer_norm, linear
 
 print("devices:", jax.devices(), flush=True)
@@ -66,6 +70,12 @@ t_in = bench("tri_mul full (incoming)",
     lambda z: triangle_multiplicative_update(params["tri_mul_in"], z, outgoing=False, mask=tri_mask),
     tflop=tm_flop)
 total += t_out + t_in
+bench("tri_mul FUSED (outgoing)",
+    lambda z: triangle_multiplicative_update_fused(params["tri_mul_out"], z, outgoing=True, mask=tri_mask),
+    tflop=tm_flop)
+bench("tri_mul FUSED (incoming)",
+    lambda z: triangle_multiplicative_update_fused(params["tri_mul_in"], z, outgoing=False, mask=tri_mask),
+    tflop=tm_flop)
 bench("tri_mul einsum only (out)",
     lambda z: jnp.einsum("bikc,bjkc->bijc", z, z), tflop=2 * L3 * c_z / 1e12)
 bench("tri_mul einsum only (in)",

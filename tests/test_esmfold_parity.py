@@ -85,6 +85,16 @@ def test_triangle_multiplication_parity(outgoing):
     )
     np.testing.assert_allclose(np.asarray(out), out_ref.numpy(), atol=2e-5, rtol=1e-4)
 
+    # fused-kernel variant (stage1/epilogue Pallas kernels, residual folded)
+    from esm_tpu.ops.triangle import triangle_multiplicative_update_fused
+
+    out_fused = triangle_multiplicative_update_fused(
+        params, jnp.asarray(z), outgoing=outgoing, mask=jnp.asarray(pair_mask)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fused), z + out_ref.numpy(), atol=2e-5, rtol=1e-4
+    )
+
 
 @pytest.mark.parametrize("starting", [True, False])
 def test_triangle_attention_parity(starting):
