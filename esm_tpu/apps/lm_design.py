@@ -263,6 +263,87 @@ def distogram_cross_entropy(logits, target_bins, mask=None):
     return jnp.mean(nll, axis=(-1, -2))
 
 
+@partial(
+    jax.jit,
+    static_argnames=("lm_cfg", "num_iter", "resample_y_every"),
+)
+def free_generation(
+    lm_params,
+    lm_cfg,
+    proj_params,
+    tokens0,
+    rng,
+    *,
+    num_iter: int,
+    resample_y_every: int,
+    resample_y_temp: float = 1.0,
+    mh_temperature: float = 1.0,
+    lm_weight: float = 1.0,
+    struct_weight: float = 1.0,
+):
+    """Joint sequence/structure hallucination — the full free-generation loop
+    (reference examples/lm-design/utils/free_generation.py:22-73):
+
+    every ``resample_y_every`` steps, run the distogram projection on the
+    current sequence and SAMPLE a target structure (dist/theta/phi/omega bins,
+    Categorical at ``resample_y_temp``); then run MH sequence steps whose
+    energy is the masked-LM pseudo-likelihood plus the distogram
+    cross-entropy against that sampled target. One on-device scan; the
+    reference's python loop alternates the same two phases.
+
+    Returns (tokens, energy trace (rounds, resample_y_every, B)).
+    """
+    b, t = tokens0.shape
+    L = t - 2
+    rounds = num_iter // resample_y_every
+
+    def struct_energy(tokens, targets):
+        preds = distogram_projection_apply(proj_params, lm_params, lm_cfg, tokens)
+        e = 0.0
+        for name in ("logits", "theta_logits", "phi_logits", "omega_logits"):
+            e = e + distogram_cross_entropy(preds[name], targets[name])
+        return e / 4.0
+
+    def mh_step(carry, _):
+        tokens, rng, targets = carry
+        rng, r_pos, r_prop, r_acc = jax.random.split(rng, 4)
+        pos = 1 + jax.random.randint(r_pos, (b,), 0, L)
+        prop_aa = AA_OFFSET + jax.random.randint(r_prop, (b,), 0, NUM_STANDARD_AA)
+        proposal = tokens.at[jnp.arange(b), pos].set(prop_aa.astype(tokens.dtype))
+        stacked = jnp.concatenate([tokens, proposal], axis=0)
+        pos2 = jnp.concatenate([pos, pos])
+        logp = _masked_lm_logprobs(lm_params, lm_cfg, stacked, pos2)
+        lm_nll = -logp[jnp.arange(2 * b), stacked[jnp.arange(2 * b), pos2]]
+        targets2 = {k: jnp.concatenate([v, v], axis=0) for k, v in targets.items()}
+        e = lm_weight * lm_nll / L + struct_weight * struct_energy(stacked, targets2)
+        e_cur, e_prop = e[:b], e[b:]
+        log_a = (e_cur - e_prop) / mh_temperature
+        accept = jnp.log(jax.random.uniform(r_acc, (b,), minval=1e-20)) < log_a
+        tokens = jnp.where(accept[:, None], proposal, tokens)
+        return (tokens, rng, targets), e_cur
+
+    def round_step(carry, _):
+        tokens, rng = carry
+        rng, r_samp = jax.random.split(rng)
+        preds = distogram_projection_apply(proj_params, lm_params, lm_cfg, tokens)
+        keys = jax.random.split(r_samp, 4)
+        targets = {
+            name: jax.random.categorical(kk, preds[name] / resample_y_temp, axis=-1)
+            for kk, name in zip(
+                keys, ("logits", "theta_logits", "phi_logits", "omega_logits")
+            )
+        }
+        (tokens, rng, _), es = jax.lax.scan(
+            mh_step, (tokens, rng, targets), None, length=resample_y_every
+        )
+        return (tokens, rng), es
+
+    (tokens, _), energies = jax.lax.scan(
+        round_step, (tokens0, rng), None, length=rounds
+    )
+    return tokens, energies
+
+
 @partial(jax.jit, static_argnames=("lm_cfg", "num_steps"))
 def gibbs_free_generation(
     lm_params, lm_cfg, tokens0, rng, num_steps: int, temperature: float = 1.0

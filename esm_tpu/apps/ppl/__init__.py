@@ -19,3 +19,8 @@ from .sequence import (
     FixedLengthSequenceSegment,
     VariableLengthSequenceSegment,
 )
+from .utilities import (
+    get_atomview_in_residue_range,
+    pdb_file_to_atomview,
+    sequence_from_atomview,
+)

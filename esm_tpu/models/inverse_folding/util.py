@@ -174,5 +174,20 @@ def get_atom_coords_residuewise(atoms: List[str], struct):
 
 
 def load_coords(fpath, chain):
-    structure = load_structure(fpath, chain)
+    try:
+        structure = load_structure(fpath, chain)
+    except (ImportError, AttributeError):
+        # biotite absent (or a partial/stub install): plain-python fallback
+        # for .pdb files (esm_tpu.data.pdb; cif still needs biotite)
+        if not fpath.endswith("pdb"):
+            raise
+        from ...data.pdb import backbone_coords, read_pdb
+
+        if isinstance(chain, list):
+            atoms = read_pdb(fpath)
+            import numpy as _np
+
+            atoms = atoms[_np.isin(atoms.chain_id, _np.asarray(chain, object))]
+            return backbone_coords(atoms)
+        return backbone_coords(read_pdb(fpath), chain=chain)
     return extract_coords_from_structure(structure)

@@ -36,6 +36,37 @@ def test_lm_design_chain(tiny_lm):
     assert all(c in "LAGVSERTIDPKQNFYMHWC" for c in seqs[0])
 
 
+def test_free_generation(tiny_lm):
+    """Full hallucination loop: structure resampling + MH sequence steps
+    (reference free_generation.py:22-73) runs on random projection weights."""
+    import jax.numpy as jnp
+    from esm_tpu.apps import lm_design
+
+    params, cfg, alphabet = tiny_lm
+    nch = cfg.num_layers * cfg.attention_heads
+    bins = lm_design.DISTOGRAM_BINS
+    k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+    proj = {
+        "conv1": {
+            "kernel": 0.1 * jax.random.normal(k1, (nch, bins["N_BINS"] + bins["OMEGA_BINS"])),
+            "bias": jnp.zeros((bins["N_BINS"] + bins["OMEGA_BINS"],)),
+        },
+        "conv2": {
+            "kernel": 0.1 * jax.random.normal(k2, (nch, bins["THETA_BINS"] + bins["PHI_BINS"])),
+            "bias": jnp.zeros((bins["THETA_BINS"] + bins["PHI_BINS"],)),
+        },
+    }
+    _, _, toks = alphabet.get_batch_converter()([("s", "KALTARQQEVFD")])
+    tokens, energies = lm_design.free_generation(
+        params, cfg, proj, jnp.asarray(toks), jax.random.PRNGKey(0),
+        num_iter=6, resample_y_every=3,
+    )
+    assert energies.shape == (2, 3, 1)
+    assert np.isfinite(np.asarray(energies)).all()
+    out = np.asarray(tokens)[0, 1:-1]
+    assert ((out >= 4) & (out < 24)).all() or (out == np.asarray(toks)[0, 1:-1]).all()
+
+
 def test_lm_design_ngram_energy():
     from esm_tpu.apps.lm_design import _ngram_energy_tables, ngram_kl
 
