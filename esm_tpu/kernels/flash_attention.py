@@ -40,6 +40,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _rot_half(x):
+    d2 = x.shape[-1] // 2
+    return jnp.concatenate([-x[:, d2:], x[:, :d2]], axis=-1)
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref):
     """One (bh, qi, ki) grid step.
 
@@ -89,6 +94,89 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref):
         o_ref[0] = (acc_ref[...] * inv).astype(o_ref.dtype)
 
 
+def _flash_kernel_rot(
+    q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref, o_ref, m_ref, l_ref, acc_ref
+):
+    """Blockwise kernel with rotary applied to q/k in VMEM (tables resident;
+    saves the two HBM round trips of a separate rotary pass — reference
+    applies rotary as its own op, esm/rotary_embedding.py:63-69)."""
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    bq = q_ref.shape[1]
+    bk = k_ref.shape[1]
+    q = q_ref[0]
+    k = k_ref[0]
+    cq = cos_ref[pl.dslice(qi * bq, bq), :]
+    sq = sin_ref[pl.dslice(qi * bq, bq), :]
+    ck = cos_ref[pl.dslice(ki * bk, bk), :]
+    sk = sin_ref[pl.dslice(ki * bk, bk), :]
+    q = q * cq + _rot_half(q) * sq
+    k = k * ck + _rot_half(k) * sk
+    v = v_ref[0]
+    b = bias_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s + b[None, :]
+
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_curr = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m_prev, m_curr)
+    p = jnp.exp(s - m_next)
+    alpha = jnp.exp(m_prev - m_next)
+    l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+    m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
+
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(ki == nk - 1)
+    def _store():
+        l_final = l_ref[:, :1]
+        inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
+        o_ref[0] = (acc_ref[...] * inv).astype(o_ref.dtype)
+
+
+def _single_pass_kernel_rot(q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref, o_ref):
+    """Single-block variant with in-VMEM rotary (S fits one block)."""
+    qi = pl.program_id(1)
+    bq = q_ref.shape[1]
+    q = q_ref[0]
+    k = k_ref[0]
+    cq = cos_ref[pl.dslice(qi * bq, bq), :]
+    sq = sin_ref[pl.dslice(qi * bq, bq), :]
+    q = q * cq + _rot_half(q) * sq
+    k = k * cos_ref[...] + _rot_half(k) * sin_ref[...]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s + bias_ref[0, 0][None, :]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (pv / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+
+
 def _single_pass_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
     """One (bh, qi) step with the WHOLE source in VMEM: plain fused
     softmax-attention — no online-softmax state, no scratch. ~11% faster than
@@ -110,57 +198,77 @@ def _single_pass_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
     o_ref[0] = (pv / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret", "use_rotary")
+)
 def _flash_padded(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     bias: jax.Array,
+    cos: Optional[jax.Array] = None,
+    sin: Optional[jax.Array] = None,
     *,
     block_q: int,
     block_k: int,
     interpret: bool,
+    use_rotary: bool = False,
 ) -> jax.Array:
     """q: (BH, Tq, d), k/v: (BH, S, d), bias: (BH, 1, S) fp32; shapes already
-    padded to block multiples."""
+    padded to block multiples. cos/sin: (max(Tq, S), d) rotary tables."""
     bh, tq, d = q.shape
     s_len = k.shape[1]
 
+    rot_in = [cos, sin] if use_rotary else []
+    table_len = cos.shape[0] if use_rotary else 0
+    cost = pl.CostEstimate(
+        flops=4 * bh * tq * s_len * d,
+        bytes_accessed=(2 * bh * tq * d + 2 * bh * s_len * d) * q.dtype.itemsize,
+        transcendentals=bh * tq * s_len,
+    )
+
     if s_len == block_k:
+        rot_specs = (
+            [pl.BlockSpec((table_len, d), lambda b, i: (0, 0))] * 2
+            if use_rotary
+            else []
+        )
         return pl.pallas_call(
-            _single_pass_kernel,
+            _single_pass_kernel_rot if use_rotary else _single_pass_kernel,
             grid=(bh, tq // block_q),
             in_specs=[
                 pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
                 pl.BlockSpec((1, s_len, d), lambda b, i: (b, 0, 0)),
                 pl.BlockSpec((1, s_len, d), lambda b, i: (b, 0, 0)),
                 pl.BlockSpec((1, 1, s_len), lambda b, i: (b, 0, 0)),
-            ],
+            ]
+            + rot_specs,
             out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
             out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
             ),
             interpret=interpret,
-            cost_estimate=pl.CostEstimate(
-                flops=4 * bh * tq * s_len * d,
-                bytes_accessed=(2 * bh * tq * d + 2 * bh * s_len * d)
-                * q.dtype.itemsize,
-                transcendentals=bh * tq * s_len,
-            ),
-        )(q, k, v, bias)
+            cost_estimate=cost,
+        )(q, k, v, bias, *rot_in)
 
     grid = (bh, tq // block_q, s_len // block_k)
+    rot_specs = (
+        [pl.BlockSpec((table_len, d), lambda b, i, j: (0, 0))] * 2
+        if use_rotary
+        else []
+    )
 
     return pl.pallas_call(
-        _flash_kernel,
+        _flash_kernel_rot if use_rotary else _flash_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j)),
-        ],
+        ]
+        + rot_specs,
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         scratch_shapes=[
@@ -172,12 +280,8 @@ def _flash_padded(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * bh * tq * s_len * d,
-            bytes_accessed=(2 * bh * tq * d + 2 * bh * s_len * d) * q.dtype.itemsize,
-            transcendentals=bh * tq * s_len,
-        ),
-    )(q, k, v, bias)
+        cost_estimate=cost,
+    )(q, k, v, bias, *rot_in)
 
 
 def flash_attention(
@@ -186,12 +290,19 @@ def flash_attention(
     v: jax.Array,
     *,
     key_padding_mask: Optional[jax.Array] = None,
+    rotary: bool = False,
     block_q: int = 1024,
     block_k: int = 1024,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Flash attention on (B, H, T, d) tensors. q must already be scaled (and
-    rotary applied) by the caller. key_padding_mask: (B, S) bool, True at pads.
+    """Flash attention on (B, H, T, d) tensors. q must already be scaled by
+    the caller. key_padding_mask: (B, S) bool, True at pads.
+
+    ``rotary=True`` applies GPT-NeoX-style rotary embeddings to q and k INSIDE
+    the kernel (tables VMEM-resident; position = row index, q/k must be
+    un-rotated) — this skips the separate rotary pass's HBM round trips
+    (reference applies rotary as its own op, esm/rotary_embedding.py:63-69).
+    Rotary commutes with q's scalar pre-scaling.
 
     Returns (B, H, T, d) in q's dtype.
     """
@@ -222,7 +333,14 @@ def flash_attention(
         vf = jnp.pad(vf, ((0, 0), (0, sp - s), (0, 0)))
         bias = jnp.pad(bias, ((0, 0), (0, 0), (0, sp - s)), constant_values=NEG_INF)
 
+    cos = sin = None
+    if rotary:
+        from ..ops.rotary import rotary_tables
+
+        cos, sin = rotary_tables(max(tp, sp), d, q.dtype)
+
     out = _flash_padded(
-        qf, kf, vf, bias, block_q=block_q, block_k=block_k, interpret=interpret
+        qf, kf, vf, bias, cos, sin,
+        block_q=block_q, block_k=block_k, interpret=interpret, use_rotary=rotary,
     )
     return out[:, :t].reshape(b, h, t, d)

@@ -88,7 +88,9 @@ def multihead_attention(
     k = _split_heads(k, num_heads)  # (B, H, S, Dh)
     v = _split_heads(v, num_heads)
 
-    if use_rotary:
+    flash_path = use_flash and not need_weights and attn_mask is None
+
+    if use_rotary and not flash_path:
         # Rotary tables sized to the source length; queries use the first T
         # positions (reference esm/rotary_embedding.py:16-20 slices cos/sin to
         # the q length — identical for self-attention where T == S except for
@@ -97,10 +99,14 @@ def multihead_attention(
         q = apply_rotary(q, cos[:t], sin[:t])
         k = apply_rotary(k, cos, sin)
 
-    if use_flash and not need_weights and attn_mask is None:
+    if flash_path:
         from ..kernels.flash_attention import flash_attention
 
-        out = flash_attention(q, k, v, key_padding_mask=key_padding_mask)
+        # rotary runs inside the kernel (VMEM-resident tables) — valid because
+        # position ids are plain row indices here (no bias_kv with rotary)
+        out = flash_attention(
+            q, k, v, key_padding_mask=key_padding_mask, rotary=use_rotary
+        )
         out = _merge_heads(out)
         out = linear(params["out_proj"], out)
         return AttentionOutput(out, None)

@@ -32,6 +32,32 @@ def test_flash_matches_exact(t, d):
     np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_exact), atol=1e-5)
 
 
+@pytest.mark.parametrize("t,blocks", [(128, 128), (200, 128), (300, (128, 256))])
+def test_flash_in_kernel_rotary(t, blocks):
+    """rotary=True on un-rotated q/k == XLA rotary + flash (both block paths)."""
+    from esm_tpu.ops.rotary import apply_rotary, rotary_tables
+
+    bq, bk = blocks if isinstance(blocks, tuple) else (blocks, blocks)
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, h, d = 2, 3, 64
+    q = jax.random.normal(kq, (b, h, t, d), jnp.float32) * 0.3
+    k = jax.random.normal(kk, (b, h, t, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, t, d), jnp.float32)
+    mask = jnp.zeros((b, t), bool).at[1, t - 7 :].set(True)
+
+    cos, sin = rotary_tables(t, d)
+    out_ref = _exact(
+        apply_rotary(q, cos, sin), apply_rotary(k, cos, sin), v, key_padding_mask=mask
+    )
+    out = flash_attention(
+        q, k, v, key_padding_mask=mask, rotary=True, block_q=bq, block_k=bk
+    )
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :, : t - 7], np.asarray(out_ref)[:, :, : t - 7], atol=2e-5
+    )
+
+
 def test_flash_with_padding_mask():
     key = jax.random.PRNGKey(1)
     kq, kk, kv = jax.random.split(key, 3)
