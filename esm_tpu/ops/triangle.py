@@ -142,24 +142,27 @@ def triangle_attention(
         g = jax.nn.sigmoid(linear(params["mha"]["linear_g"], zr))
         return linear(params["mha"]["linear_o"], o * g)
 
-    if use_flash and not (i > 1024 or j > 1024):
+    if use_flash:
         # Fused Pallas path: nothing bigger than one (J, J) tile materializes
-        # (see esm_tpu/kernels/triangle_attention.py). VMEM-bounded to J<=1024.
+        # (see esm_tpu/kernels/triangle_attention.py); for J > 1024 the kernel
+        # switches to q-strip blocking so VMEM stays bounded at any length.
         # Measured (L=1000, v5e): separate q/k/v projections beat a fused
         # 3C-wide GEMM — XLA fuses each head-layout transpose into its GEMM
         # epilogue, while the fused variant materializes the 6-D transpose.
         from ..kernels.triangle_attention import NEG_INF, triangle_attention_fused
 
-        def heads5(t):
-            return t.reshape(b, i, j, num_heads, head_dim).transpose(0, 1, 3, 2, 4)
+        def heads_dj(t):
+            # (B, I, H, d, J): J on the lane axis — the (..., J, d) layout
+            # would pad d=32 lanes to 128 (4x HBM) on every operand.
+            return t.reshape(b, i, j, num_heads, head_dim).transpose(0, 1, 3, 4, 2)
 
-        q = heads5(linear(params["mha"]["linear_q"], zn)) / (head_dim ** 0.5)
-        k = heads5(linear(params["mha"]["linear_k"], zn))
-        v = heads5(linear(params["mha"]["linear_v"], zn))
+        q = heads_dj(linear(params["mha"]["linear_q"], zn)) / (head_dim ** 0.5)
+        k = heads_dj(linear(params["mha"]["linear_k"], zn))
+        v = heads_dj(linear(params["mha"]["linear_v"], zn))
         tri_b = jnp.transpose(tri, (0, 3, 1, 2)).astype(jnp.float32)  # (B,H,J,J)
         key_bias = jnp.where(mask > 0, 0.0, NEG_INF).astype(jnp.float32)  # (B,I,J)
-        o = triangle_attention_fused(q, k, v, tri_b, key_bias)
-        o = o.transpose(0, 1, 3, 2, 4).reshape(b, i, j, c)
+        o = triangle_attention_fused(q, k, v, tri_b, key_bias)  # (B,I,H,d,J)
+        o = o.transpose(0, 1, 4, 2, 3).reshape(b, i, j, c)
         g = jax.nn.sigmoid(linear(params["mha"]["linear_g"], zn))
         o = linear(params["mha"]["linear_o"], o * g)
     elif chunk_size is None or chunk_size >= i:

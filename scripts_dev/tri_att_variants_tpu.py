@@ -37,15 +37,15 @@ def variant_old(z):  # transpose z, separate projections, heads5
     zn = layer_norm(params["layer_norm"], z)
     tri = linear(params["linear"], zn)
     b, i, j, c = zn.shape
-    def heads5(t):
-        return t.reshape(b, i, j, H, d).transpose(0, 1, 3, 2, 4)
+    def heads5(t):  # kernel layout (B, I, H, d, J)
+        return t.reshape(b, i, j, H, d).transpose(0, 1, 3, 4, 2)
     q = heads5(linear(mha["linear_q"], zn)) / (d ** 0.5)
     k = heads5(linear(mha["linear_k"], zn))
     v = heads5(linear(mha["linear_v"], zn))
     tri_b = jnp.transpose(tri, (0, 3, 1, 2)).astype(jnp.float32)
     kb = jnp.where(m > 0, 0.0, NEG_INF).astype(jnp.float32)
     o = triangle_attention_fused(q, k, v, tri_b, kb)
-    o = o.transpose(0, 1, 3, 2, 4).reshape(b, i, j, c)
+    o = o.transpose(0, 1, 4, 2, 3).reshape(b, i, j, c)
     g = jax.nn.sigmoid(linear(mha["linear_g"], zn))
     o = linear(mha["linear_o"], o * g)
     return jnp.swapaxes(o, -2, -3)
@@ -55,14 +55,14 @@ def variant_nosawp_sep(z):  # no z transpose, separate projections, col-major he
     tri = linear(params["linear"], zn)
     b, i, j, c = zn.shape
     def headsT(t):
-        return t.reshape(b, i, j, H, d).transpose(0, 2, 3, 1, 4)  # (B,J,H,I,d)
+        return t.reshape(b, i, j, H, d).transpose(0, 2, 3, 4, 1)  # (B,J,H,d,I)
     q = headsT(linear(mha["linear_q"], zn)) / (d ** 0.5)
     k = headsT(linear(mha["linear_k"], zn))
     v = headsT(linear(mha["linear_v"], zn))
     tri_b = jnp.transpose(tri, (0, 3, 2, 1)).astype(jnp.float32)
     kb = jnp.where(jnp.swapaxes(mask, -1, -2) > 0, 0.0, NEG_INF).astype(jnp.float32)
     o = triangle_attention_fused(q, k, v, tri_b, kb)
-    o = o.transpose(0, 3, 1, 2, 4).reshape(b, i, j, c)
+    o = o.transpose(0, 4, 1, 2, 3).reshape(b, i, j, c)
     g = jax.nn.sigmoid(linear(mha["linear_g"], zn))
     return linear(mha["linear_o"], o * g)
 
@@ -74,14 +74,14 @@ def variant_fusedqkv_sep(z):  # no z transpose, one qkv GEMM, per-slice transpos
                             mha["linear_v"]["kernel"]], axis=1)
     qkv = jnp.dot(zn, kern.astype(zn.dtype))
     def headsT(t):
-        return t.reshape(b, i, j, H, d).transpose(0, 2, 3, 1, 4)
+        return t.reshape(b, i, j, H, d).transpose(0, 2, 3, 4, 1)
     q = headsT(qkv[..., :c]) / (d ** 0.5)
     k = headsT(qkv[..., c:2 * c])
     v = headsT(qkv[..., 2 * c:])
     tri_b = jnp.transpose(tri, (0, 3, 2, 1)).astype(jnp.float32)
     kb = jnp.where(jnp.swapaxes(mask, -1, -2) > 0, 0.0, NEG_INF).astype(jnp.float32)
     o = triangle_attention_fused(q, k, v, tri_b, kb)
-    o = o.transpose(0, 3, 1, 2, 4).reshape(b, i, j, c)
+    o = o.transpose(0, 4, 1, 2, 3).reshape(b, i, j, c)
     g = jax.nn.sigmoid(linear(mha["linear_g"], zn))
     return linear(mha["linear_o"], o * g)
 

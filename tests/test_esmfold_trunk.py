@@ -274,6 +274,41 @@ def test_fused_triangle_attention_matches():
         )
 
 
+def test_fused_triangle_attention_strip_path():
+    """J > MAX_RESIDENT_J takes the q-strip kernel (padded J, masked pads)."""
+    import jax.numpy as jnp
+    from esm_tpu.kernels.triangle_attention import (
+        NEG_INF, MAX_RESIDENT_J, triangle_attention_fused,
+    )
+
+    assert MAX_RESIDENT_J < 1100  # the shapes below must exercise the strip path
+    g = np.random.RandomState(13)
+    b, i, h, j, d = 1, 3, 2, 1100, 32
+    q = g.randn(b, i, h, j, d).astype(np.float32) * 0.2
+    k = g.randn(b, i, h, j, d).astype(np.float32) * 0.2
+    v = g.randn(b, i, h, j, d).astype(np.float32) * 0.2
+    tri = g.randn(b, h, j, j).astype(np.float32) * 0.5
+    mask = np.zeros((b, i, j), np.float32)
+    mask[:, :, : j - 37] = 1.0  # last 37 keys masked
+    mask_bias = np.where(mask > 0, 0.0, NEG_INF).astype(np.float32)
+
+    s = np.einsum("bihqd,bihkd->bihqk", q, k) + tri[:, None]  # (b,1,h,jq,jk)
+    s = s + mask_bias[:, :, None, None, :]
+    s = s - s.max(-1, keepdims=True)
+    p = np.exp(s)
+    expected = np.einsum("bihqk,bihkd->bihqd", p / p.sum(-1, keepdims=True), v)
+
+    def dj(t):  # kernel layout: (B, I, H, d, J)
+        return jnp.asarray(t.transpose(0, 1, 2, 4, 3))
+
+    out = triangle_attention_fused(
+        dj(q), dj(k), dj(v), jnp.asarray(tri), jnp.asarray(mask_bias)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 1, 2, 4, 3), expected, atol=2e-5
+    )
+
+
 def test_esmfold_attn_map_and_sm_only():
     """use_esm_attn_map pairwise init + structure-module-only (0 trunk blocks)."""
     from esm_tpu.data import Alphabet
