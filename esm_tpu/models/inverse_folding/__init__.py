@@ -6,4 +6,5 @@ from .model import (
     sample,
     score_sequence,
 )
+from .init import init
 from .util import CoordBatchConverter, load_coords, load_structure

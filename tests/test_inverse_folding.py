@@ -217,3 +217,27 @@ def test_sample_partial_seq(models):
         if c is not None:
             assert alphabet.get_tok(int(toks[i])) == c, i
     assert int(toks[1]) != cfg.mask_idx and int(toks[2]) != cfg.mask_idx
+
+
+def test_init_matches_converter_layout(models):
+    """ifm.init emits the converter's exact tree: same paths, same shapes —
+    random-init models are drop-in interchangeable with converted ones."""
+    import jax
+
+    from esm_tpu.models.inverse_folding import init as if_init
+
+    _, params, cfg, _, _ = models
+    rnd = if_init(jax.random.PRNGKey(0), cfg)
+
+    ref_paths = {
+        (jax.tree_util.keystr(kp), tuple(v.shape))
+        for kp, v in jax.tree_util.tree_flatten_with_path(params)[0]
+    }
+    rnd_paths = {
+        (jax.tree_util.keystr(kp), tuple(v.shape))
+        for kp, v in jax.tree_util.tree_flatten_with_path(rnd)[0]
+    }
+    assert ref_paths == rnd_paths, (
+        sorted(ref_paths - rnd_paths)[:5],
+        sorted(rnd_paths - ref_paths)[:5],
+    )
