@@ -83,14 +83,21 @@ def invariant_point_attention(
     a = a * math.sqrt(1.0 / (3 * c))
     a = a + math.sqrt(1.0 / 3) * jnp.transpose(bias, (0, 3, 1, 2))
 
-    # point attention: squared distances between global-frame points
-    d2 = jnp.sum(
-        (q_pts[:, :, None] - k_pts[:, None]) ** 2, axis=-1
-    )  # (B, Li, Lj, H, Pq)
+    # point attention: summed squared distances between global-frame points.
+    # Expanded as Σ_p|q-k|² = Σ_p|q|² + Σ_p|k|² − 2 Σ_p q·k so the cross term
+    # is one MXU einsum with an O(L²·H) output — the direct broadcast form
+    # materializes an O(L²·H·P·3) difference tensor (2.4 GB at L=2048).
     head_w = jax.nn.softplus(params["head_weights"])  # (H,)
     head_w = head_w * math.sqrt(1.0 / (3 * (pq * 9.0 / 2)))
-    pt_att = jnp.sum(d2 * head_w[None, None, None, :, None], axis=-1) * (-0.5)
-    a = a + jnp.transpose(pt_att, (0, 3, 1, 2))
+    qq = jnp.sum(q_pts * q_pts, axis=(-1, -2))        # (B, L, H)
+    kk = jnp.sum(k_pts * k_pts, axis=(-1, -2))        # (B, L, H)
+    qk = jnp.einsum("bihpx,bjhpx->bhij", q_pts, k_pts)
+    d2 = (
+        jnp.transpose(qq, (0, 2, 1))[..., :, None]
+        + jnp.transpose(kk, (0, 2, 1))[..., None, :]
+        - 2.0 * qk
+    )                                                  # (B, H, Li, Lj)
+    a = a + d2 * (head_w[None, :, None, None] * -0.5)
 
     square_mask = mask[:, :, None] * mask[:, None, :]
     a = a + (cfg.inf * (square_mask - 1.0))[:, None]
