@@ -131,7 +131,11 @@ def run(args):
     ):
         start = timeit.default_timer()
         try:
-            output = ef.infer(params, cfg, sequences, num_recycles=args.num_recycles)
+            # frugal: drop O(L^2) diagnostic outputs the CLI never writes —
+            # halves held HBM per batch at long L
+            output = ef.infer(
+                params, cfg, sequences, num_recycles=args.num_recycles, frugal=True
+            )
         except Exception as e:
             if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
                 if len(sequences) > 1:

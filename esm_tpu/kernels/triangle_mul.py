@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..ops.common import materialize_kernel
+
 
 def _ln_rows(x32, scale, bias, eps=1e-5):
     """fp32 LayerNorm over the last (lane) axis. x32: (rows, C)."""
@@ -137,9 +139,10 @@ def tri_mul_stage1(z, mask, params, interpret: Optional[bool] = None):
     zf = z.reshape(rows, c)
     mf = mask.reshape(rows, 1).astype(z.dtype)
     w4 = jnp.concatenate(
-        [params[n]["kernel"] for n in ("linear_a_g", "linear_a_p", "linear_b_g", "linear_b_p")],
+        [materialize_kernel(params[n], z.dtype)
+         for n in ("linear_a_g", "linear_a_p", "linear_b_g", "linear_b_p")],
         axis=1,
-    ).astype(z.dtype)
+    )
     b4 = _as2d(
         jnp.concatenate(
             [params[n]["bias"] for n in ("linear_a_g", "linear_a_p", "linear_b_g", "linear_b_p")]
@@ -165,9 +168,9 @@ def tri_mul_epilogue(x, z, params, interpret: Optional[bool] = None):
     xf = x.reshape(rows, c).astype(z.dtype)
     zf = z.reshape(rows, c)
     weights = [
-        params["linear_g"]["kernel"].astype(z.dtype),
+        materialize_kernel(params["linear_g"], z.dtype),
         _as2d(params["linear_g"]["bias"]).astype(z.dtype),
-        params["linear_z"]["kernel"].astype(z.dtype),
+        materialize_kernel(params["linear_z"], z.dtype),
         _as2d(params["linear_z"]["bias"]).astype(z.dtype),
         _as2d(params["layer_norm_in"]["scale"]).astype(jnp.float32),
         _as2d(params["layer_norm_in"]["bias"]).astype(jnp.float32),

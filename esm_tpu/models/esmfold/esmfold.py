@@ -109,7 +109,7 @@ def _lm_representations(
     return esm_s[:, 1:-1], esm_z                       # strip bos/eos
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_recycles"))
+@partial(jax.jit, static_argnames=("cfg", "num_recycles", "frugal"))
 def apply(
     params,
     cfg: ESMFoldConfig,
@@ -118,11 +118,17 @@ def apply(
     residx: Optional[jax.Array] = None,
     masking_pattern: Optional[jax.Array] = None,
     num_recycles: Optional[int] = None,
+    frugal: bool = False,
 ) -> Dict[str, jax.Array]:
     """Forward pass on AF2-indexed tokens (reference esmfold.py:152-278).
 
     params must contain "esm" (ESM-2 params), "af2_to_esm" (lookup table) and
     the ESMFold params from io/convert_esmfold.convert_esmfold.
+
+    ``frugal=True`` drops the O(L^2) diagnostic outputs (s_z, distogram/pTM
+    logits, aligned-confidence probabilities, per-recycle states) from the
+    result — XLA then frees them inside the program. ~5 GB less held HBM per
+    structure at L=2048; pLDDT/pTM/PAE and coordinates are unaffected.
     """
     if mask is None:
         mask = jnp.ones_like(aa)
@@ -194,6 +200,10 @@ def apply(
     structure.update(
         compute_predicted_aligned_error(ptm_logits, max_bin=31, no_bins=cfg.distogram_bins)
     )
+    if frugal:
+        for k in ("s_z", "distogram_logits", "ptm_logits", "lddt_head",
+                  "aligned_confidence_probs", "states"):
+            structure.pop(k, None)
     return structure
 
 
@@ -277,6 +287,7 @@ def infer(
     num_recycles: Optional[int] = None,
     residue_index_offset: Optional[int] = 512,
     chain_linker: Optional[str] = "G" * 25,
+    frugal: bool = False,
 ) -> Dict[str, jax.Array]:
     """Sequence(s) -> structure output (reference esmfold.py:281-339)."""
     if isinstance(sequences, str):
@@ -291,6 +302,7 @@ def infer(
         mask=jnp.asarray(mask),
         residx=jnp.asarray(residx),
         num_recycles=num_recycles,
+        frugal=frugal,
     )
     output["atom37_atom_exists"] = output["atom37_atom_exists"] * jnp.asarray(
         linker_mask

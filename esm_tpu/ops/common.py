@@ -26,8 +26,26 @@ def gelu_erf(x: jax.Array) -> jax.Array:
     return x * 0.5 * (1.0 + jax.lax.erf(x / math.sqrt(2.0)))
 
 
+def materialize_kernel(params, dtype) -> jax.Array:
+    """Kernel as a dense ``dtype`` matrix — dequantizes weight-only int8
+    (esm_tpu/quantization.py) for consumers that concatenate or reshape
+    kernels instead of calling :func:`linear` (e.g. fused projections)."""
+    k = params["kernel"]
+    if k.dtype == jnp.int8:
+        return k.astype(dtype) * params["scale"].astype(dtype)
+    return k.astype(dtype)
+
+
 def linear(params, x: jax.Array) -> jax.Array:
-    y = jnp.dot(x, params["kernel"].astype(x.dtype))
+    k = params["kernel"]
+    if k.dtype == jnp.int8:
+        # weight-only int8 (esm_tpu/quantization.py): symmetric per-output-
+        # channel scales applied AFTER the matmul, so the int8->bf16 convert
+        # fuses into the dot and a dequantized weight matrix never exists in
+        # HBM. int8 values are exact in bf16.
+        y = jnp.dot(x, k.astype(x.dtype)) * params["scale"].astype(x.dtype)
+    else:
+        y = jnp.dot(x, k.astype(x.dtype))
     b = params.get("bias")
     if b is not None:
         y = y + b.astype(y.dtype)

@@ -23,7 +23,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .common import layer_norm, linear, softmax_fp32
+from .common import layer_norm, linear, materialize_kernel, softmax_fp32
 
 
 def triangle_multiplicative_update(
@@ -44,9 +44,11 @@ def triangle_multiplicative_update(
     # times; column-wise the concatenated GEMM is numerically identical.
     c = zn.shape[-1]
     names = ("linear_a_g", "linear_a_p", "linear_b_g", "linear_b_p", "linear_g")
-    kern = jnp.concatenate([params[n]["kernel"] for n in names], axis=1)
+    kern = jnp.concatenate(
+        [materialize_kernel(params[n], zn.dtype) for n in names], axis=1
+    )
     bias = jnp.concatenate([params[n]["bias"] for n in names])
-    p = jnp.dot(zn, kern.astype(zn.dtype)) + bias.astype(zn.dtype)
+    p = jnp.dot(zn, kern) + bias.astype(zn.dtype)
     a_g, a_p, b_g, b_p, g_l = (p[..., k * c:(k + 1) * c] for k in range(5))
     a = mask * jax.nn.sigmoid(a_g) * a_p
     b = mask * jax.nn.sigmoid(b_g) * b_p

@@ -181,6 +181,17 @@ class LMHandle:
             self.kind, dataclasses.replace(self.cfg, **kw), self.params, self.alphabet
         )
 
+    def quantized(self, **kw) -> "LMHandle":
+        """Weight-only int8 handle (esm_tpu/quantization.py): ~2x smaller
+        params, same API. The TPU-native replacement for the reference's
+        FSDP CPU offload of 15B (esm2_infer_fairscale_fsdp_cpu_offloading.py)
+        — 15B fits a single 16 GB chip at int8."""
+        from .quantization import quantize_params
+
+        return LMHandle(
+            self.kind, self.cfg, quantize_params(self.params, **kw), self.alphabet
+        )
+
     def __call__(
         self,
         tokens,

@@ -122,3 +122,36 @@ def test_variant_scoring_strategies(fake_ckpt, tmp_path):
     expect = logp[0, 1, mt] - logp[0, 1, wt]
     got = pd.read_csv(tmp_path / "out_wt-marginals.csv")[fake_ckpt][0]
     np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
+def test_structural_split_dataset_offline(tmp_path):
+    """ESMStructuralSplitDataset reads synthesized splits/pkl trees (the
+    download path needs network; item/format semantics match esm/data.py:381-493)."""
+    import pickle
+
+    import numpy as np
+
+    from esm_tpu.data import ESMStructuralSplitDataset
+
+    base = tmp_path / "structural-data"
+    (base / "splits" / "superfamily" / "1").mkdir(parents=True)
+    (base / "pkl" / "1a").mkdir(parents=True)
+    names = ["d1abc_1", "d1axy_2"]
+    (base / "splits" / "superfamily" / "1" / "train.txt").write_text("\n".join(names))
+    for name in names:
+        item = {
+            "seq": "KALTA",
+            "ssp": "HHHHH",
+            "dist": np.zeros((5, 5), np.float32),
+            "coords": np.zeros((5, 3), np.float32),
+        }
+        with open(base / "pkl" / "1a" / f"{name}.pkl", "wb") as f:
+            pickle.dump(item, f)
+
+    ds = ESMStructuralSplitDataset(
+        split_level="superfamily", cv_partition="1", split="train",
+        root_path=str(tmp_path),
+    )
+    assert len(ds) == 2
+    item = ds[0]
+    assert item["seq"] == "KALTA" and item["dist"].shape == (5, 5)

@@ -215,6 +215,16 @@ def test_esmfold_end_to_end_smoke():
     # multimer: linker residues masked out of atom37_atom_exists
     assert "TER" in pdbs[1]
 
+    # frugal mode: O(L^2) diagnostics dropped, everything kept is identical
+    fr = ef.infer(params, cfg, ["MKTVRQERLK", "MKT:RQE"], num_recycles=0, frugal=True)
+    for k in ("s_z", "distogram_logits", "ptm_logits", "aligned_confidence_probs"):
+        assert k not in fr and k in out, k
+    for k in ("positions", "plddt", "ptm", "predicted_aligned_error", "mean_plddt"):
+        np.testing.assert_allclose(
+            np.asarray(fr[k]), np.asarray(out[k]), atol=1e-5, err_msg=k
+        )
+    assert ef.output_to_pdb(fr)[0] == pdbs[0]
+
 
 def test_chunked_triangle_attention_matches():
     """chunk_size changes memory, not numerics."""

@@ -1,0 +1,86 @@
+"""Weight-only int8 quantization (esm_tpu/quantization.py).
+
+The reference's 15B serving path is fairscale FSDP CPU offload
+(examples/esm2_infer_fairscale_fsdp_cpu_offloading.py); here weights stay
+device-resident at half size and flow through the same forward code.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from esm_tpu.data import Alphabet
+from esm_tpu.models import esm2
+from esm_tpu.quantization import param_bytes, quantize_linear, quantize_params
+
+
+def test_quantize_linear_roundtrip():
+    g = np.random.RandomState(0)
+    w = g.randn(64, 32).astype(np.float32) * 0.1
+    p = quantize_linear({"kernel": jnp.asarray(w), "bias": jnp.zeros(32)})
+    assert p["kernel"].dtype == jnp.int8
+    deq = np.asarray(p["kernel"], np.float32) * np.asarray(p["scale"])[None, :]
+    # symmetric per-channel int8: max error is scale/2 per channel
+    err = np.abs(deq - w)
+    assert (err <= np.asarray(p["scale"])[None, :] * 0.5 + 1e-8).all()
+
+
+def test_quantized_esm2_forward_close():
+    alphabet = Alphabet.from_architecture("ESM-1b")
+    cfg = esm2.ESM2Config.from_alphabet(
+        alphabet, num_layers=2, embed_dim=64, attention_heads=4
+    )
+    params = esm2.init(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params(params, min_size=1)
+
+    # linear kernels are int8; embeddings/norms untouched
+    assert qparams["layers"]["fc1"]["kernel"].dtype == jnp.int8
+    assert qparams["embed_tokens"]["weight"].dtype == params["embed_tokens"]["weight"].dtype
+    assert param_bytes(qparams) < 0.62 * param_bytes(params)
+
+    g = np.random.RandomState(1)
+    tokens = np.full((2, 18), alphabet.padding_idx, np.int32)
+    tokens[:, 0] = alphabet.cls_idx
+    tokens[0, 1:17] = g.randint(4, 24, 16)
+    tokens[0, 17] = alphabet.eos_idx
+    tokens[1, 1:9] = g.randint(4, 24, 8)
+    tokens[1, 9] = alphabet.eos_idx
+
+    full = esm2.apply(params, cfg, jnp.asarray(tokens))["logits"]
+    quant = esm2.apply(qparams, cfg, jnp.asarray(tokens))["logits"]
+    ref = np.asarray(full)
+    err = np.abs(np.asarray(quant) - ref)
+    # weight-only per-channel int8: small relative logits error
+    assert err.max() < 0.15 * (np.abs(ref).max() + 1), err.max()
+    # rankings preserved where it matters: argmax token agrees on >95% positions
+    agree = (np.asarray(quant).argmax(-1) == ref.argmax(-1)).mean()
+    assert agree > 0.95, agree
+
+
+def test_quantized_trunk_block_runs():
+    """The fused tri-mul projection (concatenated kernels) dequantizes int8."""
+    from esm_tpu.models.esmfold.init import _KeyGen, init_trunk_block
+    from esm_tpu.ops.triangle import triangle_multiplicative_update
+
+    kg = _KeyGen(jax.random.PRNGKey(2))
+    params = init_trunk_block(kg, 64, 32)["tri_mul_out"]
+    qp = quantize_params(params, min_size=1)
+    z = jax.random.normal(jax.random.PRNGKey(3), (1, 6, 6, 32))
+    full = triangle_multiplicative_update(params, z, outgoing=True)
+    quant = triangle_multiplicative_update(qp, z, outgoing=True)
+    assert np.isfinite(np.asarray(quant)).all()
+    assert np.abs(np.asarray(quant) - np.asarray(full)).max() < 0.2
+
+
+def test_quantized_handle():
+    from esm_tpu.pretrained import LMHandle
+
+    alphabet = Alphabet.from_architecture("ESM-1b")
+    cfg = esm2.ESM2Config.from_alphabet(
+        alphabet, num_layers=2, embed_dim=64, attention_heads=4
+    )
+    h = LMHandle("esm2", cfg, esm2.init(jax.random.PRNGKey(0), cfg), alphabet)
+    hq = h.quantized(min_size=1)
+    _, _, toks = alphabet.get_batch_converter()([("a", "KALTARQQEVF")])
+    out = hq(toks)
+    assert np.isfinite(np.asarray(out["logits"])).all()
