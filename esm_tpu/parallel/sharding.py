@@ -60,12 +60,12 @@ def spec_for_param(path, leaf) -> PS:
     if owner in COLUMN_PARALLEL:
         if leaf_name == "kernel":
             return padded((AXIS_FSDP, AXIS_TP))
-        if leaf_name == "bias":
+        if leaf_name in ("bias", "scale"):  # int8 per-out-channel scales
             return padded((AXIS_TP,))
     if owner in ROW_PARALLEL:
         if leaf_name == "kernel":
             return padded((AXIS_TP, AXIS_FSDP))
-        if leaf_name == "bias":
+        if leaf_name in ("bias", "scale"):
             return padded((None,))
     if "lm_head" in names and leaf_name == "kernel":
         return padded((AXIS_FSDP, AXIS_TP))

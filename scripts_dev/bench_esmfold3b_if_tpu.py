@@ -3,7 +3,7 @@
   2. full-size ESM-IF1 (gvp4, 8+8 layers, d=512) autoregressive decode
 Usage: python bench_esmfold3b_if_tpu.py [esmfold|if] [L ...]
 """
-import sys, time
+import os, sys, time
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp, numpy as np
 print("devices:", jax.devices(), flush=True)
@@ -29,6 +29,13 @@ if which == "esmfold":
                              dtype=jnp.bfloat16)
     n = sum(x.size for x in jax.tree.leaves(params))
     print(f"init {n/1e9:.2f}B params in {time.time()-t0:.0f}s", flush=True)
+    if os.environ.get("ESMFOLD_INT8"):
+        from esm_tpu.quantization import param_bytes, quantize_params
+
+        before = param_bytes(params)
+        params = quantize_params(params)
+        print(f"int8: {before/1e9:.1f} -> {param_bytes(params)/1e9:.1f} GB",
+              flush=True)
     for L in (int(a) for a in (sys.argv[2:] or ["384", "1000"])):
         seq = "".join("LAGVSERTID"[rng.randint(10)] for _ in range(L))
         t0 = time.time()

@@ -182,3 +182,20 @@ def test_memory_plan():
     p_un = plan_model(cfg, MeshConfig(1, 1, 1), dtype=jnp2.bfloat16)
     assert p_sh["total_bytes"] == p_un["total_bytes"]
     assert p_sh["per_device_bytes"] < 16e9 < p_un["per_device_bytes"]
+
+
+def test_sharded_int8_forward_matches_single_device():
+    """Weight-only int8 params shard onto the mesh (scales follow the bias
+    rules) and the sharded forward equals the single-device one."""
+    from esm_tpu.quantization import quantize_params
+
+    cfg, params, toks = _setup()
+    qparams = quantize_params(params, min_size=1)
+    out_single = np.asarray(esm2.apply(qparams, cfg, toks)["logits"])
+
+    mesh = make_mesh(MeshConfig(data=2, fsdp=2, tp=2))
+    params_sh = shard_params(mesh, qparams)
+    assert params_sh["layers"]["fc1"]["kernel"].dtype == jnp.int8
+    toks_sh = jax.device_put(jnp.asarray(toks), batch_sharding(mesh))
+    out_sh = esm2.apply(params_sh, cfg, toks_sh)["logits"]
+    np.testing.assert_allclose(np.asarray(out_sh), out_single, atol=2e-5, rtol=1e-5)
