@@ -55,6 +55,11 @@ def create_parser():
         help="force float32 matmul precision (parity-grade numerics on TPU; slower)",
     )
     parser.add_argument("--nogpu", action="store_true", help="do not use accelerator even if available")
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="weight-only int8 quantization (halves parameter HBM; 15B fits "
+        "one 16GB chip — the reference needs FSDP CPU offload for that)",
+    )
     return parser
 
 
@@ -72,6 +77,8 @@ def run(args):
         jax.config.update("jax_default_matmul_precision", "float32")
 
     model, alphabet = pretrained.load_model_and_alphabet(args.model_location)
+    if args.int8:
+        model = model.quantized()
 
     dataset = FastaBatchedDataset.from_file(args.fasta_file)
     batches = dataset.get_batch_indices(args.toks_per_batch, extra_toks_per_seq=1)

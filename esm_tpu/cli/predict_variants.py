@@ -40,6 +40,10 @@ def create_parser():
     parser.add_argument("--mask-batch", type=int, default=64, help="positions scored per device batch (masked-marginals)")
     parser.add_argument("--msa-mask-batch", type=int, default=8, help="positions per device batch for the MSA Transformer (each position replicates the whole MSA)")
     parser.add_argument("--nogpu", action="store_true")
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="weight-only int8 quantization (15B zero-shot scoring on one chip)",
+    )
     return parser
 
 
@@ -132,6 +136,8 @@ def run(args):
 
     for model_location in args.model_location:
         model, alphabet = pretrained.load_model_and_alphabet(model_location)
+        if args.int8:
+            model = model.quantized()
         batch_converter = alphabet.get_batch_converter()
 
         if model.kind == "msa":
