@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..data.alphabet import Alphabet
-from ..ops.common import init_embedding, init_layer_norm, init_linear_torch_default, layer_norm
+from ..ops.common import materialize_kernel, init_embedding, init_layer_norm, init_linear_torch_default, layer_norm
 from ..ops.heads import contact_head, roberta_lm_head
 from ..ops.positional import learned_positional_embedding, sinusoidal_positional_embedding
 from .lm_common import normalize_repr_layers, LayerStatic, init_transformer_stack, transformer_stack_apply
@@ -240,7 +240,9 @@ def apply(
                 reps_dict[0] = h0
             result["representations"] = reps_dict
         x32 = x.astype(jnp.float32)
-        logits = jnp.dot(x32, params["embed_out"]["kernel"])
+        logits = jnp.dot(
+            x32, materialize_kernel(params["embed_out"], jnp.float32)
+        )
         if "bias" in params["embed_out"]:
             logits = logits + params["embed_out"]["bias"]
     result["logits"] = logits

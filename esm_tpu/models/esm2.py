@@ -256,7 +256,7 @@ def _stack_with_streaming_contacts(
     stack-then-regress (esm/modules.py:317-357) without materializing the
     (B, L, H, T, T) stack. ``strip_last_key`` removes the bias_kv null
     attention column first (ESM-1, reference esm/model/esm1.py:181-183)."""
-    from ..ops.common import apc, symmetrize
+    from ..ops.common import apc, materialize_kernel, symmetrize
     from .lm_common import transformer_layer_apply
 
     static = cfg.layer_static()
@@ -265,9 +265,9 @@ def _stack_with_streaming_contacts(
     if cfg.append_eos:
         eos_keep = (tokens != cfg.eos_idx).astype(jnp.float32)
         eos_pair = eos_keep[:, None, :] * eos_keep[:, :, None]
-    reg_w = params["contact_head"]["regression"]["kernel"].reshape(
-        cfg.num_layers, cfg.attention_heads
-    )
+    reg_w = materialize_kernel(
+        params["contact_head"]["regression"], jnp.float32
+    ).reshape(cfg.num_layers, cfg.attention_heads)
 
     b, t = tokens.shape
     t_out = t - int(cfg.append_eos) - int(cfg.prepend_bos)

@@ -91,7 +91,12 @@ def invariant_point_attention(
     head_w = head_w * math.sqrt(1.0 / (3 * (pq * 9.0 / 2)))
     qq = jnp.sum(q_pts * q_pts, axis=(-1, -2))        # (B, L, H)
     kk = jnp.sum(k_pts * k_pts, axis=(-1, -2))        # (B, L, H)
-    qk = jnp.einsum("bihpx,bjhpx->bhij", q_pts, k_pts)
+    # HIGHEST: TPU matmuls round inputs through bf16 by default, and the
+    # q²+k²−2qk cancellation (global-frame coords reach O(10) units, so
+    # qq/kk ≫ d2) amplifies that rounding into O(1) logit errors.
+    qk = jnp.einsum(
+        "bihpx,bjhpx->bhij", q_pts, k_pts, precision=jax.lax.Precision.HIGHEST
+    )
     d2 = (
         jnp.transpose(qq, (0, 2, 1))[..., :, None]
         + jnp.transpose(kk, (0, 2, 1))[..., None, :]

@@ -18,16 +18,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..esmfold.init import _KeyGen
 from .model import GVPTransformerConfig
-
-
-class _KeyGen:
-    def __init__(self, key):
-        self._key = key
-
-    def __call__(self):
-        self._key, sub = jax.random.split(self._key)
-        return sub
 
 
 def _linear(kg, d_in: int, d_out: int, bias: bool = True):

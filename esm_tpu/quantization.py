@@ -41,11 +41,12 @@ def quantize_linear(p: dict) -> dict:
 def _is_linear(node: Any) -> bool:
     if not isinstance(node, dict) or "kernel" not in node:
         return False
-    k = node["kernel"]
+    k = node["kernel"]  # jax or numpy array — never copy just to inspect
     return (
         hasattr(k, "ndim")
+        and hasattr(k, "dtype")
         and k.ndim >= 2
-        and jnp.issubdtype(jnp.asarray(k).dtype, jnp.floating)
+        and jnp.issubdtype(k.dtype, jnp.floating)
     )
 
 
@@ -67,7 +68,7 @@ def quantize_params(
             keep = (
                 predicate(path, node)
                 if predicate is not None
-                else jnp.asarray(node["kernel"]).size >= min_size
+                else node["kernel"].size >= min_size
             )
             if keep:
                 rest = {k: v for k, v in node.items() if k not in ("kernel", "bias")}

@@ -51,7 +51,8 @@ def build(node, key):
 
 t0 = time.time()
 params = jax.jit(lambda k: build(shapes, k))(jax.random.PRNGKey(1))
-jax.block_until_ready(params)
+# block_until_ready does not block on the tunneled backend — force a readback
+float(jnp.sum(params["embed_tokens"]["weight"].astype(jnp.float32)))
 nbytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
 n = sum(x.size for x in jax.tree.leaves(params))
 print(f"built {n/1e9:.2f}B params, {nbytes/1e9:.1f} GB on device, "

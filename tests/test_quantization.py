@@ -84,3 +84,28 @@ def test_quantized_handle():
     _, _, toks = alphabet.get_batch_converter()([("a", "KALTARQQEVF")])
     out = hq(toks)
     assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+def test_quantized_esm1_untied_head():
+    """ESM-1's untied embed_out is consumed raw (esm1.py) — int8 params must
+    dequantize there too (min_size=1 quantizes everything)."""
+    from esm_tpu.models import esm1
+
+    alphabet = Alphabet.from_architecture("ESM-1")
+    cfg = esm1.ESM1Config.from_alphabet(
+        alphabet, model_version="ESM-1", num_layers=2, embed_dim=64,
+        ffn_embed_dim=128, attention_heads=4,
+    )
+    params = esm1.init(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params(params, min_size=1)
+    assert qparams["embed_out"]["kernel"].dtype == jnp.int8
+
+    g = np.random.RandomState(2)
+    tokens = np.full((1, 12), alphabet.padding_idx, np.int32)
+    tokens[:, 0] = alphabet.cls_idx
+    tokens[0, 1:] = g.randint(4, 24, 11)
+
+    full = np.asarray(esm1.apply(params, cfg, jnp.asarray(tokens))["logits"])
+    quant = np.asarray(esm1.apply(qparams, cfg, jnp.asarray(tokens))["logits"])
+    assert np.abs(quant).max() < 10 * (np.abs(full).max() + 1)
+    assert np.abs(quant - full).max() < 0.15 * (np.abs(full).max() + 1)
