@@ -256,7 +256,7 @@ def _stack_with_streaming_contacts(
     stack-then-regress (esm/modules.py:317-357) without materializing the
     (B, L, H, T, T) stack. ``strip_last_key`` removes the bias_kv null
     attention column first (ESM-1, reference esm/model/esm1.py:181-183)."""
-    from ..ops.common import apc, materialize_kernel, symmetrize
+    from ..ops.common import materialize_kernel
     from .lm_common import transformer_layer_apply
 
     static = cfg.layer_static()
@@ -291,8 +291,20 @@ def _stack_with_streaming_contacts(
             a = a[..., :-1, :-1]
         if cfg.prepend_bos:
             a = a[..., 1:, 1:]
-        feats = apc(symmetrize(a))                               # (B, H, T', T')
-        acc = acc + jnp.einsum("bhij,h->bij", feats, w_l)
+        # Σ_h w_h·apc(symmetrize(a_h)) restructured by linearity of
+        # symmetrize and the head sum: contract heads FIRST, and express
+        # apc's rank-1 correction through per-head row/col sums — three
+        # reads of the (B, H, T', T') tensor, zero writes, instead of
+        # materializing symmetrize/apc intermediates at full size
+        # (semantics: reference esm/modules.py:27-41,338-357).
+        raw = jnp.einsum("bhij,h->bij", a, w_l)
+        row = jnp.sum(a, axis=-1)                                # (B, H, T')
+        col = jnp.sum(a, axis=-2)
+        r = row + col                                            # rowsum of sym
+        s = 2.0 * jnp.sum(row, axis=-1)                          # total of sym
+        w_over_s = jnp.where(s == 0.0, 0.0, w_l[None, :] / s)    # (B, H)
+        corr = jnp.einsum("bh,bhi,bhj->bij", w_over_s, r, r)
+        acc = acc + raw + jnp.swapaxes(raw, -1, -2) - corr
         ys = {"hidden": h} if collect_hiddens else {}
         return (h, acc), ys
 
