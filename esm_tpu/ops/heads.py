@@ -10,7 +10,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .common import apc, gelu_erf, layer_norm, linear, symmetrize
+from .common import gelu_erf, layer_norm, linear, materialize_kernel
 
 
 def roberta_lm_head(params, features: jax.Array, embed_weight: jax.Array) -> jax.Array:
@@ -55,8 +55,23 @@ def contact_head(
         attentions = attentions[..., 1:, 1:]
 
     b, layers, heads, seqlen, _ = attentions.shape
-    attentions = attentions.reshape(b, layers * heads, seqlen, seqlen)
-    attentions = apc(symmetrize(attentions))
-    attentions = attentions.transpose(0, 2, 3, 1)  # B x T x T x (L*H)
-    logits = linear(params["regression"], attentions)[..., 0]
+    a = attentions.reshape(b, layers * heads, seqlen, seqlen)
+    # Σ_k w_k·apc(symmetrize(a_k)) restructured by linearity (same math as
+    # the reference's stack-transpose-regress, esm/modules.py:27-41,338-357):
+    # contract the L·H axis first, then apply apc's rank-1 correction from
+    # per-map row/col sums — avoids transposing/materializing the stacked
+    # (B, L·H, T, T) tensor.
+    w = materialize_kernel(params["regression"], jnp.float32)[:, 0]  # (L*H,)
+    a = a.astype(jnp.float32)
+    raw = jnp.einsum("bkij,k->bij", a, w)
+    row = jnp.sum(a, axis=-1)                                 # (B, L*H, T)
+    col = jnp.sum(a, axis=-2)
+    r = row + col                                             # rowsum of sym
+    s = 2.0 * jnp.sum(row, axis=-1)                           # total of sym
+    w_over_s = jnp.where(s == 0.0, 0.0, w[None, :] / s)       # (B, L*H)
+    corr = jnp.einsum("bk,bki,bkj->bij", w_over_s, r, r)
+    logits = raw + jnp.swapaxes(raw, -1, -2) - corr
+    bias = params["regression"].get("bias")
+    if bias is not None:
+        logits = logits + bias.astype(logits.dtype)[0]
     return jax.nn.sigmoid(logits)
