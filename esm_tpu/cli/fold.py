@@ -76,7 +76,8 @@ def create_parser():
     )
     parser.add_argument(
         "--fused-triangle", action="store_true",
-        help="fused Pallas triangle-attention kernels (fastest; J<=1024; long first compile)",
+        help="fused Pallas triangle-attention kernels (fastest at any length; "
+        "recommended with --bf16-trunk on TPU; long first compile)",
     )
     return parser
 

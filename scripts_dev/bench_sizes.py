@@ -1,4 +1,4 @@
-"""Multi-size throughput measurement on one TPU chip (writes BENCH_NOTES.md)."""
+"""Multi-size throughput measurement on one TPU chip (prints the BENCH_NOTES table)."""
 import sys, time, json
 sys.path.insert(0, "/root/repo")
 import jax, jax.numpy as jnp, numpy as np
@@ -43,12 +43,9 @@ for name, batch in [("esm2_t6_8M_UR50D", 64), ("esm2_t33_650M_UR50D", 8), ("esm2
     gc.collect()
     jax.clear_caches()
 
-with open("/root/repo/BENCH_NOTES.md", "w") as f:
-    f.write("# Single-chip throughput (TPU v5e, bf16, flash attention, L=1022)\n\n")
-    f.write("| model | batch | seq/s/chip | est. TF/s | params |\n|---|---|---|---|---|\n")
-    for name, batch, sps, tf, pm in rows:
-        f.write(f"| {name} | {batch} | {sps:.2f} | {tf:.1f} | {pm:.0f}M |\n")
-    f.write("\nMeasured with readback-synced timing (see esm_tpu/utils/profiling.py).\n")
-    f.write("Attention kernel: Pallas flash, 19.8 TF/s at (B=8,H=20,T=1024,d=64), ")
-    f.write("2.8x JAX's stock pallas flash kernel on the same shape.\n")
-print("wrote BENCH_NOTES.md", flush=True)
+# print the table; BENCH_NOTES.md is curated by hand (do NOT overwrite it —
+# it holds sections this script knows nothing about)
+print("| model | batch | seq/s/chip | est. TF/s | params |")
+print("|---|---|---|---|---|")
+for name, batch, sps, tf, pm in rows:
+    print(f"| {name} | {batch} | {sps:.2f} | {tf:.1f} | {pm:.0f}M |")
