@@ -56,6 +56,12 @@ def create_parser():
     )
     parser.add_argument("--nogpu", action="store_true", help="do not use accelerator even if available")
     parser.add_argument(
+        "--bucket", action="store_true",
+        help="pad batches to shape buckets (T to 128-multiples, B to powers "
+        "of two) so bulk jobs reuse a few compiled programs instead of "
+        "recompiling per exact batch shape (recommended on TPU)",
+    )
+    parser.add_argument(
         "--int8", action="store_true",
         help="weight-only int8 quantization (halves parameter HBM; 15B fits "
         "one 16GB chip — the reference needs FSDP CPU offload for that)",
@@ -95,11 +101,30 @@ def run(args):
         (i + model.num_layers + 1) % (model.num_layers + 1) for i in args.repr_layers
     ]
 
+    def bucketed(toks):
+        """Pad (B, T) up to shape buckets so heterogeneous FASTA batches reuse
+        a handful of compiled programs instead of one per exact shape (XLA
+        recompiles per shape; on TPU a compile costs minutes). T pads to the
+        next multiple of 128, B to the next power of two — padded rows are
+        copies of row 0 (numerically inert, discarded on output)."""
+        b, t = toks.shape
+        tp = min(-(-t // 128) * 128, _round_up_cap)
+        bp = 1 << (b - 1).bit_length()
+        toks = np.pad(np.asarray(toks), ((0, 0), (0, tp - t)),
+                      constant_values=alphabet.padding_idx)
+        if bp != b:
+            toks = np.concatenate([toks, np.repeat(toks[:1], bp - b, axis=0)])
+        return toks, b
+
+    _round_up_cap = -(-(args.truncation_seq_length + 2) // 128) * 128
+
     for batch_idx, batch in enumerate(batches):
         labels, strs, toks = batch_converter([dataset[i] for i in batch])
         print(
             f"Processing {batch_idx + 1} of {len(batches)} batches ({toks.shape[0]} sequences)"
         )
+        if args.bucket:
+            toks, _ = bucketed(toks)
         out = model(toks, repr_layers=repr_layers, return_contacts=return_contacts)
         representations = {
             layer: np.asarray(t) for layer, t in out["representations"].items()

@@ -23,6 +23,7 @@ from esm_tpu.cli import extract
 args = extract.create_parser().parse_args([
     str(cache / "esm2_t6_8M_UR50D_500K.pt"), str(fasta), str(tmp / "embout"),
     "--repr_layers", "-1", "--include", "mean", "contacts", "--fp32-precision",
+    "--bucket",
 ])
 extract.run(args)
 print("extract CLI OK:", sorted(p.name for p in (tmp / "embout").iterdir()), flush=True)

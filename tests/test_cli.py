@@ -155,3 +155,28 @@ def test_structural_split_dataset_offline(tmp_path):
     assert len(ds) == 2
     item = ds[0]
     assert item["seq"] == "KALTA" and item["dist"].shape == (5, 5)
+
+
+def test_extract_cli_bucketed_matches(fake_ckpt, tmp_path):
+    """--bucket pads batches to shape buckets; outputs must be identical."""
+    from esm_tpu.cli import extract
+
+    base = ["--repr_layers", "-1", "--include", "mean", "per_tok", "contacts", "--npz"]
+    a1 = extract.create_parser().parse_args(
+        [fake_ckpt, FASTA, str(tmp_path / "plain")] + base
+    )
+    extract.run(a1)
+    a2 = extract.create_parser().parse_args(
+        [fake_ckpt, FASTA, str(tmp_path / "bucketed"), "--bucket"] + base
+    )
+    extract.run(a2)
+
+    import esm_tpu
+
+    for label, _ in esm_tpu.read_fasta(FASTA):
+        p = np.load(tmp_path / "plain" / f"{label}.npz")
+        b = np.load(tmp_path / "bucketed" / f"{label}.npz")
+        assert set(p.files) == set(b.files)
+        for k in p.files:
+            if p[k].dtype.kind in "fc":
+                np.testing.assert_allclose(b[k], p[k], atol=1e-5, err_msg=f"{label}/{k}")
