@@ -8,16 +8,7 @@ import numpy as np
 
 import esm_tpu
 from esm_tpu import pretrained
-
-
-def compute_precisions(contacts: np.ndarray, targets: np.ndarray, minsep: int = 24):
-    """Top-L long-range precision (the README metric, reference README.md:617-688)."""
-    L = contacts.shape[-1]
-    i, j = np.triu_indices(L, k=minsep)
-    scores = contacts[i, j]
-    true = targets[i, j]
-    order = np.argsort(-scores)[:L]
-    return float(true[order].mean())
+from esm_tpu.metrics import contact_precision as compute_precisions
 
 
 def main():

@@ -180,3 +180,27 @@ def test_extract_cli_bucketed_matches(fake_ckpt, tmp_path):
         for k in p.files:
             if p[k].dtype.kind in "fc":
                 np.testing.assert_allclose(b[k], p[k], atol=1e-5, err_msg=f"{label}/{k}")
+
+
+def test_contact_precision_metric():
+    from esm_tpu.metrics import contact_precision, contacts_from_distance_map
+
+    L = 40
+    rng = np.random.RandomState(0)
+    dist = rng.uniform(3, 20, (L, L)).astype(np.float32)
+    dist = (dist + dist.T) / 2
+    dist[5, 35] = dist[35, 5] = 4.0  # one long-range contact
+    targets = contacts_from_distance_map(dist)
+    assert targets[5, 35] == 1.0
+
+    # a perfect predictor scores 1.0 on the contacts it ranks first
+    pred = np.where(targets > 0, 1.0, 0.0) + rng.uniform(0, 0.01, (L, L))
+    n_true = int(np.triu(targets, k=24).sum())
+    p = contact_precision(pred, targets, minsep=24, topk=n_true)
+    assert p == 1.0
+    # an anti-predictor scores ~0
+    p_bad = contact_precision(-pred, targets, minsep=24, topk=n_true)
+    assert p_bad < 0.5
+    # NaN distances are not contacts
+    dist[2, 30] = np.nan
+    assert contacts_from_distance_map(dist)[2, 30] == 0.0

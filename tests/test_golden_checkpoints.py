@@ -85,3 +85,19 @@ def test_if1_golden_perplexity():
     avgloss = np.sum(loss * coord_mask) / np.sum(coord_mask)
     # reference golden: exp(avgloss) == 4.40 ± 0.01 (tests/test_inverse_folding.py:41-46)
     np.testing.assert_allclose(4.40, float(np.exp(avgloss)), atol=2e-2)
+
+
+@pytest.mark.skipif(not _have("esm2_t33_650M_UR50D"), reason="weights not downloaded")
+def test_esm2_650m_int8_close_to_fp32():
+    """Weight-only int8 vs fp32 on released weights: logits argmax agreement
+    and bounded drift (quantization gate for the 15B-on-one-chip path)."""
+    from esm_tpu import pretrained
+
+    model, alphabet = pretrained.esm2_t33_650M_UR50D()
+    data = [("protein1", "MKTVRQERLKSIVRILERSKEPVSGAQLAEELSVSRQVIVQDIAYLRSLGYNIVATPRGYVLAGG")]
+    _, _, tokens = alphabet.get_batch_converter()(data)
+    full = np.asarray(model(tokens)["logits"])
+    quant = np.asarray(model.quantized()(tokens)["logits"])
+    agree = (quant[0, 1:-1].argmax(-1) == full[0, 1:-1].argmax(-1)).mean()
+    assert agree > 0.98, agree
+    assert np.abs(quant - full).max() < 0.1 * (np.abs(full).max() + 1)
