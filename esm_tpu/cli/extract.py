@@ -56,6 +56,10 @@ def create_parser():
     )
     parser.add_argument("--nogpu", action="store_true", help="do not use accelerator even if available")
     parser.add_argument(
+        "--profile-trace", type=str, default=None, metavar="LOGDIR",
+        help="capture a jax.profiler trace of the run (view in TensorBoard)",
+    )
+    parser.add_argument(
         "--bucket", action="store_true",
         help="pad batches to shape buckets (T to 128-multiples, B to powers "
         "of two) so bulk jobs reuse a few compiled programs instead of "
@@ -85,6 +89,8 @@ def run(args):
     model, alphabet = pretrained.load_model_and_alphabet(args.model_location)
     if args.int8:
         model = model.quantized()
+    if args.profile_trace:
+        jax.profiler.start_trace(args.profile_trace)
 
     dataset = FastaBatchedDataset.from_file(args.fasta_file)
     batches = dataset.get_batch_indices(args.toks_per_batch, extra_toks_per_seq=1)
@@ -175,6 +181,9 @@ def run(args):
                     for k, v in result.items()
                 }
                 torch.save(torch_result, output_file)
+    if args.profile_trace:
+        jax.profiler.stop_trace()
+        print(f"Profiler trace written to {args.profile_trace}")
     print(f"Saved results to {args.output_dir}")
 
 

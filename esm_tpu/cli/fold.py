@@ -79,6 +79,10 @@ def create_parser():
         help="fused Pallas triangle-attention kernels (fastest at any length; "
         "recommended with --bf16-trunk on TPU; long first compile)",
     )
+    parser.add_argument(
+        "--profile-trace", type=str, default=None, metavar="LOGDIR",
+        help="capture a jax.profiler trace of the run (view in TensorBoard)",
+    )
     return parser
 
 
@@ -127,6 +131,8 @@ def run(args):
 
     num_completed = 0
     num_sequences = len(all_sequences)
+    if args.profile_trace:
+        jax.profiler.start_trace(args.profile_trace)
     for headers, sequences in create_batched_sequence_dataset(
         all_sequences, args.max_tokens_per_batch
     ):
@@ -168,6 +174,9 @@ def run(args):
                 f"pLDDT {pl:0.1f}, pTM {tm:0.3f} in {elapsed_per_seq:0.1f}s "
                 f"({num_completed} / {num_sequences} completed)"
             )
+    if args.profile_trace:
+        jax.profiler.stop_trace()
+        logger.info(f"Profiler trace written to {args.profile_trace}")
 
 
 def main():
