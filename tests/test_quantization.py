@@ -109,3 +109,32 @@ def test_quantized_esm1_untied_head():
     quant = np.asarray(esm1.apply(qparams, cfg, jnp.asarray(tokens))["logits"])
     assert np.abs(quant).max() < 10 * (np.abs(full).max() + 1)
     assert np.abs(quant - full).max() < 0.15 * (np.abs(full).max() + 1)
+
+
+def test_quantized_if_score_close():
+    """int8 works across model families: GVP-Transformer scoring drifts only
+    slightly (decode is weight-streaming-bound, int8 halves that traffic)."""
+    from esm_tpu.models import inverse_folding as ifm
+
+    alphabet = Alphabet.from_architecture("invariant_gvp")
+    cfg = ifm.GVPTransformerConfig.from_alphabet(
+        alphabet,
+        encoder_embed_dim=64, encoder_layers=2, encoder_attention_heads=4,
+        encoder_ffn_embed_dim=128, decoder_embed_dim=64, decoder_layers=2,
+        decoder_attention_heads=4, decoder_ffn_embed_dim=128,
+        gvp_top_k_neighbors=6, gvp_node_hidden_dim_scalar=32,
+        gvp_node_hidden_dim_vector=8, gvp_edge_hidden_dim_scalar=16,
+        gvp_edge_hidden_dim_vector=1, gvp_num_encoder_layers=2,
+    )
+    params = ifm.init(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_params(params, min_size=1)
+
+    L = 11
+    t = np.arange(L)[:, None]
+    ca = np.concatenate([np.cos(t * 0.6) * 2.3, np.sin(t * 0.6) * 2.3, t * 1.5], -1)
+    coords = np.stack([ca + [1.2, 0, 0], ca, ca + [0, 1.2, 0]], 1).astype(np.float32)
+    seq = "KALTARQQEVF"
+    full, _ = ifm.score_sequence(params, cfg, alphabet, coords, seq)
+    quant, _ = ifm.score_sequence(qparams, cfg, alphabet, coords, seq)
+    assert np.isfinite(float(quant))
+    assert abs(float(quant) - float(full)) < 0.3, (float(quant), float(full))
