@@ -83,6 +83,11 @@ def create_parser():
         "--profile-trace", type=str, default=None, metavar="LOGDIR",
         help="capture a jax.profiler trace of the run (view in TensorBoard)",
     )
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="weight-only int8 LM+trunk (halves parameter HBM: enables "
+        "L~2048 single-chip folds with the 3B LM; pLDDT drift is small)",
+    )
     return parser
 
 
@@ -126,6 +131,10 @@ def run(args):
         cfg = dataclasses.replace(
             cfg, trunk=dataclasses.replace(cfg.trunk, **trunk_updates)
         )
+    if args.int8:
+        from ..quantization import quantize_params
+
+        params = quantize_params(params)  # LM + trunk; lookup tables untouched
 
     args.pdb.mkdir(exist_ok=True, parents=True)
 

@@ -132,3 +132,21 @@ def test_fold_cli_end_to_end(tmp_path, monkeypatch):
         assert pdb.count(" CA ") == ln
     dimer = (tmp_path / "pdbs" / "dimer.pdb").read_text()
     assert " A" in dimer and "TER" in dimer
+
+
+def test_fold_cli_int8(tmp_path, monkeypatch):
+    """--int8 quantizes LM + trunk; end-to-end fold still writes valid PDBs."""
+    cache, fold_path = _make_cache(tmp_path)
+    monkeypatch.setenv("ESM_TPU_CACHE", str(cache))
+    fasta = tmp_path / "in.fasta"
+    fasta.write_text(">seqA\nMKTVRQERLK\n")
+
+    from esm_tpu.cli import fold
+
+    args = fold.create_parser().parse_args(
+        ["-i", str(fasta), "-o", str(tmp_path / "pdbs8"),
+         "-m", str(fold_path), "--num-recycles", "0", "--int8"]
+    )
+    fold.run(args)
+    pdb = (tmp_path / "pdbs8" / "seqA.pdb").read_text()
+    assert pdb.startswith("ATOM") and pdb.count(" CA ") == 10
