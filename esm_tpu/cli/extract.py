@@ -70,6 +70,15 @@ def create_parser():
         help="weight-only int8 quantization (halves parameter HBM; 15B fits "
         "one 16GB chip — the reference needs FSDP CPU offload for that)",
     )
+    parser.add_argument(
+        "--serial", action="store_true",
+        help="disable the host/device pipeline (tokenize, forward, readback "
+        "and write strictly in sequence, like the reference CLI)",
+    )
+    parser.add_argument(
+        "--writers", type=int, default=2,
+        help="output-writer threads for the pipelined path",
+    )
     return parser
 
 
@@ -124,14 +133,26 @@ def run(args):
 
     _round_up_cap = -(-(args.truncation_seq_length + 2) // 128) * 128
 
-    for batch_idx, batch in enumerate(batches):
+    def prepare(batch):
         labels, strs, toks = batch_converter([dataset[i] for i in batch])
-        print(
-            f"Processing {batch_idx + 1} of {len(batches)} batches ({toks.shape[0]} sequences)"
-        )
         if args.bucket:
             toks, _ = bucketed(toks)
-        out = model(toks, repr_layers=repr_layers, return_contacts=return_contacts)
+        return labels, strs, toks
+
+    def dispatch(prepared):
+        _, _, toks = prepared
+        # async XLA dispatch: returns device values without blocking
+        return model(toks, repr_layers=repr_layers, return_contacts=return_contacts)
+
+    def consume(batch_idx, batch, prepared, out):
+        labels, strs, _ = prepared
+        print(
+            f"Processing {batch_idx + 1} of {len(batches)} batches ({len(labels)} sequences)"
+        )
+        _write_batch(labels, strs, out)
+
+    def _write_batch(labels, strs, out):
+        # np.asarray on a device value is the synchronization point (readback)
         representations = {
             layer: np.asarray(t) for layer, t in out["representations"].items()
         }
@@ -181,6 +202,21 @@ def run(args):
                     for k, v in result.items()
                 }
                 torch.save(torch_result, output_file)
+
+    if args.serial:
+        # reference-style strictly sequential loop (scripts/extract.py:88-131)
+        for batch_idx, batch in enumerate(batches):
+            prepared = prepare(batch)
+            consume(batch_idx, batch, prepared, dispatch(prepared))
+    else:
+        from ..runtime import run_pipeline
+
+        stats = run_pipeline(
+            batches, prepare, dispatch, consume,
+            prefetch=2, in_flight=2, writers=args.writers,
+        )
+        print("Pipeline:", stats.summary())
+
     if args.profile_trace:
         jax.profiler.stop_trace()
         print(f"Profiler trace written to {args.profile_trace}")

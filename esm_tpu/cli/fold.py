@@ -88,6 +88,17 @@ def create_parser():
         help="weight-only int8 LM+trunk (halves parameter HBM: enables "
         "L~2048 single-chip folds with the 3B LM; pLDDT drift is small)",
     )
+    parser.add_argument(
+        "--in-flight", type=int, default=2,
+        help="batches kept in flight on the device (overlaps PDB writing of "
+        "batch k with folding of batch k+1). Each in-flight batch holds its "
+        "outputs in HBM: use 1 for single-sequence batches at L>~1500",
+    )
+    parser.add_argument(
+        "--serial", action="store_true",
+        help="disable the host/device pipeline (fold, readback and write "
+        "strictly in sequence, like the reference CLI)",
+    )
     return parser
 
 
@@ -142,33 +153,31 @@ def run(args):
     num_sequences = len(all_sequences)
     if args.profile_trace:
         jax.profiler.start_trace(args.profile_trace)
-    for headers, sequences in create_batched_sequence_dataset(
-        all_sequences, args.max_tokens_per_batch
-    ):
-        start = timeit.default_timer()
-        try:
-            # frugal: drop O(L^2) diagnostic outputs the CLI never writes —
-            # halves held HBM per batch at long L
-            output = ef.infer(
-                params, cfg, sequences, num_recycles=args.num_recycles, frugal=True
-            )
-        except Exception as e:
-            if "RESOURCE_EXHAUSTED" in str(e) or "out of memory" in str(e).lower():
-                if len(sequences) > 1:
-                    logger.info(
-                        "Failed (OOM) to predict batch of size "
-                        f"{len(sequences)}. Try lowering --max-tokens-per-batch."
-                    )
-                else:
-                    logger.info(
-                        f"Failed (OOM) on sequence {headers[0]} of length "
-                        f"{len(sequences[0])}."
-                    )
-                continue
-            raise
 
-        pdbs = ef.output_to_pdb(output)
-        elapsed = timeit.default_timer() - start
+    batches = list(
+        create_batched_sequence_dataset(all_sequences, args.max_tokens_per_batch)
+    )
+
+    def prepare(item):
+        # sequence encoding happens inside ef.infer (cheap); record dispatch
+        # start lazily so per-batch timing matches the reference's meaning
+        return {"start": None}
+
+    def dispatch(prepared):
+        prepared["start"] = timeit.default_timer()
+        headers, sequences = prepared["item"]
+        # frugal: drop O(L^2) diagnostic outputs the CLI never writes —
+        # halves held HBM per batch at long L. Async XLA dispatch: device
+        # errors (incl. OOM) surface at readback in consume.
+        return ef.infer(
+            params, cfg, sequences, num_recycles=args.num_recycles, frugal=True
+        )
+
+    def consume(batch_idx, item, prepared, output):
+        nonlocal num_completed
+        headers, sequences = item
+        pdbs = ef.output_to_pdb(output)  # readback happens here
+        elapsed = timeit.default_timer() - prepared["start"]
         elapsed_per_seq = elapsed / len(headers)
         mean_plddt = np.asarray(output["mean_plddt"])
         ptm = np.asarray(output["ptm"])
@@ -183,6 +192,48 @@ def run(args):
                 f"pLDDT {pl:0.1f}, pTM {tm:0.3f} in {elapsed_per_seq:0.1f}s "
                 f"({num_completed} / {num_sequences} completed)"
             )
+
+    def on_batch_error(batch_idx, item, err) -> bool:
+        # reference OOM catch-and-skip semantics (scripts/fold.py:163-178)
+        if "RESOURCE_EXHAUSTED" not in str(err) and "out of memory" not in str(err).lower():
+            return False
+        headers, sequences = item
+        if len(sequences) > 1:
+            logger.info(
+                "Failed (OOM) to predict batch of size "
+                f"{len(sequences)}. Try lowering --max-tokens-per-batch."
+            )
+        else:
+            logger.info(
+                f"Failed (OOM) on sequence {headers[0]} of length "
+                f"{len(sequences[0])}."
+            )
+        return True
+
+    def _prepare_with_item(item):
+        out = prepare(item)
+        out["item"] = item
+        return out
+
+    if args.serial:
+        for batch_idx, item in enumerate(batches):
+            prepared = _prepare_with_item(item)
+            try:
+                consume(batch_idx, item, prepared, dispatch(prepared))
+            except Exception as e:
+                if not on_batch_error(batch_idx, item, e):
+                    raise
+    else:
+        from ..runtime import run_pipeline
+
+        # writers=1: keeps the completed-counter log ordered; PDB writes are
+        # tiny so one writer thread never becomes the bottleneck
+        run_pipeline(
+            batches, _prepare_with_item, dispatch, consume,
+            prefetch=2, in_flight=max(1, args.in_flight), writers=1,
+            on_batch_error=on_batch_error,
+        )
+
     if args.profile_trace:
         jax.profiler.stop_trace()
         logger.info(f"Profiler trace written to {args.profile_trace}")

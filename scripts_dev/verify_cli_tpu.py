@@ -14,6 +14,9 @@ cache, fold_path = _make_cache(tmp)
 os.environ["ESM_TPU_CACHE"] = str(cache)
 
 import jax
+# importing tests.conftest (via the _make_cache helper) force-selects CPU;
+# restore the real chip for the drive
+jax.config.update("jax_platforms", "axon,cpu")
 print("devices:", jax.devices(), flush=True)
 
 fasta = tmp / "in.fasta"
