@@ -139,10 +139,51 @@ def run(args):
             toks, _ = bucketed(toks)
         return labels, strs, toks
 
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("trunc",))
+    def _device_means(reps, lengths, trunc):
+        """Masked mean over real tokens (positions 1..len), on device.
+
+        Readback over the host link is the bulk-extraction bottleneck when
+        only reduced representations are requested: this shrinks the pulled
+        tensor from (B, T, D) to (B, D) per layer."""
+        t0 = next(iter(reps.values()))
+        pos = jnp.arange(t0.shape[1])
+        n = jnp.minimum(lengths, trunc)
+        mask = ((pos[None, :] >= 1) & (pos[None, :] < (n + 1)[:, None]))[..., None]
+        return {
+            layer: jnp.sum(t * mask, axis=1) / n[:, None].astype(t.dtype)
+            for layer, t in reps.items()
+        }
+
+    want_per_tok = "per_tok" in args.include
+    want_mean = "mean" in args.include
+    want_bos = "bos" in args.include
+
     def dispatch(prepared):
-        _, _, toks = prepared
+        _, strs, toks = prepared
         # async XLA dispatch: returns device values without blocking
-        return model(toks, repr_layers=repr_layers, return_contacts=return_contacts)
+        out = model(toks, repr_layers=repr_layers, return_contacts=return_contacts)
+        reps = out["representations"]
+        result = {}
+        if want_per_tok:
+            result["representations"] = reps
+        if want_bos:
+            result["bos"] = {layer: t[:, 0] for layer, t in reps.items()}
+        if want_mean:
+            if want_per_tok:
+                pass  # host computes the mean from the per-token pull below
+            else:
+                lengths = np.ones((toks.shape[0],), np.int32)  # padded rows
+                lengths[: len(strs)] = [len(s) for s in strs]
+                result["mean"] = _device_means(
+                    reps, jnp.asarray(lengths), args.truncation_seq_length
+                )
+        if return_contacts:
+            result["contacts"] = out["contacts"]
+        return result
 
     def consume(batch_idx, batch, prepared, out):
         labels, strs, _ = prepared
@@ -154,8 +195,12 @@ def run(args):
     def _write_batch(labels, strs, out):
         # np.asarray on a device value is the synchronization point (readback)
         representations = {
-            layer: np.asarray(t) for layer, t in out["representations"].items()
+            layer: np.asarray(t) for layer, t in out.get("representations", {}).items()
         }
+        device_means = {
+            layer: np.asarray(t) for layer, t in out.get("mean", {}).items()
+        }
+        device_bos = {layer: np.asarray(t) for layer, t in out.get("bos", {}).items()}
         if return_contacts:
             contacts = np.asarray(out["contacts"])
 
@@ -170,13 +215,17 @@ def run(args):
                     for layer, t in representations.items()
                 }
             if "mean" in args.include:
-                result["mean_representations"] = {
-                    layer: t[i, 1 : truncate_len + 1].mean(0)
-                    for layer, t in representations.items()
-                }
+                result["mean_representations"] = (
+                    {
+                        layer: t[i, 1 : truncate_len + 1].mean(0)
+                        for layer, t in representations.items()
+                    }
+                    if want_per_tok
+                    else {layer: t[i].copy() for layer, t in device_means.items()}
+                )
             if "bos" in args.include:
                 result["bos_representations"] = {
-                    layer: t[i, 0].copy() for layer, t in representations.items()
+                    layer: t[i].copy() for layer, t in device_bos.items()
                 }
             if return_contacts:
                 result["contacts"] = contacts[i, :truncate_len, :truncate_len].copy()
