@@ -67,6 +67,7 @@ class Alphabet:
         self.eos_idx = self.get_idx("<eos>")
         self.all_special_tokens = ["<eos>", "<unk>", "<pad>", "<cls>", "<mask>"]
         self.unique_no_split_tokens = self.all_toks
+        self._byte_lut: Optional[np.ndarray] = None  # built lazily by encode
 
     def __len__(self) -> int:
         return len(self.all_toks)
@@ -152,7 +153,38 @@ class Alphabet:
         return split_on_tokens(self.unique_no_split_tokens, text)
 
     def encode(self, text: str) -> List[int]:
+        fast = self._encode_fast(text)
+        if fast is not None:
+            return fast
         return [self.tok_to_idx[tok] for tok in self.tokenize(text)]
+
+    def _encode_fast(self, text: str) -> Optional[List[int]]:
+        """Vectorized byte-LUT encoding for plain residue strings.
+
+        The reference tokenizer (esm/data.py:179-247, mirrored in
+        ``tokenize``) splits the text on every vocabulary token — including
+        each single-letter residue — which is O(vocab x len) python string
+        work and throttles bulk extraction to ~200 seq/s/thread. A plain
+        sequence of single-character tokens maps 1:1 through a 256-entry
+        lookup table instead. Any byte outside the table (multi-char special
+        tokens, whitespace, unknown residues) falls back to the exact slow
+        path, preserving its semantics (including KeyError on unknowns).
+        """
+        lut = self._byte_lut
+        if lut is None:
+            lut = np.full(256, -1, dtype=np.int32)
+            for tok, idx in self.tok_to_idx.items():
+                if len(tok) == 1 and ord(tok) < 256:
+                    lut[ord(tok)] = idx
+            self._byte_lut = lut
+        try:
+            raw = text.encode("ascii")
+        except UnicodeEncodeError:
+            return None
+        ids = lut[np.frombuffer(raw, dtype=np.uint8)]
+        if (ids < 0).any():
+            return None
+        return ids.tolist()
 
     def get_batch_converter(
         self, truncation_seq_length: Optional[int] = None, pad_to_multiple: int = 1

@@ -93,3 +93,25 @@ def test_pad_to_multiple():
     assert toks[0, 0] == a.cls_idx
     assert toks[0, 6] == a.eos_idx
     assert (toks[0, 7:] == a.padding_idx).all()
+
+
+def test_encode_fast_path_matches_slow():
+    """The byte-LUT fast path must agree with the reference-faithful
+    tokenizer on every input class (and fall back where it can't apply)."""
+    import random
+
+    import pytest
+
+    for arch in ("ESM-1", "ESM-1b", "msa_transformer", "invariant_gvp"):
+        a = Alphabet.from_architecture(arch)
+        slow = lambda s: [a.tok_to_idx[t] for t in a.tokenize(s)]
+        random.seed(0)
+        chars = [t for t in a.all_toks if len(t) == 1]
+        for _ in range(25):
+            s = "".join(random.choice(chars) for _ in range(random.randrange(0, 80)))
+            assert a.encode(s) == slow(s), (arch, s)
+        # special tokens / whitespace route through the slow path
+        for s in ("LA<mask>VS", "L A G V S", "<mask>LAG", ""):
+            assert a.encode(s) == slow(s), (arch, s)
+        with pytest.raises(KeyError):
+            a.encode("LAJGV")  # unknown residue: reference-faithful KeyError
