@@ -262,6 +262,68 @@ class IFHandle:
         )
 
 
+class ESMFoldHandle:
+    """ESMFold handle exposing the reference model API
+    (esm/esmfold/v1/esmfold.py:152,281,350,354: forward/infer/infer_pdb/
+    output_to_pdb/set_chunk_size).
+
+    Iterable as ``cfg, params, alphabet = handle`` so functional-style callers
+    can unpack it directly.
+    """
+
+    def __init__(self, cfg, params, alphabet: Alphabet):
+        self.cfg = cfg
+        self.params = params
+        self.alphabet = alphabet
+
+    def __iter__(self):
+        return iter((self.cfg, self.params, self.alphabet))
+
+    def infer(self, sequences, **kw):
+        from .models import esmfold as ef
+
+        return ef.infer(self.params, self.cfg, sequences, **kw)
+
+    def infer_pdbs(self, seqs, **kw):
+        from .models import esmfold as ef
+
+        return ef.infer_pdbs(self.params, self.cfg, seqs, **kw)
+
+    def infer_pdb(self, seq, **kw):
+        return self.infer_pdbs([seq], **kw)[0]
+
+    @staticmethod
+    def output_to_pdb(output):
+        from .models import esmfold as ef
+
+        return ef.output_to_pdb(output)
+
+    def set_chunk_size(self, chunk_size: Optional[int]) -> None:
+        """Chunked triangle attention (reference esmfold.py:354-360 semantics:
+        in-place, trades speed for O(L) pair-stage memory)."""
+        import dataclasses
+
+        self.cfg = dataclasses.replace(
+            self.cfg, trunk=dataclasses.replace(self.cfg.trunk, **{"chunk_size": chunk_size})
+        )
+
+    def with_options(self, **trunk_updates) -> "ESMFoldHandle":
+        """New handle with trunk execution options changed (compute_dtype,
+        use_flash_tri, chunk_size, pair_spec, ...)."""
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            self.cfg, trunk=dataclasses.replace(self.cfg.trunk, **trunk_updates)
+        )
+        return ESMFoldHandle(cfg, self.params, self.alphabet)
+
+    def quantized(self, **kw) -> "ESMFoldHandle":
+        """Weight-only int8 LM+trunk (esm-fold --int8 equivalent)."""
+        from .quantization import quantize_params
+
+        return ESMFoldHandle(self.cfg, quantize_params(self.params, **kw), self.alphabet)
+
+
 # ---------------------------------------------------------------------------
 # Core loaders
 # ---------------------------------------------------------------------------
@@ -550,7 +612,7 @@ def load_esmfold(model_name: str, fast: bool = False):
     params = convert_esmfold({k: v for k, v in state.items() if not k.startswith("esm.")})
     params["esm"] = lm_handle.params
     params["af2_to_esm"] = jnp.asarray(af2_to_esm_table(alphabet))
-    return cfg, params, alphabet
+    return ESMFoldHandle(cfg, params, alphabet)
 
 
 def esmfold_v0(fast: bool = False):

@@ -150,3 +150,41 @@ def test_fold_cli_int8(tmp_path, monkeypatch):
     fold.run(args)
     pdb = (tmp_path / "pdbs8" / "seqA.pdb").read_text()
     assert pdb.startswith("ATOM") and pdb.count(" CA ") == 10
+
+
+def test_esmfold_handle_api(tmp_path, monkeypatch):
+    """ESMFoldHandle mirrors the reference model API (infer/infer_pdb/
+    output_to_pdb/set_chunk_size) and unpacks as (cfg, params, alphabet)."""
+    import jax.numpy as jnp
+
+    from esm_tpu import pretrained
+
+    cache, fold_path = _make_cache(tmp_path)
+    monkeypatch.setenv("ESM_TPU_CACHE", str(cache))
+
+    handle = pretrained.load_esmfold(str(fold_path))
+    cfg, params, alphabet = handle  # back-compat tuple unpacking
+    assert cfg is handle.cfg and params is handle.params
+
+    seq = "MKTVRQERLKSIV"
+    out = handle.infer(seq, num_recycles=1)
+    assert np.isfinite(np.asarray(out["positions"])).all()
+    pdb = handle.infer_pdb(seq, num_recycles=1)
+    assert pdb.startswith("PARENT") or "ATOM" in pdb
+    assert handle.output_to_pdb(out)[0] == pdb
+
+    handle.set_chunk_size(32)
+    assert handle.cfg.trunk.chunk_size == 32
+    out_chunked = handle.infer(seq, num_recycles=1)
+    np.testing.assert_allclose(
+        np.asarray(out_chunked["positions"]), np.asarray(out["positions"]),
+        atol=1e-4, rtol=1e-4,
+    )
+
+    fast = handle.with_options(compute_dtype=jnp.bfloat16)
+    assert fast.cfg.trunk.compute_dtype == jnp.bfloat16
+    assert handle.cfg.trunk.compute_dtype != jnp.bfloat16
+
+    q = handle.quantized()
+    qpdb = q.infer_pdb(seq, num_recycles=1)
+    assert "ATOM" in qpdb
