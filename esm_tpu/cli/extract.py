@@ -162,8 +162,16 @@ def run(args):
     want_mean = "mean" in args.include
     want_bos = "bos" in args.include
 
+    dispatched = [0]
+
     def dispatch(prepared):
-        _, strs, toks = prepared
+        labels, strs, toks = prepared
+        # progress is printed here (the caller thread dispatches in batch
+        # order) so lines stay monotonic even with concurrent writer threads
+        dispatched[0] += 1
+        print(
+            f"Processing {dispatched[0]} of {len(batches)} batches ({len(labels)} sequences)"
+        )
         # async XLA dispatch: returns device values without blocking
         out = model(toks, repr_layers=repr_layers, return_contacts=return_contacts)
         reps = out["representations"]
@@ -187,9 +195,6 @@ def run(args):
 
     def consume(batch_idx, batch, prepared, out):
         labels, strs, _ = prepared
-        print(
-            f"Processing {batch_idx + 1} of {len(batches)} batches ({len(labels)} sequences)"
-        )
         _write_batch(labels, strs, out)
 
     def _write_batch(labels, strs, out):

@@ -159,9 +159,10 @@ def run(args):
     )
 
     def prepare(item):
-        # sequence encoding happens inside ef.infer (cheap); record dispatch
-        # start lazily so per-batch timing matches the reference's meaning
-        return {"start": None}
+        # sequence encoding happens inside ef.infer (cheap); nothing to do here
+        return {"item": item, "start": None}
+
+    last_done = [None]  # completion time of the previous batch (writers=1)
 
     def dispatch(prepared):
         prepared["start"] = timeit.default_timer()
@@ -177,7 +178,16 @@ def run(args):
         nonlocal num_completed
         headers, sequences = item
         pdbs = ef.output_to_pdb(output)  # readback happens here
-        elapsed = timeit.default_timer() - prepared["start"]
+        done = timeit.default_timer()
+        # with batches in flight, dispatch returns before the device is free:
+        # time from max(dispatch start, previous batch completion) is the
+        # marginal cost of this batch (equals the reference's per-batch wall
+        # time in --serial mode)
+        since = prepared["start"] if last_done[0] is None else max(
+            prepared["start"], last_done[0]
+        )
+        last_done[0] = done
+        elapsed = done - since
         elapsed_per_seq = elapsed / len(headers)
         mean_plddt = np.asarray(output["mean_plddt"])
         ptm = np.asarray(output["ptm"])
@@ -198,26 +208,27 @@ def run(args):
         if "RESOURCE_EXHAUSTED" not in str(err) and "out of memory" not in str(err).lower():
             return False
         headers, sequences = item
+        pipelined_hint = (
+            "" if args.serial or args.in_flight <= 1
+            else " With batches in flight each holds its outputs in HBM: "
+            "try --in-flight 1 (or --serial) before shrinking the batch."
+        )
         if len(sequences) > 1:
             logger.info(
                 "Failed (OOM) to predict batch of size "
                 f"{len(sequences)}. Try lowering --max-tokens-per-batch."
+                + pipelined_hint
             )
         else:
             logger.info(
                 f"Failed (OOM) on sequence {headers[0]} of length "
-                f"{len(sequences[0])}."
+                f"{len(sequences[0])}." + pipelined_hint
             )
         return True
 
-    def _prepare_with_item(item):
-        out = prepare(item)
-        out["item"] = item
-        return out
-
     if args.serial:
         for batch_idx, item in enumerate(batches):
-            prepared = _prepare_with_item(item)
+            prepared = prepare(item)
             try:
                 consume(batch_idx, item, prepared, dispatch(prepared))
             except Exception as e:
@@ -229,7 +240,7 @@ def run(args):
         # writers=1: keeps the completed-counter log ordered; PDB writes are
         # tiny so one writer thread never becomes the bottleneck
         run_pipeline(
-            batches, _prepare_with_item, dispatch, consume,
+            batches, prepare, dispatch, consume,
             prefetch=2, in_flight=max(1, args.in_flight), writers=1,
             on_batch_error=on_batch_error,
         )

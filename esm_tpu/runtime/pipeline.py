@@ -25,8 +25,8 @@ import queue
 import threading
 import time
 from concurrent.futures import FIRST_EXCEPTION, ThreadPoolExecutor, wait
-from dataclasses import dataclass, field
-from typing import Any, Callable, Iterable, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Any, Callable, Iterable, List, Optional
 
 
 @dataclass
@@ -53,24 +53,45 @@ class PipelineStats:
 class _PrepareThread(threading.Thread):
     """Runs ``prepare`` over the item stream, keeping ``depth`` results queued."""
 
-    def __init__(self, items: Iterable[Any], prepare: Callable[[Any], Any], depth: int):
+    def __init__(
+        self,
+        items: Iterable[Any],
+        prepare: Callable[[Any], Any],
+        depth: int,
+        abort: threading.Event,
+    ):
         super().__init__(name="esm-tpu-prepare", daemon=True)
         self._items = items
         self._prepare = prepare
+        self._abort = abort
         self.out: "queue.Queue" = queue.Queue(maxsize=depth)
         self.error: Optional[BaseException] = None
         self.elapsed = 0.0
 
+    def _put(self, value) -> None:
+        # bounded put that gives up promptly when the run is aborting, so the
+        # thread can never stay parked on a full queue
+        while not self._abort.is_set():
+            try:
+                self.out.put(value, timeout=0.1)
+                return
+            except queue.Full:
+                continue
+
     def run(self) -> None:
         try:
             for idx, item in enumerate(self._items):
+                if self._abort.is_set():
+                    break  # don't keep tokenizing batches nobody will consume
                 t0 = time.perf_counter()
                 prepared = self._prepare(item)
                 self.elapsed += time.perf_counter() - t0
-                self.out.put((idx, item, prepared))
+                self._put((idx, item, prepared))
         except BaseException as e:  # propagated to the caller thread
             self.error = e
         finally:
+            # unbounded put so the end-of-stream marker always lands even if
+            # abort raced with a full queue
             self.out.put(None)
 
 
@@ -114,11 +135,11 @@ def run_pipeline(
     t_start = time.perf_counter()
     stats_lock = threading.Lock()
 
-    producer = _PrepareThread(items, prepare, depth=prefetch)
+    abort = threading.Event()
+    producer = _PrepareThread(items, prepare, depth=prefetch, abort=abort)
     producer.start()
 
     slots = threading.BoundedSemaphore(in_flight)
-    abort = threading.Event()
     first_error: List[BaseException] = []
 
     def _fail(idx: int, item: Any, err: BaseException) -> None:
@@ -177,13 +198,14 @@ def run_pipeline(
         except queue.Empty:
             pass
         pool.shutdown(wait=True)
-        producer.join(timeout=10.0)
+        producer.join(timeout=30.0)
 
     if producer.error is not None:
         raise producer.error
     if first_error:
         raise first_error[0]
 
-    stats.prepare_s = producer.elapsed
+    if not producer.is_alive():  # don't read timing from a leaked thread
+        stats.prepare_s = producer.elapsed
     stats.total_s = time.perf_counter() - t_start
     return stats

@@ -167,3 +167,93 @@ def test_extract_pipelined_matches_serial(tmp_path):
         for k in a.files:
             if a[k].dtype.kind in "fc":
                 np.testing.assert_array_equal(a[k], b[k], err_msg=f"{label}/{k}")
+
+
+def test_extract_device_means_match_host(tmp_path):
+    """--include mean/bos without per_tok reduces on device; must equal the
+    host-side mean over real tokens (incl. truncation and --bucket padding)."""
+    import argparse
+
+    import torch
+
+    from tests.conftest import add_reference_to_path
+
+    add_reference_to_path()
+    from esm.model.esm2 import ESM2 as RefESM2
+
+    from esm_tpu.cli import extract
+
+    torch.manual_seed(1)
+    ref = RefESM2(num_layers=2, embed_dim=32, attention_heads=2)
+    state = {
+        (
+            f"encoder.sentence_encoder.{k}"
+            if not k.startswith("lm_head")
+            else f"encoder.{k}"
+        ): v
+        for k, v in ref.state_dict().items()
+    }
+    cfg = argparse.Namespace(
+        encoder_layers=2, encoder_embed_dim=32, encoder_attention_heads=2,
+        token_dropout=True,
+    )
+    ckpt = tmp_path / "esm2_t2_dm_UR50D.pt"
+    torch.save({"cfg": {"model": cfg}, "model": state}, ckpt)
+    torch.save({"model": {}}, tmp_path / "esm2_t2_dm_UR50D-contact-regression.pt")
+
+    fasta = tmp_path / "in.fasta"
+    fasta.write_text(
+        ">a\nMKTVRQERLKSIVRILERSKEPVSGAQLAEELSVSRQVIVQDIAYLRSLGYNIVATPRGYVLAGG\n"
+        ">b\nKALTARQQEVFDLIRD\n"
+        ">c\nLAGVSERTIDPKQNFYMHWCLAGVSERTID\n"
+    )
+    # truncation shorter than sequence 'a' exercises min(len, trunc) on device
+    common = [str(ckpt), str(fasta), "", "--npz", "--repr_layers", "0", "-1",
+              "--truncation_seq_length", "24", "--bucket"]
+
+    a1 = extract.create_parser().parse_args(
+        common[:3] + ["--include", "mean", "bos"] + common[3:]
+    )
+    a1.output_dir = tmp_path / "device"
+    extract.run(a1)
+
+    a2 = extract.create_parser().parse_args(
+        common[:3] + ["--include", "mean", "bos", "per_tok"] + common[3:]
+    )
+    a2.output_dir = tmp_path / "host"
+    extract.run(a2)
+
+    for label in ("a", "b", "c"):
+        d = np.load(tmp_path / "device" / f"{label}.npz")
+        h = np.load(tmp_path / "host" / f"{label}.npz")
+        for layer in (0, 2):
+            np.testing.assert_allclose(
+                d[f"mean_representations_{layer}"],
+                h[f"mean_representations_{layer}"],
+                atol=1e-5, rtol=1e-5, err_msg=f"{label} mean L{layer}",
+            )
+            np.testing.assert_array_equal(
+                d[f"bos_representations_{layer}"],
+                h[f"bos_representations_{layer}"],
+                err_msg=f"{label} bos L{layer}",
+            )
+
+
+def test_pipeline_abort_stops_producer():
+    """A fatal error must stop the prepare thread promptly instead of
+    tokenizing every remaining item."""
+    prepared_count = [0]
+
+    def prepare(x):
+        prepared_count[0] += 1
+        time.sleep(0.002)
+        return x
+
+    def dispatch(p):
+        if p == 3:
+            raise RuntimeError("fatal")
+        return p
+
+    with pytest.raises(RuntimeError, match="fatal"):
+        run_pipeline(range(500), prepare, dispatch, lambda *a: None, prefetch=2)
+    assert prepared_count[0] < 50  # not all 500
