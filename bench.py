@@ -40,7 +40,7 @@ def main():
     alphabet = Alphabet.from_architecture("ESM-1b")
     size = esm2.ESM2_SIZES["esm2_t33_650M_UR50D"]
     L = 1022  # residues; +bos/eos = 1024 tokens
-    B = 16
+    B = 32  # B=32 measures ~4-6% over B=16 on-chip (amortizes per-step overhead)
 
     cfg_flash = esm2.ESM2Config.from_alphabet(
         alphabet, **size, compute_dtype=jnp.bfloat16, use_flash=True
