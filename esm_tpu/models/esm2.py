@@ -45,6 +45,7 @@ class ESM2Config:
     # Execution options (not part of checkpoint identity)
     compute_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    remat: bool = False  # rematerialize layer bodies on backward (training)
 
     @property
     def ffn_embed_dim(self) -> int:
@@ -70,6 +71,7 @@ class ESM2Config:
             use_bias_kv=False,
             ln_eps=1e-5,
             use_flash=self.use_flash,
+            remat=self.remat,
         )
 
 

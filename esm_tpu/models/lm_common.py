@@ -13,6 +13,7 @@ attention maps.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -38,6 +39,10 @@ class LayerStatic:
     use_bias_kv: bool = False
     ln_eps: float = 1e-5            # ESM-1b/2 LayerNorm eps; ESM-1 uses 1e-12
     use_flash: bool = False
+    # Rematerialize the layer body on the backward pass (training-memory
+    # knob: activations are O(1) layers deep instead of O(num_layers);
+    # matmul outputs stay saved per the dots_saveable policy).
+    remat: bool = False
 
 
 def transformer_layer_apply(
@@ -102,18 +107,27 @@ def transformer_stack_apply(
     else:
         carry0 = x
 
+    layer_fn = partial(
+        transformer_layer_apply,
+        static=static,
+        key_padding_mask=key_padding_mask,
+        need_head_weights=need_head_weights,
+    )
+    if static.remat:
+        # recompute the block in the backward pass instead of saving its
+        # activations across the whole scan (jax.checkpoint inside lax.scan:
+        # the standard TPU training-memory pattern); matmul results are kept
+        # (dots_saveable) so the recompute is elementwise-only
+        layer_fn = jax.checkpoint(
+            layer_fn, policy=jax.checkpoint_policies.dots_saveable
+        )
+
     def body(carry, layer_params):
         if selective:
             h_in, i, buf = carry
         else:
             h_in = carry
-        h, probs = transformer_layer_apply(
-            layer_params,
-            h_in,
-            static=static,
-            key_padding_mask=key_padding_mask,
-            need_head_weights=need_head_weights,
-        )
+        h, probs = layer_fn(layer_params, h_in)
         ys = {}
         if collect_hiddens:
             ys["hidden"] = h

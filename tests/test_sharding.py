@@ -199,3 +199,43 @@ def test_sharded_int8_forward_matches_single_device():
     toks_sh = jax.device_put(jnp.asarray(toks), batch_sharding(mesh))
     out_sh = esm2.apply(params_sh, cfg, toks_sh)["logits"]
     np.testing.assert_allclose(np.asarray(out_sh), out_single, atol=2e-5, rtol=1e-5)
+
+
+def test_remat_matches_exact_gradients():
+    """cfg.remat recomputes layer bodies on backward: forward outputs and
+    gradients must match the non-remat path (pure memory/time tradeoff)."""
+    import dataclasses
+
+    from esm_tpu import training
+
+    cfg, params, toks = _setup()
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    toks = jnp.asarray(toks)
+    rng = jax.random.PRNGKey(7)
+
+    out = esm2.apply(params, cfg, toks)["logits"]
+    out_r = esm2.apply(params, cfg_r, toks)["logits"]
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(out), atol=1e-6)
+
+    def loss_fn(c):
+        def f(p):
+            corrupted, target_mask = training.mask_tokens(
+                rng, toks,
+                mask_idx=c.mask_idx, padding_idx=c.padding_idx,
+                special_mask=(toks == c.cls_idx) | (toks == c.eos_idx)
+                | (toks == c.padding_idx),
+            )
+            logits = esm2.apply(p, c, corrupted)["logits"]
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            nll = -jnp.take_along_axis(logp, toks[..., None], axis=-1)[..., 0]
+            return jnp.sum(nll * target_mask) / jnp.maximum(jnp.sum(target_mask), 1)
+        return f
+
+    g = jax.grad(loss_fn(cfg))(params)
+    g_r = jax.grad(loss_fn(cfg_r))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5
+        ),
+        g, g_r,
+    )
