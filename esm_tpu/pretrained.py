@@ -73,13 +73,34 @@ def _load_checkpoint(model_name: str):
     return model_data, regression_data
 
 
+def load_hub_workaround(url: str):
+    """Download a checkpoint URL into the cache and torch-load it
+    (reference esm/pretrained.py:31-43 public helper)."""
+    torch = _torch()
+    try:
+        path = _download(url)
+    except Exception as e:
+        raise Exception(f"Could not load {url}, check if you specified a correct model name?") from e
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_regression_hub(model_name: str):
+    """Load the separate contact-regression weights for ``model_name``
+    (reference esm/pretrained.py:52-55)."""
+    return load_hub_workaround(REGRESSION_URL.format(model_name))
+
+
 # ---------------------------------------------------------------------------
 # Legacy key upgrades (reference esm/pretrained.py:85-183)
 # ---------------------------------------------------------------------------
 
 
-def _has_emb_layer_norm_before(model_state) -> bool:
+def has_emb_layer_norm_before(model_state) -> bool:
+    """Distinguish ESM-1b-style checkpoints (reference esm/pretrained.py:76-82)."""
     return any(k.startswith("emb_layer_norm_before") for k in model_state)
+
+
+_has_emb_layer_norm_before = has_emb_layer_norm_before  # internal alias
 
 
 def upgrade_state_v1(model_data) -> Tuple[Dict[str, Any], Dict, str]:
