@@ -19,4 +19,24 @@ __all__ = [
     "FastaBatchedDataset",
     "read_fasta",
     "pretrained",
+    "models",
+    "data",
+    "native",
+    "quantization",
+    "training",
 ]
+
+_LAZY_SUBMODULES = ("models", "native", "quantization", "training", "io",
+                    "parallel", "runtime", "apps", "kernels", "ops", "utils",
+                    "metrics")
+
+
+def __getattr__(name):
+    # Lazy submodule access (PEP 562): `esm_tpu.models` etc. work without
+    # importing jax-heavy code at package-import time — the top-level import
+    # stays light for CLI --help and data-only use.
+    if name in _LAZY_SUBMODULES:
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -158,6 +158,20 @@ class Alphabet:
             return fast
         return [self.tok_to_idx[tok] for tok in self.tokenize(text)]
 
+    def byte_lut(self) -> "np.ndarray":
+        """256-entry int32 LUT mapping ASCII bytes of single-char tokens to
+        token ids (-1 = no single-char token for that byte). Public accessor
+        for the vectorized/native tokenization paths
+        (esm_tpu.native.tokenize_batch)."""
+        lut = self._byte_lut
+        if lut is None:
+            lut = np.full(256, -1, dtype=np.int32)
+            for tok, idx in self.tok_to_idx.items():
+                if len(tok) == 1 and ord(tok) < 256:
+                    lut[ord(tok)] = idx
+            self._byte_lut = lut
+        return lut
+
     def _encode_fast(self, text: str) -> Optional[List[int]]:
         """Vectorized byte-LUT encoding for plain residue strings.
 
@@ -170,13 +184,7 @@ class Alphabet:
         tokens, whitespace, unknown residues) falls back to the exact slow
         path, preserving its semantics (including KeyError on unknowns).
         """
-        lut = self._byte_lut
-        if lut is None:
-            lut = np.full(256, -1, dtype=np.int32)
-            for tok, idx in self.tok_to_idx.items():
-                if len(tok) == 1 and ord(tok) < 256:
-                    lut[ord(tok)] = idx
-            self._byte_lut = lut
+        lut = self.byte_lut()
         try:
             raw = text.encode("ascii")
         except UnicodeEncodeError:

@@ -31,7 +31,9 @@ class FastaBatchedDataset:
             labels, seq_buf, seq_off = parsed
             if len(set(labels)) != len(labels):
                 raise AssertionError("Found duplicate sequence labels")
-            sview = seq_buf.tobytes().decode("utf-8", errors="replace")
+            # parse_fasta guarantees pure-ASCII buffers (it returns None and
+            # we fall back otherwise), so byte offsets == char offsets here
+            sview = seq_buf[: seq_off[-1]].tobytes().decode("ascii")
             off = seq_off.tolist()
             strs = [sview[off[i]:off[i + 1]] for i in range(len(labels))]
             ds = cls(labels, strs)

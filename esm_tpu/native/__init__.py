@@ -114,7 +114,12 @@ def parse_fasta(
 
     Returns ``(labels, seq_buf, seq_off)`` where record i's cleaned sequence
     bytes are ``seq_buf[seq_off[i]:seq_off[i+1]]`` — or None when the native
-    library is unavailable or the file cannot be mapped (caller falls back).
+    library is unavailable, the file cannot be mapped, the file changed
+    between the sizing and fill passes, or the content is not pure ASCII.
+    The ASCII gate keeps exact parity with the reference's text-mode parser
+    (byte offsets == character offsets; invalid UTF-8 raises
+    UnicodeDecodeError in the fallback instead of being silently mangled;
+    non-ASCII whitespace keeps Python str.strip semantics).
     """
     lib = _load()
     if lib is None:
@@ -130,18 +135,26 @@ def parse_fasta(
         nullc, null64, nullc, null64,
     ) != 0:
         return None
-    label_buf = np.empty(max(lb.value, 1), dtype=np.uint8)
-    seq_buf = np.empty(max(sb.value, 1), dtype=np.uint8)
+    label_buf = np.zeros(max(lb.value, 1), dtype=np.uint8)
+    seq_buf = np.zeros(max(sb.value, 1), dtype=np.uint8)
     label_off = np.empty(n.value + 1, dtype=np.int64)
     seq_off = np.empty(n.value + 1, dtype=np.int64)
-    n2 = ctypes.c_int64()
+    # in-out: capacities in, actual counts out; the C side bounds-checks every
+    # write and returns -2 if the file grew between the passes
+    n2 = ctypes.c_int64(n.value)
+    lb2 = ctypes.c_int64(lb.value)
+    sb2 = ctypes.c_int64(sb.value)
     if lib.esm_fasta_parse(
-        path_b, ctypes.byref(n2), ctypes.byref(lb), ctypes.byref(sb),
+        path_b, ctypes.byref(n2), ctypes.byref(lb2), ctypes.byref(sb2),
         label_buf.ctypes.data_as(ctypes.c_char_p), _i64p(label_off),
         seq_buf.ctypes.data_as(ctypes.c_char_p), _i64p(seq_off),
     ) != 0 or n2.value != n.value:
         return None  # file changed between passes
-    lview = label_buf.tobytes().decode("utf-8", errors="replace")
+    if (lb2.value and label_buf[:lb2.value].max() >= 128) or (
+        sb2.value and seq_buf[:sb2.value].max() >= 128
+    ):
+        return None  # non-ASCII content: exact-semantics fallback
+    lview = label_buf[:lb2.value].tobytes().decode("ascii")
     off = label_off.tolist()  # plain ints slice ~2x faster than np.int64
     labels = [lview[off[i]:off[i + 1]] for i in range(n.value)]
     return labels, seq_buf, seq_off[: n.value + 1]

@@ -31,10 +31,13 @@
 
 namespace {
 
-// Python str.strip() whitespace set.
+// Python str.strip() whitespace set, ASCII subset: \t\n\v\f\r, space, and
+// the file/group/record/unit separators \x1c-\x1f (which Python also
+// strips). Non-ASCII whitespace (\x85, NBSP, ...) never reaches this code:
+// the Python binding rejects any non-ASCII buffer and falls back to the
+// exact text-mode parser.
 inline bool is_space(unsigned char c) {
-  return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\v' ||
-         c == '\f';
+  return (c >= 0x09 && c <= 0x0d) || c == ' ' || (c >= 0x1c && c <= 0x1f);
 }
 
 // Trim [b, e) on both sides; returns trimmed length, updates b.
@@ -50,43 +53,60 @@ struct Sink {
   char* seq_buf;
   int64_t* seq_off;
   bool fill;
+  // Fill-pass buffer capacities (from the sizing pass). The file may grow
+  // between the two calls (e.g. a concurrently-appended shard) — every write
+  // is bounds-checked and sets `overflow` instead of running past the
+  // caller's numpy buffers.
+  int64_t n_cap = 0;
+  int64_t label_cap = 0;
+  int64_t seq_cap = 0;
 
   int64_t n = 0;
   int64_t label_bytes = 0;
   int64_t seq_bytes = 0;
+  bool overflow = false;
 
   void header(const char* data, int64_t b, int64_t e, int64_t line_idx) {
     int64_t len = trim(data, b, e);
+    char tmp[32];
+    const char* src = data + b;
+    if (len == 0) {
+      // reference: f"seqnum{line_idx:09d}" (esm/data.py:40)
+      len = snprintf(tmp, sizeof(tmp), "seqnum%09lld", (long long)line_idx);
+      src = tmp;
+    }
     if (fill) {
+      if (n >= n_cap || label_bytes + len > label_cap) {
+        overflow = true;
+        return;
+      }
       label_off[n] = label_bytes;
       // Sequence bytes seen before the first header belong to the first
       // record (the reference never clears its line buffer on the first
       // flush, esm/data.py:27-33) — so record 0 starts at offset 0.
       seq_off[n] = (n == 0) ? 0 : seq_bytes;
+      memcpy(label_buf + label_bytes, src, (size_t)len);
     }
-    if (len > 0) {
-      if (fill) memcpy(label_buf + label_bytes, data + b, (size_t)len);
-      label_bytes += len;
-    } else {
-      // reference: f"seqnum{line_idx:09d}" (esm/data.py:40)
-      char tmp[32];
-      int m = snprintf(tmp, sizeof(tmp), "seqnum%09lld", (long long)line_idx);
-      if (fill) memcpy(label_buf + label_bytes, tmp, (size_t)m);
-      label_bytes += m;
-    }
+    label_bytes += len;
     ++n;
   }
 
   void seq_line(const char* data, int64_t b, int64_t e) {
     int64_t len = trim(data, b, e);
     if (len > 0) {
-      if (fill) memcpy(seq_buf + seq_bytes, data + b, (size_t)len);
+      if (fill) {
+        if (seq_bytes + len > seq_cap) {
+          overflow = true;
+          return;
+        }
+        memcpy(seq_buf + seq_bytes, data + b, (size_t)len);
+      }
       seq_bytes += len;
     }
   }
 
   void finish() {
-    if (fill) {
+    if (fill && !overflow) {
       label_off[n] = label_bytes;
       seq_off[n] = seq_bytes;
     }
@@ -116,6 +136,7 @@ void scan(const char* data, int64_t size, Sink& out) {
       // caller never reads them.
       out.seq_line(data, pos, end);
     }
+    if (out.overflow) break;
     pos = end;
     if (pos < size) {
       if (data[pos] == '\r' && pos + 1 < size && data[pos + 1] == '\n') ++pos;
@@ -135,7 +156,11 @@ extern "C" {
 // caller-allocated buffers:
 //   label_buf: label_bytes chars     label_off: (n_records+1) int64
 //   seq_buf:   seq_bytes chars       seq_off:   (n_records+1) int64
-// Returns 0 on success, -1 if the file cannot be opened/mapped.
+// On the fill call, n_records / label_bytes / seq_bytes are IN-OUT: they
+// carry the buffer capacities in (from the sizing call) and the actual
+// counts out. Returns 0 on success, -1 if the file cannot be opened/mapped,
+// -2 if the file outgrew the capacities between the two calls (the caller
+// must re-size; no out-of-bounds write happens).
 int esm_fasta_parse(const char* path, int64_t* n_records, int64_t* label_bytes,
                     int64_t* seq_bytes, char* label_buf, int64_t* label_off,
                     char* seq_buf, int64_t* seq_off) {
@@ -163,8 +188,12 @@ int esm_fasta_parse(const char* path, int64_t* n_records, int64_t* label_bytes,
   out.label_off = label_off;
   out.seq_buf = seq_buf;
   out.seq_off = seq_off;
-  if (out.fill && size > 0)
-    madvise((void*)data, (size_t)size, MADV_SEQUENTIAL);
+  if (out.fill) {
+    out.n_cap = *n_records;
+    out.label_cap = *label_bytes;
+    out.seq_cap = *seq_bytes;
+    if (size > 0) madvise((void*)data, (size_t)size, MADV_SEQUENTIAL);
+  }
   scan(data, size, out);
 
   *n_records = out.n;
@@ -172,7 +201,7 @@ int esm_fasta_parse(const char* path, int64_t* n_records, int64_t* label_bytes,
   *seq_bytes = out.seq_bytes;
   if (size > 0) munmap((void*)data, (size_t)size);
   close(fd);
-  return 0;
+  return out.overflow ? -2 : 0;
 }
 
 // LUT-tokenize `n` records (selected by `idx` into the seq_off table) into a

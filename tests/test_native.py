@@ -14,7 +14,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _python_from_file(path, monkeypatch):
+def _python_from_file(path):
     """Force the pure-Python fallback parser."""
     with pytest.MonkeyPatch.context() as mp:
         mp.setattr(native, "parse_fasta", lambda _: None)
@@ -41,10 +41,10 @@ def _write(tmp_path, text, name="t.fasta"):
     return p
 
 
-def test_parse_parity_tricky(tmp_path, monkeypatch):
+def test_parse_parity_tricky(tmp_path):
     p = _write(tmp_path, TRICKY)
     ds_native = FastaBatchedDataset.from_file(p)
-    ds_python = _python_from_file(p, monkeypatch)
+    ds_python = _python_from_file(p)
     assert ds_native.sequence_labels == ds_python.sequence_labels
     assert ds_native.sequence_strs == ds_python.sequence_strs
     # spot-check the documented semantics
@@ -68,15 +68,15 @@ def test_parse_parity_tricky(tmp_path, monkeypatch):
         ">a\nAC\n>b\n>c\nGG\n",              # empty record in the middle
     ],
 )
-def test_parse_parity_cases(tmp_path, monkeypatch, text):
+def test_parse_parity_cases(tmp_path, text):
     p = _write(tmp_path, text)
     if text.count(">") == 0 and text:
         # both parsers yield zero records
         assert len(FastaBatchedDataset.from_file(p)) == 0
-        assert len(_python_from_file(p, monkeypatch)) == 0
+        assert len(_python_from_file(p)) == 0
         return
     ds_native = FastaBatchedDataset.from_file(p)
-    ds_python = _python_from_file(p, monkeypatch)
+    ds_python = _python_from_file(p)
     assert ds_native.sequence_labels == ds_python.sequence_labels
     assert ds_native.sequence_strs == ds_python.sequence_strs
 
@@ -99,13 +99,11 @@ def test_tokenize_batch_matches_batch_converter(tmp_path):
     converter = alphabet.get_batch_converter(trunc)
     _, _, want = converter([(l, s) for l, s in ds])
 
-    # the alphabet's byte LUT (lazily built by encode)
-    alphabet.encode("A")
     toks = native.tokenize_batch(
         ds._seq_buf,
         ds._seq_off,
         np.arange(len(ds)),
-        alphabet._byte_lut,
+        alphabet.byte_lut(),
         truncation=trunc,
         bos=alphabet.cls_idx if alphabet.prepend_bos else -1,
         eos=alphabet.eos_idx if alphabet.append_eos else -1,
@@ -119,14 +117,13 @@ def test_tokenize_batch_unknown_byte_falls_back():
     seq = np.frombuffer(b"AC1DE", dtype=np.uint8)  # '1' is unmapped
     off = np.array([0, 5], dtype=np.int64)
     alphabet = Alphabet.from_architecture("ESM-1b")
-    alphabet.encode("A")
     out = native.tokenize_batch(
-        seq, off, [0], alphabet._byte_lut, bos=0, eos=2, pad=1
+        seq, off, [0], alphabet.byte_lut(), bos=0, eos=2, pad=1
     )
     assert out is None
 
 
-def test_large_roundtrip(tmp_path, monkeypatch):
+def test_large_roundtrip(tmp_path):
     rng = np.random.RandomState(0)
     aas = np.frombuffer(b"ACDEFGHIKLMNPQRSTVWY", dtype=np.uint8)
     lines = []
@@ -138,6 +135,63 @@ def test_large_roundtrip(tmp_path, monkeypatch):
         lines.extend(s[j:j + 60] + "\n" for j in range(0, len(s), 60))
     p = _write(tmp_path, "".join(lines))
     ds_native = FastaBatchedDataset.from_file(p)
-    ds_python = _python_from_file(p, monkeypatch)
+    ds_python = _python_from_file(p)
     assert ds_native.sequence_labels == ds_python.sequence_labels
     assert ds_native.sequence_strs == ds_python.sequence_strs
+
+
+def test_non_ascii_falls_back_to_exact_semantics(tmp_path):
+    """Non-ASCII content must bypass the native path: byte offsets stop
+    matching char offsets, and Python str.strip / strict text decode
+    semantics differ (code-review findings on the first native version)."""
+    # multi-byte UTF-8 in a header: labels after it must not shift
+    p = tmp_path / "u.fasta"
+    p.write_bytes(">prot\xc3\xa9ine one\nAC\n>second\nGT\n".encode("latin-1"))
+    assert native.parse_fasta(p) is None
+    ds = FastaBatchedDataset.from_file(p)
+    assert ds.sequence_labels == ["protéine one", "second"]
+    assert ds.sequence_strs == ["AC", "GT"]
+
+    # invalid UTF-8 raises (text-mode parity), not silently mangled
+    p2 = tmp_path / "bad.fasta"
+    p2.write_bytes(b">a\nAC\xffGT\n")
+    assert native.parse_fasta(p2) is None
+    with pytest.raises(UnicodeDecodeError):
+        FastaBatchedDataset.from_file(p2)
+
+
+def test_ascii_separator_strip_parity(tmp_path):
+    """\\x1c-\\x1f are stripped by Python str.strip(); the native trim must
+    match."""
+    p = _write(tmp_path, ">a\nAC\x1c\nGT\x1f\n")
+    ds_native = FastaBatchedDataset.from_file(p)
+    ds_python = _python_from_file(p)
+    assert ds_native.sequence_strs == ds_python.sequence_strs == ["ACGT"]
+
+
+def test_file_growth_between_passes_is_safe(tmp_path, monkeypatch):
+    """If the file grows between the sizing and fill passes (concurrently
+    appended shard), the C side must bounds-check and the wrapper must fall
+    back — no out-of-bounds write."""
+    import ctypes
+
+    p = tmp_path / "grow.fasta"
+    p.write_text(">a\nAC\n")
+    lib = native._load()
+    real = lib.esm_fasta_parse
+    grown = {"done": False}
+
+    def evil(path, n, lb, sb, label_buf, label_off, seq_buf, seq_off):
+        if label_buf and not grown["done"]:
+            # grow the file after sizing, before the fill pass
+            grown["done"] = True
+            p.write_text(">a\n" + "A" * 100000 + "\n>b\n" + "C" * 50000 + "\n")
+        return real(path, n, lb, sb, label_buf, label_off, seq_buf, seq_off)
+
+    monkeypatch.setattr(lib, "esm_fasta_parse", evil)
+    assert native.parse_fasta(p) is None  # refused, not corrupted
+    # and the subsequent (un-patched) parse sees the new content
+    monkeypatch.undo()
+    ds = FastaBatchedDataset.from_file(p)
+    assert ds.sequence_labels == ["a", "b"]
+    assert len(ds.sequence_strs[0]) == 100000
