@@ -40,17 +40,40 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _rot_half(x):
-    d2 = x.shape[-1] // 2
-    return jnp.concatenate([-x[:, d2:], x[:, :d2]], axis=-1)
+def _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, ki):
+    """Apply GPT-NeoX rotary to the current q/k blocks from VMEM-resident
+    tables (saves the two HBM round trips of a separate rotary pass —
+    reference applies rotary as its own op, esm/rotary_embedding.py:63-69).
+    Positions are plain row indices; the table covers max(Tq, S) rows.
+    ``ki``: this step's kv block index (0 on the single-pass grid)."""
+    from ..ops.rotary import rotate_half
+
+    qi = pl.program_id(1)
+    bq = q_ref.shape[1]
+    bk = k_ref.shape[1]
+    q = q_ref[0]
+    k = k_ref[0]
+    cq = cos_ref[pl.dslice(qi * bq, bq), :]
+    sq = sin_ref[pl.dslice(qi * bq, bq), :]
+    ck = cos_ref[pl.dslice(ki * bk, bk), :]
+    sk = sin_ref[pl.dslice(ki * bk, bk), :]
+    q = q * cq + rotate_half(q) * sq
+    k = k * ck + rotate_half(k) * sk
+    return q, k
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref):
-    """One (bh, qi, ki) grid step.
+def _flash_kernel(*refs, use_rotary: bool):
+    """One (bh, qi, ki) grid step of the blockwise online-softmax reduction.
 
     q_ref: (1, bq, d); k_ref/v_ref: (1, bk, d); bias_ref: (1, 1, bk);
     o_ref: (1, bq, d). Scratch: m/l (bq, LANES) fp32, acc (bq, d) fp32.
+    With ``use_rotary`` the cos/sin table refs follow bias_ref and rotary is
+    applied to q/k in VMEM.
     """
+    if use_rotary:
+        q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref, o_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref = refs
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -60,8 +83,11 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref):
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]
-    k = k_ref[0]
+    if use_rotary:
+        q, k = _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, ki)
+    else:
+        q = q_ref[0]
+        k = k_ref[0]
     v = v_ref[0]
     b = bias_ref[0, 0]                                    # (bk,)
 
@@ -94,95 +120,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref):
         o_ref[0] = (acc_ref[...] * inv).astype(o_ref.dtype)
 
 
-def _flash_kernel_rot(
-    q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref, o_ref, m_ref, l_ref, acc_ref
-):
-    """Blockwise kernel with rotary applied to q/k in VMEM (tables resident;
-    saves the two HBM round trips of a separate rotary pass — reference
-    applies rotary as its own op, esm/rotary_embedding.py:63-69)."""
-    qi = pl.program_id(1)
-    ki = pl.program_id(2)
-    nk = pl.num_programs(2)
-
-    @pl.when(ki == 0)
-    def _init():
-        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    bq = q_ref.shape[1]
-    bk = k_ref.shape[1]
-    q = q_ref[0]
-    k = k_ref[0]
-    cq = cos_ref[pl.dslice(qi * bq, bq), :]
-    sq = sin_ref[pl.dslice(qi * bq, bq), :]
-    ck = cos_ref[pl.dslice(ki * bk, bk), :]
-    sk = sin_ref[pl.dslice(ki * bk, bk), :]
-    q = q * cq + _rot_half(q) * sq
-    k = k * ck + _rot_half(k) * sk
-    v = v_ref[0]
-    b = bias_ref[0, 0]
-
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s + b[None, :]
-
-    m_prev = m_ref[:, :1]
-    l_prev = l_ref[:, :1]
-    m_curr = jnp.max(s, axis=-1, keepdims=True)
-    m_next = jnp.maximum(m_prev, m_curr)
-    p = jnp.exp(s - m_next)
-    alpha = jnp.exp(m_prev - m_next)
-    l_next = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-
-    m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
-    l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
-
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc_ref[...] = acc_ref[...] * alpha + pv
-
-    @pl.when(ki == nk - 1)
-    def _store():
-        l_final = l_ref[:, :1]
-        inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
-        o_ref[0] = (acc_ref[...] * inv).astype(o_ref.dtype)
-
-
-def _single_pass_kernel_rot(q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref, o_ref):
-    """Single-block variant with in-VMEM rotary (S fits one block)."""
-    qi = pl.program_id(1)
-    bq = q_ref.shape[1]
-    q = q_ref[0]
-    k = k_ref[0]
-    cq = cos_ref[pl.dslice(qi * bq, bq), :]
-    sq = sin_ref[pl.dslice(qi * bq, bq), :]
-    q = q * cq + _rot_half(q) * sq
-    k = k * cos_ref[...] + _rot_half(k) * sin_ref[...]
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s + bias_ref[0, 0][None, :]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = (pv / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
-
-
-def _single_pass_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
+def _single_pass_kernel(*refs, use_rotary: bool):
     """One (bh, qi) step with the WHOLE source in VMEM: plain fused
     softmax-attention — no online-softmax state, no scratch. ~11% faster than
     the blockwise path when S fits one block (the common ESM case, S ≤ 1024)."""
-    q = q_ref[0]
-    k = k_ref[0]
+    if use_rotary:
+        q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref, o_ref = refs
+        q, k = _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, 0)
+    else:
+        q_ref, k_ref, v_ref, bias_ref, o_ref = refs
+        q = q_ref[0]
+        k = k_ref[0]
     v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -199,7 +147,8 @@ def _single_pass_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("block_q", "block_k", "interpret", "use_rotary")
+    jax.jit,
+    static_argnames=("num_heads", "block_q", "block_k", "interpret", "use_rotary"),
 )
 def _flash_padded(
     q: jax.Array,
@@ -209,15 +158,19 @@ def _flash_padded(
     cos: Optional[jax.Array] = None,
     sin: Optional[jax.Array] = None,
     *,
+    num_heads: int,
     block_q: int,
     block_k: int,
     interpret: bool,
     use_rotary: bool = False,
 ) -> jax.Array:
-    """q: (BH, Tq, d), k/v: (BH, S, d), bias: (BH, 1, S) fp32; shapes already
-    padded to block multiples. cos/sin: (max(Tq, S), d) rotary tables."""
+    """q: (BH, Tq, d), k/v: (BH, S, d), bias: (B, 1, S) fp32 — shared across
+    the ``num_heads`` heads of each batch row via the index map (no H-fold
+    replication in HBM); shapes already padded to block multiples.
+    cos/sin: (max(Tq, S), d) rotary tables."""
     bh, tq, d = q.shape
     s_len = k.shape[1]
+    h = num_heads
 
     rot_in = [cos, sin] if use_rotary else []
     table_len = cos.shape[0] if use_rotary else 0
@@ -234,13 +187,13 @@ def _flash_padded(
             else []
         )
         return pl.pallas_call(
-            _single_pass_kernel_rot if use_rotary else _single_pass_kernel,
+            functools.partial(_single_pass_kernel, use_rotary=use_rotary),
             grid=(bh, tq // block_q),
             in_specs=[
                 pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
                 pl.BlockSpec((1, s_len, d), lambda b, i: (b, 0, 0)),
                 pl.BlockSpec((1, s_len, d), lambda b, i: (b, 0, 0)),
-                pl.BlockSpec((1, 1, s_len), lambda b, i: (b, 0, 0)),
+                pl.BlockSpec((1, 1, s_len), lambda b, i: (b // h, 0, 0)),
             ]
             + rot_specs,
             out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
@@ -260,13 +213,13 @@ def _flash_padded(
     )
 
     return pl.pallas_call(
-        _flash_kernel_rot if use_rotary else _flash_kernel,
+        functools.partial(_flash_kernel, use_rotary=use_rotary),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b, 0, j)),
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // h, 0, j)),
         ]
         + rot_specs,
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
@@ -324,7 +277,7 @@ def flash_attention(
         bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
     else:
         bias = jnp.zeros((b, s), jnp.float32)
-    bias = jnp.repeat(bias, h, axis=0)[:, None, :]  # (BH, 1, S)
+    bias = bias[:, None, :]  # (B, 1, S) — heads share it via the index map
 
     if tp != t:
         qf = jnp.pad(qf, ((0, 0), (0, tp - t), (0, 0)))
@@ -341,6 +294,7 @@ def flash_attention(
 
     out = _flash_padded(
         qf, kf, vf, bias, cos, sin,
-        block_q=block_q, block_k=block_k, interpret=interpret, use_rotary=rotary,
+        num_heads=h, block_q=block_q, block_k=block_k, interpret=interpret,
+        use_rotary=rotary,
     )
     return out[:, :t].reshape(b, h, t, d)

@@ -103,7 +103,9 @@ def _rows_call(kernel, arrays, weights, out_num, rows, c, dtype, interpret, bloc
     in_specs = [
         pl.BlockSpec((block_rows, t.shape[1]), lambda i: (i, 0)) for t in arrays
     ] + [
-        pl.BlockSpec(w.shape, lambda i: tuple(0 for _ in w.shape)) for w in weights
+        # bind the rank NOW — a late-binding `w.shape` would make every
+        # index_map use the LAST weight's rank
+        pl.BlockSpec(w.shape, lambda i, r=len(w.shape): (0,) * r) for w in weights
     ]
     out_specs = [pl.BlockSpec((block_rows, c), lambda i: (i, 0))] * out_num
     out_shape = [jax.ShapeDtypeStruct((rp, c), dtype)] * out_num

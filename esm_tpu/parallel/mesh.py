@@ -53,10 +53,10 @@ class MeshConfig:
             if n % cand == 0:
                 tp = cand
                 break
-        rest = n // tp
-        # split remainder between fsdp and data, fsdp-major
-        fsdp = rest
-        return cls(data=1, fsdp=fsdp, tp=tp)
+        # all of the remainder goes to fsdp (param sharding beats pure data
+        # parallel for these model sizes); pass an explicit MeshConfig for a
+        # data>1 layout
+        return cls(data=1, fsdp=n // tp, tp=tp)
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:

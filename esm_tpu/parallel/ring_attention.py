@@ -10,6 +10,8 @@ pipelined (jax-ml scaling-book recipe; guide: ring collectives).
 Semantics match ops/attention.multihead_attention for bidirectional (ESM-style)
 attention with a key-padding mask: each chip maintains online-softmax state
 (m, l, acc) across ring steps — the cross-chip softmax combine is exact.
+Rows whose keys are ALL padded return zeros (the dense path's -inf softmax
+gives NaN there; callers never consume fully-padded rows either way).
 """
 
 from __future__ import annotations
@@ -33,6 +35,12 @@ def _local_attend(q, k, v, bias):
     s = s + bias[:, None, None, :]
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
+    # Exact zeros at padded keys. In a mixed block masked entries already
+    # underflow to 0 (raw - 1e30 - m), but in a fully-masked block m itself
+    # is ~-1e30 and the additive bias cancels, leaving softmax(raw) — the
+    # explicit zeroing makes l hit exactly 0 there so fully-padded rows come
+    # out as zeros below instead of a garbage value mix.
+    p = p * (bias > 0.5 * NEG_INF)[:, None, None, :]
     l = jnp.sum(p, axis=-1, keepdims=True)
     acc = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v).astype(jnp.float32)
     return acc, m, l

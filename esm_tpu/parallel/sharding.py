@@ -89,10 +89,11 @@ def param_shardings(mesh: Mesh, params) -> Any:
 
 
 def shard_params(mesh: Mesh, params) -> Any:
-    """Place a (host or single-device) param pytree onto the mesh."""
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, s), params, param_shardings(mesh, params)
-    )
+    """Place a (host or single-device) param pytree onto the mesh.
+
+    One batched device_put for the whole tree (single dispatch) rather than
+    a transfer per leaf."""
+    return jax.device_put(params, param_shardings(mesh, params))
 
 
 def batch_spec(ndim: int = 2) -> PS:

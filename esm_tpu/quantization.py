@@ -29,8 +29,11 @@ def quantize_linear(p: dict) -> dict:
     Leading axes (e.g. the lax.scan layer axis) keep per-layer scales.
     """
     w = jnp.asarray(p["kernel"])
-    amax = jnp.max(jnp.abs(w), axis=-2)                     # (..., out)
-    scale = jnp.where(amax == 0, 1.0, amax / 127.0).astype(jnp.float32)
+    # scale math in fp32: a bf16 amax/127 that rounds down would clip the
+    # channel's largest weights at ±127 — exactly the elements per-channel
+    # scaling exists to preserve
+    amax = jnp.max(jnp.abs(w), axis=-2).astype(jnp.float32)  # (..., out)
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
     q = jnp.clip(jnp.round(w / scale[..., None, :]), -127, 127).astype(jnp.int8)
     out = {"kernel": q, "scale": scale}
     if "bias" in p:

@@ -25,6 +25,18 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
+def decay_mask(params) -> Any:
+    """Weight-decay mask for AdamW: decay matmul kernels only — biases,
+    LayerNorm scales, embeddings and the LM-head bias are excluded (the
+    standard BERT/ESM recipe)."""
+    def f(path, leaf):
+        last = path[-1]
+        name = getattr(last, "key", None) or str(last)
+        return name == "kernel" and getattr(leaf, "ndim", 0) >= 2
+
+    return jax.tree_util.tree_map_with_path(f, params)
+
+
 def make_optimizer(
     learning_rate: float = 1e-4,
     weight_decay: float = 0.01,
@@ -34,7 +46,10 @@ def make_optimizer(
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, learning_rate, warmup_steps, total_steps
     )
-    return optax.adamw(schedule, b1=0.9, b2=0.98, eps=1e-8, weight_decay=weight_decay)
+    return optax.adamw(
+        schedule, b1=0.9, b2=0.98, eps=1e-8, weight_decay=weight_decay,
+        mask=decay_mask,
+    )
 
 
 def init_state(params, tx: optax.GradientTransformation) -> TrainState:
@@ -52,9 +67,11 @@ def mask_tokens(
     standard_offset: int = 4,
     mask_prob: float = 0.15,
 ) -> Tuple[jax.Array, jax.Array]:
-    """BERT-style corruption. Returns (corrupted_tokens, target_mask)."""
+    """BERT-style corruption. Returns (corrupted_tokens, target_mask).
+    Padding positions are never selected (``padding_idx``), independent of
+    whatever the caller puts in ``special_mask``."""
     r_select, r_kind, r_rand = jax.random.split(rng, 3)
-    eligible = ~special_mask
+    eligible = ~special_mask & (tokens != padding_idx)
     selected = (jax.random.uniform(r_select, tokens.shape) < mask_prob) & eligible
 
     kind = jax.random.uniform(r_kind, tokens.shape)

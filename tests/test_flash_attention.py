@@ -121,3 +121,25 @@ def test_esm2_with_flash_path_matches_exact():
     np.testing.assert_allclose(
         np.asarray(out_flash["logits"][1][:7]), np.asarray(out["logits"][1][:7]), atol=1e-4
     )
+
+
+@pytest.mark.parametrize("t,s", [(384, 128), (128, 384), (250, 100)])
+def test_flash_cross_attention_rotary_t_ne_s(t, s):
+    """rotary with different q/kv lengths (cross-attention shapes): the
+    single-pass kernel used to multiply k by the FULL max(t,s) table and
+    crashed whenever padded-t > padded-s (code-review regression)."""
+    from esm_tpu.ops.rotary import apply_rotary, rotary_tables
+
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, h, d = 2, 3, 64
+    q = jax.random.normal(kq, (b, h, t, d), jnp.float32) * 0.3
+    k = jax.random.normal(kk, (b, h, s, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, s, d), jnp.float32)
+
+    cos, sin = rotary_tables(max(t, s), d)
+    out_ref = _exact(
+        apply_rotary(q, cos[:t], sin[:t]), apply_rotary(k, cos[:s], sin[:s]), v
+    )
+    out = flash_attention(q, k, v, rotary=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=2e-5)

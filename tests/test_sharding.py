@@ -169,6 +169,45 @@ def test_ring_attention_matches_exact():
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(exact[1]), atol=2e-5)
 
 
+def test_ring_attention_fully_masked_row_returns_zeros():
+    """A batch row whose keys are ALL padded (ragged-batch filler) must come
+    out as exact zeros — before the fix the -1e30 bias cancelled inside each
+    block's own max and the row returned softmax(raw)-weighted values
+    (code-review regression)."""
+    from esm_tpu.parallel.ring_attention import ring_attention
+
+    key = jax.random.PRNGKey(11)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, h, t, d = 2, 2, 64, 16
+    q = jax.random.normal(kq, (b, h, t, d)) * 0.3
+    k = jax.random.normal(kk, (b, h, t, d))
+    v = jax.random.normal(kv, (b, h, t, d))
+    mask = np.zeros((b, t), bool)
+    mask[1, :] = True  # entire row padded
+    mesh = make_mesh(MeshConfig(data=1, fsdp=1, tp=8))
+    out = ring_attention(q, k, v, mesh, key_padding_mask=jnp.asarray(mask))
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_array_equal(np.asarray(out[1]), 0.0)
+    assert np.abs(np.asarray(out[0])).max() > 0  # valid row unaffected
+
+
+def test_decay_mask_excludes_non_kernels():
+    """AdamW weight decay applies to matmul kernels only (BERT/ESM recipe)."""
+    from esm_tpu import training
+
+    params = {
+        "layers": {"kernel": jnp.zeros((2, 4, 4)), "bias": jnp.zeros((2, 4))},
+        "embed_tokens": {"weight": jnp.zeros((8, 4))},
+        "ln": {"scale": jnp.ones((4,)), "bias": jnp.zeros((4,))},
+        "head": {"kernel": jnp.zeros((4, 8)), "bias": jnp.zeros((8,))},
+    }
+    m = training.decay_mask(params)
+    assert m["layers"]["kernel"] and m["head"]["kernel"]
+    assert not m["layers"]["bias"] and not m["head"]["bias"]
+    assert not m["embed_tokens"]["weight"]
+    assert not m["ln"]["scale"] and not m["ln"]["bias"]
+
+
 def test_memory_plan():
     """15B sharded over (1,2,4) must fit a v5e's 16 GB; unsharded must not."""
     import jax.numpy as jnp2
