@@ -247,6 +247,40 @@ def apply(
     return result
 
 
+@partial(jax.jit, static_argnames=("cfg", "mesh", "num_microbatches"))
+def apply_pipelined(
+    params,
+    cfg: ESM2Config,
+    tokens: jax.Array,
+    *,
+    mesh,
+    num_microbatches: int,
+):
+    """Logits-only forward with the layer stack pipelined over the mesh's
+    ``pp`` axis (GPipe microbatching — parallel/pipeline.py; the reference
+    has no pipeline parallelism, SURVEY §2.5). The embedding, final LN and
+    LM head run replicated over pp (they are O(1) layers deep); tp/fsdp
+    shardings compose inside each stage via automatic SPMD.
+    """
+    from ..parallel.pipeline import pipeline_transformer_stack
+
+    padding_mask = tokens == cfg.padding_idx
+    x = embed_tokens(params, cfg, tokens)
+    x = pipeline_transformer_stack(
+        params["layers"],
+        x,
+        static=cfg.layer_static(),
+        mesh=mesh,
+        num_microbatches=num_microbatches,
+        key_padding_mask=padding_mask,
+    )
+    x = layer_norm(params["emb_layer_norm_after"], x)
+    logits = roberta_lm_head(
+        params["lm_head"], x.astype(jnp.float32), params["embed_tokens"]["weight"]
+    )
+    return {"logits": logits}
+
+
 def _stack_with_streaming_contacts(
     params, cfg, x, tokens, padding_mask, collect_hiddens: bool,
     strip_last_key: bool = False,

@@ -76,7 +76,7 @@ def _ring_body(q, k, v, bias, axis_name: str):
     l0 = jnp.zeros((b_, h_, tq, 1), jnp.float32)
     acc0 = jnp.zeros((b_, h_, tq, d), jnp.float32)
     # mark the init state as device-varying over the ring axis (shard_map typing)
-    m0, l0, acc0 = jax.lax.pvary((m0, l0, acc0), (axis_name,))
+    m0, l0, acc0 = jax.lax.pcast((m0, l0, acc0), (axis_name,), to="varying")
 
     (k, v, bias, m, l, acc), _ = jax.lax.scan(
         step, (k, v, bias, m0, l0, acc0), jnp.arange(n)

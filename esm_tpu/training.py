@@ -89,8 +89,9 @@ def mlm_loss(
     corrupted: jax.Array,
     targets: jax.Array,
     target_mask: jax.Array,
+    apply_fn=None,
 ) -> Tuple[jax.Array, dict]:
-    out = esm2.apply(params, cfg, corrupted)
+    out = (apply_fn or esm2.apply)(params, cfg, corrupted)
     logits = out["logits"]
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
@@ -125,6 +126,50 @@ def train_step(
     )
     (loss, metrics), grads = jax.value_and_grad(mlm_loss, has_aux=True)(
         state.params, cfg, corrupted, tokens, target_mask
+    )
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return TrainState(new_params, new_opt, state.step + 1), metrics
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "tx", "mesh", "num_microbatches"),
+    donate_argnums=(0,),
+)
+def train_step_pp(
+    state: TrainState,
+    cfg: esm2.ESM2Config,
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+    tokens: jax.Array,
+    *,
+    mesh,
+    num_microbatches: int,
+) -> Tuple[TrainState, dict]:
+    """Pipeline-parallel MLM step: identical objective to ``train_step``, but
+    the forward (and, via scan/ppermute transposition, the backward) runs the
+    layer stack as a GPipe pipeline over the mesh's ``pp`` axis — the grads
+    and loss match the single-stage step exactly (tests/test_pipeline.py)."""
+    from functools import partial as _partial
+
+    special = (
+        (tokens == cfg.padding_idx)
+        | (tokens == cfg.cls_idx)
+        | (tokens == cfg.eos_idx)
+    )
+    corrupted, target_mask = mask_tokens(
+        rng,
+        tokens,
+        mask_idx=cfg.mask_idx,
+        padding_idx=cfg.padding_idx,
+        special_mask=special,
+    )
+    apply_fn = _partial(
+        esm2.apply_pipelined, mesh=mesh, num_microbatches=num_microbatches
+    )
+    (loss, metrics), grads = jax.value_and_grad(mlm_loss, has_aux=True)(
+        state.params, cfg, corrupted, tokens, target_mask, apply_fn
     )
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
