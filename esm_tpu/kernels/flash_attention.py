@@ -20,6 +20,15 @@ Structure (production TPU tiling):
 The contact-prediction path needs the full attention probabilities
 (esm/modules.py:338-357) and uses the exact XLA path in ops/attention.py
 instead — this kernel is the no-weights fast path.
+
+Training-grade: the kernel carries a custom_vjp (FlashAttention-2-style
+backward). The differentiated forward additionally stores the per-row
+log-sum-exp; the backward recomputes probabilities blockwise in two passes
+(a dq pass gridded over q blocks and a dk/dv pass gridded over kv blocks,
+δ = rowsum(dO⊙O) precomputed by XLA) so activations stay O(T) — the exact
+path would otherwise save the (B, H, T, T) probabilities for the backward.
+In-kernel rotary is handled by re-rotating q/k in the backward and pulling
+dq/dk through the transposed rotation.
 """
 
 from __future__ import annotations
@@ -40,15 +49,17 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, ki):
+def _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, ki, qi=None):
     """Apply GPT-NeoX rotary to the current q/k blocks from VMEM-resident
     tables (saves the two HBM round trips of a separate rotary pass —
     reference applies rotary as its own op, esm/rotary_embedding.py:63-69).
     Positions are plain row indices; the table covers max(Tq, S) rows.
-    ``ki``: this step's kv block index (0 on the single-pass grid)."""
+    ``ki``/``qi``: this step's kv / q block indices (qi defaults to grid
+    axis 1, the forward layout)."""
     from ..ops.rotary import rotate_half
 
-    qi = pl.program_id(1)
+    if qi is None:
+        qi = pl.program_id(1)
     bq = q_ref.shape[1]
     bk = k_ref.shape[1]
     q = q_ref[0]
@@ -62,18 +73,34 @@ def _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, ki):
     return q, k
 
 
-def _flash_kernel(*refs, use_rotary: bool):
+def _unrotate(x, cos, sin):
+    """Transpose of the rotary map: rot(x) = cos⊙x + sin⊙rotate_half(x) is
+    orthogonal, and because both halves of the cos/sin tables are equal the
+    adjoint is simply cos⊙y - sin⊙rotate_half(y) (used to pull gradient
+    cotangents back through the in-kernel rotation)."""
+    from ..ops.rotary import rotate_half
+
+    return x * cos - rotate_half(x) * sin
+
+
+def _flash_kernel(*refs, use_rotary: bool, with_lse: bool = False):
     """One (bh, qi, ki) grid step of the blockwise online-softmax reduction.
 
     q_ref: (1, bq, d); k_ref/v_ref: (1, bk, d); bias_ref: (1, 1, bk);
     o_ref: (1, bq, d). Scratch: m/l (bq, LANES) fp32, acc (bq, d) fp32.
     With ``use_rotary`` the cos/sin table refs follow bias_ref and rotary is
-    applied to q/k in VMEM.
+    applied to q/k in VMEM. With ``with_lse`` a (1, bq) log-sum-exp output
+    follows o_ref (the flash-backward residual).
     """
+    lse_ref = None
     if use_rotary:
-        q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref, o_ref, m_ref, l_ref, acc_ref = refs
+        q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref, *outs = refs
     else:
-        q_ref, k_ref, v_ref, bias_ref, o_ref, m_ref, l_ref, acc_ref = refs
+        q_ref, k_ref, v_ref, bias_ref, *outs = refs
+    if with_lse:
+        o_ref, lse_ref, m_ref, l_ref, acc_ref = outs
+    else:
+        o_ref, m_ref, l_ref, acc_ref = outs
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -118,19 +145,25 @@ def _flash_kernel(*refs, use_rotary: bool):
         l_final = l_ref[:, :1]
         inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
         o_ref[0] = (acc_ref[...] * inv).astype(o_ref.dtype)
+        if with_lse:
+            lse = m_ref[:, 0] + jnp.log(jnp.maximum(l_ref[:, 0], 1e-37))
+            # (1, 8, bq) block: sublane dim broadcast to satisfy the TPU
+            # (8, 128) minimum tile on the stored residual
+            lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
 
 
-def _single_pass_kernel(*refs, use_rotary: bool):
+def _single_pass_kernel(*refs, use_rotary: bool, with_lse: bool = False):
     """One (bh, qi) step with the WHOLE source in VMEM: plain fused
     softmax-attention — no online-softmax state, no scratch. ~11% faster than
     the blockwise path when S fits one block (the common ESM case, S ≤ 1024)."""
     if use_rotary:
-        q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref, o_ref = refs
+        q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref, *outs = refs
         q, k = _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, 0)
     else:
-        q_ref, k_ref, v_ref, bias_ref, o_ref = refs
+        q_ref, k_ref, v_ref, bias_ref, *outs = refs
         q = q_ref[0]
         k = k_ref[0]
+    o_ref = outs[0]
     v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -144,11 +177,16 @@ def _single_pass_kernel(*refs, use_rotary: bool):
         preferred_element_type=jnp.float32,
     )
     o_ref[0] = (pv / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+    if with_lse:
+        lse = m[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-37))
+        outs[1][0] = jnp.broadcast_to(lse[None, :], outs[1].shape[1:])
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "block_q", "block_k", "interpret", "use_rotary"),
+    static_argnames=(
+        "num_heads", "block_q", "block_k", "interpret", "use_rotary", "with_lse",
+    ),
 )
 def _flash_padded(
     q: jax.Array,
@@ -163,11 +201,13 @@ def _flash_padded(
     block_k: int,
     interpret: bool,
     use_rotary: bool = False,
-) -> jax.Array:
+    with_lse: bool = False,
+):
     """q: (BH, Tq, d), k/v: (BH, S, d), bias: (B, 1, S) fp32 — shared across
     the ``num_heads`` heads of each batch row via the index map (no H-fold
     replication in HBM); shapes already padded to block multiples.
-    cos/sin: (max(Tq, S), d) rotary tables."""
+    cos/sin: (max(Tq, S), d) rotary tables. With ``with_lse`` also returns
+    the per-row log-sum-exp (BH, Tq) fp32 (flash-backward residual)."""
     bh, tq, d = q.shape
     s_len = k.shape[1]
     h = num_heads
@@ -179,6 +219,10 @@ def _flash_padded(
         bytes_accessed=(2 * bh * tq * d + 2 * bh * s_len * d) * q.dtype.itemsize,
         transcendentals=bh * tq * s_len,
     )
+    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    # 8 broadcast sublanes: (1, block_q) blocks violate the TPU (8, 128)
+    # minimum tile; (1, 8, block_q) is the cheapest compliant layout
+    lse_shape = jax.ShapeDtypeStruct((bh, 8, tq), jnp.float32)
 
     if s_len == block_k:
         rot_specs = (
@@ -186,8 +230,12 @@ def _flash_padded(
             if use_rotary
             else []
         )
+        o_spec = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0))
+        lse_spec = pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i))
         return pl.pallas_call(
-            functools.partial(_single_pass_kernel, use_rotary=use_rotary),
+            functools.partial(
+                _single_pass_kernel, use_rotary=use_rotary, with_lse=with_lse
+            ),
             grid=(bh, tq // block_q),
             in_specs=[
                 pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
@@ -196,8 +244,8 @@ def _flash_padded(
                 pl.BlockSpec((1, 1, s_len), lambda b, i: (b // h, 0, 0)),
             ]
             + rot_specs,
-            out_specs=pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
-            out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+            out_specs=[o_spec, lse_spec] if with_lse else o_spec,
+            out_shape=[out_shape, lse_shape] if with_lse else out_shape,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
             ),
@@ -211,9 +259,13 @@ def _flash_padded(
         if use_rotary
         else []
     )
+    o_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))
+    lse_spec = pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i))
 
     return pl.pallas_call(
-        functools.partial(_flash_kernel, use_rotary=use_rotary),
+        functools.partial(
+            _flash_kernel, use_rotary=use_rotary, with_lse=with_lse
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
@@ -222,8 +274,8 @@ def _flash_padded(
             pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // h, 0, j)),
         ]
         + rot_specs,
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=[o_spec, lse_spec] if with_lse else o_spec,
+        out_shape=[out_shape, lse_shape] if with_lse else out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),
             pltpu.VMEM((block_q, _LANES), jnp.float32),
@@ -235,6 +287,252 @@ def _flash_padded(
         interpret=interpret,
         cost_estimate=cost,
     )(q, k, v, bias, *rot_in)
+
+
+def _dq_kernel(*refs, use_rotary: bool):
+    """Flash backward, dq pass. Grid (bh, qi, ki): each q block accumulates
+    dq = Σ_k [p ⊙ (do·vᵀ - δ)]·k over the kv steps in fp32 scratch, where
+    p = exp(s - lse) is recomputed from the forward residual (never stored).
+    """
+    if use_rotary:
+        (q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+         cos_ref, sin_ref, dq_ref, acc_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+         dq_ref, acc_ref) = refs
+    qi = pl.program_id(1)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if use_rotary:
+        q, kk = _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, ki, qi=qi)
+        bq = q_ref.shape[1]
+        cq = cos_ref[pl.dslice(qi * bq, bq), :]
+        sq = sin_ref[pl.dslice(qi * bq, bq), :]
+    else:
+        q = q_ref[0]
+        kk = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    b = bias_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        q, kk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s + b[None, :]
+    p = jnp.exp(s - lse_ref[0, 0][:, None])                # (bq, bk) fp32
+    dov = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dov - delta_ref[0, 0][:, None])
+    acc_ref[...] += jax.lax.dot_general(
+        ds.astype(kk.dtype), kk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == nk - 1)
+    def _store():
+        dq = acc_ref[...]
+        if use_rotary:
+            dq = _unrotate(dq, cq, sq)
+        dq_ref[0] = dq.astype(dq_ref.dtype)
+
+
+def _dkv_kernel(*refs, use_rotary: bool):
+    """Flash backward, dk/dv pass. Grid (bh, ki, qi): each kv block
+    accumulates dv = Σ_q pᵀ·do and dk = Σ_q dsᵀ·q across the q steps."""
+    if use_rotary:
+        (q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+         cos_ref, sin_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    else:
+        (q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    if use_rotary:
+        q, kk = _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, ki, qi=qi)
+        bk = k_ref.shape[1]
+        ck = cos_ref[pl.dslice(ki * bk, bk), :]
+        sk = sin_ref[pl.dslice(ki * bk, bk), :]
+    else:
+        q = q_ref[0]
+        kk = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    b = bias_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        q, kk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s + b[None, :]
+    p = jnp.exp(s - lse_ref[0, 0][:, None])                # (bq, bk) fp32
+    dv_acc[...] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dov = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    ds = p * (dov - delta_ref[0, 0][:, None])
+    dk_acc[...] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(qi == nq - 1)
+    def _store():
+        dk = dk_acc[...]
+        if use_rotary:
+            dk = _unrotate(dk, ck, sk)
+        dk_ref[0] = dk.astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "block_q", "block_k", "interpret", "use_rotary"),
+)
+def _flash_bwd_padded(
+    q, k, v, bias, cos, sin, out, lse, do,
+    *,
+    num_heads: int,
+    block_q: int,
+    block_k: int,
+    interpret: bool,
+    use_rotary: bool,
+):
+    """dq/dk/dv for the padded flash core. δ = rowsum(do ⊙ out) is a cheap
+    fused XLA reduction; the T×T probabilities are recomputed blockwise from
+    (q, k, bias, lse) in both passes — nothing quadratic ever hits HBM."""
+    bh, tq, d = q.shape
+    s_len = k.shape[1]
+    h = num_heads
+    nq = tq // block_q
+    nk = s_len // block_k
+
+    delta = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )                                                      # (BH, Tq)
+    delta = jnp.broadcast_to(delta[:, None, :], lse.shape)  # 8-sublane layout
+
+    rot_in = [cos, sin] if use_rotary else []
+    table_len = cos.shape[0] if use_rotary else 0
+
+    def rot_specs(index_map):
+        return (
+            [pl.BlockSpec((table_len, d), index_map)] * 2 if use_rotary else []
+        )
+
+    cost = pl.CostEstimate(
+        flops=10 * bh * tq * s_len * d,
+        bytes_accessed=(5 * bh * tq * d + 4 * bh * s_len * d) * q.dtype.itemsize,
+        transcendentals=2 * bh * tq * s_len,
+    )
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, use_rotary=use_rotary),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // h, 0, j)),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i)),
+        ]
+        + rot_specs(lambda b, i, j: (0, 0)),
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+        cost_estimate=cost,
+    )(q, k, v, bias, do, lse, delta, *rot_in)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, use_rotary=use_rotary),
+        grid=(bh, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // h, 0, i)),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, j)),
+            pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, j)),
+        ]
+        + rot_specs(lambda b, i, j: (0, 0)),
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+        cost_estimate=cost,
+    )(q, k, v, bias, do, lse, delta, *rot_in)
+
+    return dq, dk, dv
+
+
+@functools.lru_cache(maxsize=None)
+def _flash_core(
+    num_heads: int, block_q: int, block_k: int, interpret: bool, use_rotary: bool
+):
+    """custom_vjp-wrapped padded flash core for one static configuration.
+
+    The primal path (inference) runs the plain kernel with no residuals; only
+    under differentiation does the forward switch to the lse-saving variant
+    and the backward run the two-pass recompute kernels — so the training
+    path pays one extra (BH, T) fp32 write and the inference path nothing.
+    """
+    statics = dict(
+        num_heads=num_heads, block_q=block_q, block_k=block_k,
+        interpret=interpret, use_rotary=use_rotary,
+    )
+
+    @jax.custom_vjp
+    def core(q, k, v, bias, cos, sin):
+        return _flash_padded(q, k, v, bias, cos, sin, **statics)
+
+    def fwd(q, k, v, bias, cos, sin):
+        out, lse = _flash_padded(q, k, v, bias, cos, sin, with_lse=True, **statics)
+        return out, (q, k, v, bias, cos, sin, out, lse)
+
+    def bwd(res, do):
+        q, k, v, bias, cos, sin, out, lse = res
+        dq, dk, dv = _flash_bwd_padded(
+            q, k, v, bias, cos, sin, out, lse, do, **statics
+        )
+        dcos = None if cos is None else jnp.zeros_like(cos)
+        dsin = None if sin is None else jnp.zeros_like(sin)
+        return dq, dk, dv, jnp.zeros_like(bias), dcos, dsin
+
+    core.defvjp(fwd, bwd)
+    return core
 
 
 def flash_attention(
@@ -292,9 +590,7 @@ def flash_attention(
 
         cos, sin = rotary_tables(max(tp, sp), d, q.dtype)
 
-    out = _flash_padded(
-        qf, kf, vf, bias, cos, sin,
-        num_heads=h, block_q=block_q, block_k=block_k, interpret=interpret,
-        use_rotary=rotary,
+    out = _flash_core(h, block_q, block_k, interpret, rotary)(
+        qf, kf, vf, bias, cos, sin
     )
     return out[:, :t].reshape(b, h, t, d)

@@ -123,6 +123,88 @@ def test_esm2_with_flash_path_matches_exact():
     )
 
 
+@pytest.mark.parametrize(
+    "t,blocks,rotary,masked",
+    [
+        (128, 128, False, False),     # single-pass kernel
+        (256, 128, False, True),      # blockwise kernels + padding mask
+        (200, 128, True, True),       # rotary + ragged tail padding
+        (300, (128, 256), True, False),  # uneven q/k blocks
+    ],
+)
+def test_flash_backward_matches_exact(t, blocks, rotary, masked):
+    """custom_vjp backward (dq/dk/dv recompute kernels) vs. autodiff through
+    the exact XLA attention, on both kernel paths, with rotary folded in."""
+    from esm_tpu.ops.rotary import apply_rotary, rotary_tables
+
+    bq, bk = blocks if isinstance(blocks, tuple) else (blocks, blocks)
+    key = jax.random.PRNGKey(11)
+    kq, kk, kv, kc = jax.random.split(key, 4)
+    b, h, d = 2, 3, 64
+    q = jax.random.normal(kq, (b, h, t, d), jnp.float32) * 0.3
+    k = jax.random.normal(kk, (b, h, t, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, t, d), jnp.float32)
+    mask = None
+    valid = t
+    if masked:
+        valid = t - 9
+        mask = jnp.zeros((b, t), bool).at[:, valid:].set(True)
+    # cotangent weights only valid query rows (padded-query outputs are
+    # garbage in both implementations)
+    w = jax.random.normal(kc, (b, h, t, d), jnp.float32)
+    w = w.at[:, :, valid:].set(0.0)
+
+    def loss_exact(q, k, v):
+        if rotary:
+            cos, sin = rotary_tables(t, d)
+            q = apply_rotary(q, cos, sin)
+            k = apply_rotary(k, cos, sin)
+        return jnp.sum(_exact(q, k, v, key_padding_mask=mask) * w)
+
+    def loss_flash(q, k, v):
+        out = flash_attention(
+            q, k, v, key_padding_mask=mask, rotary=rotary,
+            block_q=bq, block_k=bk,
+        )
+        return jnp.sum(out * w)
+
+    g_exact = jax.grad(loss_exact, argnums=(0, 1, 2))(q, k, v)
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for ge, gf, name in zip(g_exact, g_flash, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(ge), atol=1e-4,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_esm2_flash_training_grads_match_exact():
+    """End-to-end: MLM loss gradients with use_flash=True == use_flash=False
+    (the flash kernel is training-grade, not just an inference fast path)."""
+    from esm_tpu import training
+    from esm_tpu.data import Alphabet
+    from esm_tpu.models import esm2
+
+    alphabet = Alphabet.from_architecture("ESM-1b")
+    mk = lambda **kw: esm2.ESM2Config.from_alphabet(
+        alphabet, num_layers=2, embed_dim=64, attention_heads=4, **kw
+    )
+    params = esm2.init(jax.random.PRNGKey(0), mk())
+    _, _, toks = alphabet.get_batch_converter(pad_to_multiple=8)(
+        [("a", "KALTARQQEVFDLIRDHISQTGMPPTRAEIA"), ("b", "LAGVSERTIDPKQ")]
+    )
+    toks = jnp.asarray(toks)
+    target_mask = (toks != alphabet.padding_idx) & (toks != alphabet.cls_idx)
+
+    grads = {}
+    for name, cfg in [("exact", mk()), ("flash", mk(use_flash=True))]:
+        (_, _), g = jax.value_and_grad(training.mlm_loss, has_aux=True)(
+            params, cfg, toks, toks, target_mask
+        )
+        grads[name] = g
+    for pe, pf in zip(jax.tree.leaves(grads["exact"]), jax.tree.leaves(grads["flash"])):
+        np.testing.assert_allclose(np.asarray(pf), np.asarray(pe), atol=1e-4)
+
+
 @pytest.mark.parametrize("t,s", [(384, 128), (128, 384), (250, 100)])
 def test_flash_cross_attention_rotary_t_ne_s(t, s):
     """rotary with different q/kv lengths (cross-attention shapes): the
