@@ -55,7 +55,8 @@ def _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, ki, qi=None):
     reference applies rotary as its own op, esm/rotary_embedding.py:63-69).
     Positions are plain row indices; the table covers max(Tq, S) rows.
     ``ki``/``qi``: this step's kv / q block indices (qi defaults to grid
-    axis 1, the forward layout)."""
+    axis 1, the forward layout). Returns (q, k, (cq, sq, ck, sk)) — the
+    sliced tables, so backward kernels can reuse them for the unrotation."""
     from ..ops.rotary import rotate_half
 
     if qi is None:
@@ -70,7 +71,7 @@ def _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, ki, qi=None):
     sk = sin_ref[pl.dslice(ki * bk, bk), :]
     q = q * cq + rotate_half(q) * sq
     k = k * ck + rotate_half(k) * sk
-    return q, k
+    return q, k, (cq, sq, ck, sk)
 
 
 def _unrotate(x, cos, sin):
@@ -111,7 +112,7 @@ def _flash_kernel(*refs, use_rotary: bool, with_lse: bool = False):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     if use_rotary:
-        q, k = _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, ki)
+        q, k, _ = _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, ki)
     else:
         q = q_ref[0]
         k = k_ref[0]
@@ -158,7 +159,7 @@ def _single_pass_kernel(*refs, use_rotary: bool, with_lse: bool = False):
     the blockwise path when S fits one block (the common ESM case, S ≤ 1024)."""
     if use_rotary:
         q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref, *outs = refs
-        q, k = _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, 0)
+        q, k, _ = _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, 0)
     else:
         q_ref, k_ref, v_ref, bias_ref, *outs = refs
         q = q_ref[0]
@@ -309,10 +310,9 @@ def _dq_kernel(*refs, use_rotary: bool):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     if use_rotary:
-        q, kk = _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, ki, qi=qi)
-        bq = q_ref.shape[1]
-        cq = cos_ref[pl.dslice(qi * bq, bq), :]
-        sq = sin_ref[pl.dslice(qi * bq, bq), :]
+        q, kk, (cq, sq, _, _) = _rotated_qk(
+            q_ref, k_ref, cos_ref, sin_ref, ki, qi=qi
+        )
     else:
         q = q_ref[0]
         kk = k_ref[0]
@@ -361,10 +361,9 @@ def _dkv_kernel(*refs, use_rotary: bool):
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
     if use_rotary:
-        q, kk = _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, ki, qi=qi)
-        bk = k_ref.shape[1]
-        ck = cos_ref[pl.dslice(ki * bk, bk), :]
-        sk = sin_ref[pl.dslice(ki * bk, bk), :]
+        q, kk, (_, _, ck, sk) = _rotated_qk(
+            q_ref, k_ref, cos_ref, sin_ref, ki, qi=qi
+        )
     else:
         q = q_ref[0]
         kk = k_ref[0]

@@ -102,16 +102,8 @@ def mlm_loss(
     return loss, {"loss": loss, "acc": acc, "num_masked": jnp.sum(w)}
 
 
-@partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0,))
-def train_step(
-    state: TrainState,
-    cfg: esm2.ESM2Config,
-    tx: optax.GradientTransformation,
-    rng: jax.Array,
-    tokens: jax.Array,
-) -> Tuple[TrainState, dict]:
-    """One MLM step on a (B, T) token batch. Shardings flow from the placed
-    state/tokens (pjit via jit + NamedSharding inputs)."""
+def _mlm_step(state, cfg, tx, rng, tokens, apply_fn=None):
+    """Shared body of the train steps: corrupt, grad, optimizer update."""
     special = (
         (tokens == cfg.padding_idx)
         | (tokens == cfg.cls_idx)
@@ -124,12 +116,25 @@ def train_step(
         padding_idx=cfg.padding_idx,
         special_mask=special,
     )
-    (loss, metrics), grads = jax.value_and_grad(mlm_loss, has_aux=True)(
-        state.params, cfg, corrupted, tokens, target_mask
+    (_, metrics), grads = jax.value_and_grad(mlm_loss, has_aux=True)(
+        state.params, cfg, corrupted, tokens, target_mask, apply_fn
     )
     updates, new_opt = tx.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     return TrainState(new_params, new_opt, state.step + 1), metrics
+
+
+@partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0,))
+def train_step(
+    state: TrainState,
+    cfg: esm2.ESM2Config,
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+    tokens: jax.Array,
+) -> Tuple[TrainState, dict]:
+    """One MLM step on a (B, T) token batch. Shardings flow from the placed
+    state/tokens (pjit via jit + NamedSharding inputs)."""
+    return _mlm_step(state, cfg, tx, rng, tokens)
 
 
 @partial(
@@ -151,26 +156,7 @@ def train_step_pp(
     the forward (and, via scan/ppermute transposition, the backward) runs the
     layer stack as a GPipe pipeline over the mesh's ``pp`` axis — the grads
     and loss match the single-stage step exactly (tests/test_pipeline.py)."""
-    from functools import partial as _partial
-
-    special = (
-        (tokens == cfg.padding_idx)
-        | (tokens == cfg.cls_idx)
-        | (tokens == cfg.eos_idx)
-    )
-    corrupted, target_mask = mask_tokens(
-        rng,
-        tokens,
-        mask_idx=cfg.mask_idx,
-        padding_idx=cfg.padding_idx,
-        special_mask=special,
-    )
-    apply_fn = _partial(
+    apply_fn = partial(
         esm2.apply_pipelined, mesh=mesh, num_microbatches=num_microbatches
     )
-    (loss, metrics), grads = jax.value_and_grad(mlm_loss, has_aux=True)(
-        state.params, cfg, corrupted, tokens, target_mask, apply_fn
-    )
-    updates, new_opt = tx.update(grads, state.opt_state, state.params)
-    new_params = optax.apply_updates(state.params, updates)
-    return TrainState(new_params, new_opt, state.step + 1), metrics
+    return _mlm_step(state, cfg, tx, rng, tokens, apply_fn)

@@ -11,7 +11,7 @@ sys.path.insert(0, "/root/repo")
 
 if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") != "1":
     os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "1"
-    os.execv(__import__("sys").executable, [__import__("sys").executable] + __import__("sys").argv)
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 
 import time
 
@@ -35,7 +35,6 @@ def main():
     b, h, t, d = 8, 20, 1024, 64
     key = jax.random.PRNGKey(0)
     kq, kk, kv, kw = jax.random.split(key, 4)
-    dt = jnp.bfloat16
     q = (jax.random.normal(kq, (b, h, t, d), jnp.float32) * 0.3)
     k = jax.random.normal(kk, (b, h, t, d), jnp.float32)
     v = jax.random.normal(kv, (b, h, t, d), jnp.float32)

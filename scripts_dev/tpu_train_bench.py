@@ -28,10 +28,11 @@ from esm_tpu.models import esm2
 
 
 def main():
-    size = sys.argv[1] if len(sys.argv) > 1 else "esm2_t33_650M_UR50D"
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    seqlen = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
     use_flash = "--exact" not in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    size = args[0] if len(args) > 0 else "esm2_t33_650M_UR50D"
+    batch = int(args[1]) if len(args) > 1 else 4  # B=8 OOMs at 650M/L=1024
+    seqlen = int(args[2]) if len(args) > 2 else 1024
     print("devices:", jax.devices())
 
     alphabet = Alphabet.from_architecture("ESM-1b")
