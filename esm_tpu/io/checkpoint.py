@@ -51,3 +51,32 @@ def load_params(path: str, template: Optional[Any] = None, mesh=None, specs=None
             )
             return ckptr.restore(path, abstract)
         return ckptr.restore(path)
+
+
+def save_train_state(path: str, state) -> None:
+    """Persist a full ``training.TrainState`` (params + optimizer moments +
+    step) mid-run. The reference has no training, hence no resume story
+    (SURVEY §5.4); here a pre-empted TPU job continues bit-exactly: restore
+    with :func:`load_train_state`, fold the step into the data/mask rng, and
+    the resumed trajectory equals the uninterrupted one
+    (tests/test_training.py::test_resume_is_bit_exact)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def load_train_state(path: str, template):
+    """Restore a TrainState saved by :func:`save_train_state`. ``template`` is
+    a same-structure state (e.g. fresh ``training.init_state`` output) giving
+    shapes/dtypes; arrays restore to host and follow the caller's placement
+    (re-shard with ``parallel.sharding.shard_params`` for mesh runs)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    with ocp.StandardCheckpointer() as ckptr:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), template
+        )
+        return ckptr.restore(path, abstract)

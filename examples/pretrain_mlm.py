@@ -43,6 +43,33 @@ def create_parser():
         "independent of depth; ~constant-factor extra compute)",
     )
     p.add_argument("--checkpoint-dir", default=None, help="orbax save path (final params)")
+    p.add_argument(
+        "--save-every", type=int, default=0,
+        help="also save the FULL train state (params+optimizer+step) every N "
+        "steps under <checkpoint-dir>/state for --resume",
+    )
+    p.add_argument(
+        "--resume", action="store_true",
+        help="restore <checkpoint-dir>/state and continue; per-step rng is "
+        "folded from the step index, so the resumed run is bit-exact",
+    )
+    p.add_argument(
+        "--accum-steps", type=int, default=1,
+        help="gradient accumulation: split each batch into N sequential "
+        "microbatches (exact big-batch equivalence)",
+    )
+    p.add_argument("--grad-clip", type=float, default=None, help="global-norm gradient clip")
+    p.add_argument(
+        "--bf16-moments", action="store_true",
+        help="store AdamW first moments in bfloat16 (halves optimizer HBM)",
+    )
+    p.add_argument(
+        "--stop-after", type=int, default=0,
+        help="exit after this step (simulated pre-emption; LR schedule still "
+        "targets --steps, so a later --resume continues bit-exactly)",
+    )
+    p.add_argument("--eval-fasta", default=None, help="held-out FASTA for masked-ppl eval")
+    p.add_argument("--eval-every", type=int, default=0, help="eval every N steps (and at the end)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--cpu", action="store_true")
@@ -96,27 +123,90 @@ def run(args):
 
     warmup = min(args.warmup_steps, max(1, args.steps // 5))
     tx = training.make_optimizer(
-        args.lr, warmup_steps=warmup, total_steps=max(args.steps, warmup + 1)
+        args.lr, warmup_steps=warmup, total_steps=max(args.steps, warmup + 1),
+        grad_clip_norm=args.grad_clip,
+        mu_dtype=jnp.bfloat16 if args.bf16_moments else None,
     )
-    state = training.init_state(params, tx)
-    state = training.TrainState(
-        shard_params(mesh, state.params), state.opt_state, state.step
-    )
+    # init on the already-sharded params so the optimizer moments are created
+    # with the same mesh placement (zeros_like inherits sharding)
+    state = training.init_state(shard_params(mesh, params), tx)
+
+    start_step = 0
+    # sibling of the params dir: orbax's force-save replaces the whole params
+    # directory, so the resumable state must not live inside it
+    state_dir = f"{args.checkpoint_dir}-state" if args.checkpoint_dir else None
+    if args.resume:
+        from esm_tpu.io.checkpoint import load_train_state
+        import os
+
+        if not (state_dir and os.path.isdir(state_dir)):
+            raise SystemExit(f"--resume: no saved state at {state_dir}")
+        restored = load_train_state(state_dir, state)
+        # re-place every restored leaf onto the fresh state's sharding
+        # (leaves the optimizer init left unplaced get replicated on the mesh)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        replicated = NamedSharding(mesh, PartitionSpec())
+        state = jax.tree.map(
+            lambda ref, x: jax.device_put(
+                jnp.asarray(x),
+                ref.sharding
+                if isinstance(ref.sharding, NamedSharding)
+                else replicated,
+            ),
+            state, restored,
+        )
+        start_step = int(state.step)
+        print(f"resumed from {state_dir} at step {start_step}")
 
     rng = jax.random.PRNGKey(args.seed + 1)
     bsh = batch_sharding(mesh)
     dp = mesh.devices.shape[0] * mesh.devices.shape[1]  # data*fsdp rows
+    batch_mult = dp * args.accum_steps
+
+    eval_batches = None
+    if args.eval_fasta:
+        eval_ds = FastaBatchedDataset.from_file(args.eval_fasta)
+        eval_idx = eval_ds.get_batch_indices(args.toks_per_batch, extra_toks_per_seq=2)
+        eval_batches = [converter([eval_ds[i] for i in b])[2] for b in eval_idx]
+
+    def pad_batch(toks):
+        if toks.shape[0] % batch_mult:
+            pad = batch_mult - toks.shape[0] % batch_mult
+            toks = np.concatenate([toks, np.repeat(toks[:1], pad, axis=0)])
+        return toks
+
+    def run_eval(step):
+        nll = cnt = 0.0
+        for j, toks in enumerate(eval_batches):
+            sums = training.eval_step(
+                state.params, cfg,
+                jax.random.fold_in(jax.random.PRNGKey(args.seed + 2), j),
+                jax.device_put(jnp.asarray(pad_batch(toks)), bsh),
+            )
+            nll += float(sums["nll_sum"])
+            cnt += float(sums["count"])
+        print(f"step {step:5d}  eval masked-ppl {np.exp(nll / max(cnt, 1)):8.3f}")
+
     t0 = time.perf_counter()
     tokens_seen = 0
-    for step, batch in zip(range(args.steps), itertools.cycle(batches)):
+    offset = start_step % len(batches)
+    batch_iter = itertools.islice(itertools.cycle(batches), offset, None)
+    for step, batch in zip(range(start_step, args.steps), batch_iter):
         _, _, toks = converter([dataset[i] for i in batch])
-        # pad the batch dim to a multiple of the data-parallel rows
-        if toks.shape[0] % dp:
-            pad = dp - toks.shape[0] % dp
-            toks = np.concatenate([toks, np.repeat(toks[:1], pad, axis=0)])
-        rng, step_rng = jax.random.split(rng)
+        # pad the batch dim to a multiple of the data-parallel rows (times
+        # microbatch count, so every microbatch shards evenly)
+        toks = pad_batch(toks)
+        # rng from the step index (not a split chain): resume stays bit-exact
+        step_rng = jax.random.fold_in(rng, step)
         tokens_dev = jax.device_put(jnp.asarray(toks), bsh)
-        state, metrics = training.train_step(state, cfg, tx, step_rng, tokens_dev)
+        if args.accum_steps > 1:
+            state, metrics = training.train_step_accum(
+                state, cfg, tx, step_rng, tokens_dev,
+                accum_steps=args.accum_steps,
+            )
+        else:
+            state, metrics = training.train_step(state, cfg, tx, step_rng, tokens_dev)
         tokens_seen += int(np.prod(toks.shape))
         if (step + 1) % args.log_every == 0 or step + 1 == args.steps:
             loss = float(metrics["loss"])
@@ -126,7 +216,19 @@ def run(args):
                 f"step {step + 1:5d}  loss {loss:7.4f}  masked-acc {acc:6.3f}  "
                 f"{rate / 1e3:8.1f}k tok/s"
             )
+        if state_dir and args.save_every and (step + 1) % args.save_every == 0:
+            from esm_tpu.io.checkpoint import save_train_state
 
+            save_train_state(state_dir, state)
+            print(f"saved train state at step {step + 1}")
+        if eval_batches is not None and args.eval_every and (step + 1) % args.eval_every == 0:
+            run_eval(step + 1)
+        if args.stop_after and step + 1 >= args.stop_after:
+            print(f"stopping after step {step + 1} (--stop-after)")
+            break
+
+    if eval_batches is not None and (not args.eval_every or args.steps % args.eval_every):
+        run_eval(args.steps)
     if args.checkpoint_dir:
         from esm_tpu.io.checkpoint import save_params
 
