@@ -1,0 +1,97 @@
+"""esm-serve: long-lived embedding/logits server with dynamic batching.
+
+The reference only ships one-shot batch scripts (scripts/extract.py); this
+serves the same --include vocabulary over HTTP from a warm, compiled model —
+concurrent requests coalesce into shape-bucketed device batches
+(esm_tpu/runtime/server.py).
+
+Example:
+  esm-serve esm2_t33_650M_UR50D --port 8080 --bf16 --flash
+  curl -s localhost:8080/embed -d '{"sequences": ["MKTVRQERLK"], "include": ["mean"]}'
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def create_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument(
+        "model_location",
+        help="registry name (e.g. esm2_t33_650M_UR50D) or local checkpoint path",
+    )
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--max-batch", type=int, default=16, help="max sequences per device batch")
+    p.add_argument(
+        "--max-wait-ms", type=float, default=10.0,
+        help="max time a request waits for batch-mates before dispatch",
+    )
+    p.add_argument("--truncation-seq-length", type=int, default=1022)
+    p.add_argument(
+        "--max-request-seqs", type=int, default=64,
+        help="reject requests with more sequences than this (413-style guard)",
+    )
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute (TPU serving default)")
+    p.add_argument("--flash", action="store_true", help="Pallas flash attention")
+    p.add_argument("--int8", action="store_true", help="weight-only int8 params")
+    p.add_argument(
+        "--fp32-precision", action="store_true",
+        help="float32 matmul precision (parity-grade; slower on TPU)",
+    )
+    p.add_argument("--nogpu", action="store_true", help="force CPU")
+    return p
+
+
+def run(args):
+    import jax
+
+    from .. import pretrained
+    from ..runtime.server import InferenceServer
+
+    if args.nogpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.fp32_precision:
+        jax.config.update("jax_default_matmul_precision", "float32")
+
+    model, _ = pretrained.load_model_and_alphabet(args.model_location)
+    opts = {}
+    if args.bf16:
+        import jax.numpy as jnp
+
+        opts["compute_dtype"] = jnp.bfloat16
+    if args.flash:
+        opts["use_flash"] = True
+    if opts:
+        model = model.with_options(**opts)
+    if args.int8:
+        model = model.quantized()
+
+    server = InferenceServer(
+        model,
+        host=args.host,
+        port=args.port,
+        max_batch_seqs=args.max_batch,
+        max_wait_ms=args.max_wait_ms,
+        truncation_seq_length=args.truncation_seq_length,
+        max_request_seqs=args.max_request_seqs,
+    ).start()
+    print(f"esm-serve: {args.model_location} on {server.url} "
+          f"(max_batch={args.max_batch}, wait={args.max_wait_ms}ms)")
+    try:
+        while True:
+            import time
+
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        print("shutting down")
+        server.stop()
+
+
+def main():
+    run(create_parser().parse_args())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,387 @@
+"""Local inference server with dynamic batching (`esm-serve`).
+
+The reference is batch-script-only (scripts/extract.py:63 drives a DataLoader
+over one FASTA and exits); production embedding/logit serving needs a
+long-lived process that amortizes compilation and coalesces concurrent
+requests into device-efficient batches. This module provides that, TPU-first:
+
+- one batcher thread owns the device (a TPU chip is single-tenant — two
+  processes/threads racing dispatches interleave badly over the tunnel);
+- requests arriving within a short window are coalesced and tokenized into
+  shape-BUCKETED batches (T padded to 128-multiples, B to powers of two) so a
+  steady request mix reuses a handful of compiled programs — XLA compiles per
+  shape and a TPU compile costs seconds-to-minutes;
+- `mean` embeddings are reduced on device ((B,T,D) -> (B,D)) before the
+  host readback, the same trick as the bulk-extraction pipeline
+  (runtime/pipeline.py) — readback over the host link is the usual bound;
+- stdlib HTTP (ThreadingHTTPServer) + JSON: no server dependencies.
+
+API (mirrors the esm-extract CLI's --include vocabulary,
+scripts/extract.py:104-131 in the reference):
+
+  GET  /healthz -> {"status": "ok", model info}
+  GET  /stats   -> request/batch/latency counters
+  POST /embed   {"sequences": ["MKT...", ...] | [["label","MKT..."], ...],
+                 "repr_layers": [-1], "include": ["mean"|"per_tok"|"logits"|"contacts"]}
+                -> {"results": [{"label", "length", "truncated",
+                                 "mean_representations"/"representations":{layer: ...},
+                                 "logits", "contacts"}, ...]}
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+_INCLUDE = ("mean", "per_tok", "logits", "contacts")
+
+
+@dataclass
+class _Request:
+    labels: List[str]
+    seqs: List[str]
+    repr_layers: Tuple[int, ...]
+    include: Tuple[str, ...]
+    done: threading.Event = field(default_factory=threading.Event)
+    result: Optional[List[Dict[str, Any]]] = None
+    error: Optional[str] = None
+    enqueued: float = field(default_factory=time.perf_counter)
+
+    @property
+    def key(self) -> Tuple:
+        return (self.repr_layers, self.include)
+
+
+class InferenceServer:
+    """Dynamic-batching inference server over an :class:`~esm_tpu.pretrained.LMHandle`.
+
+    ``max_wait_ms`` bounds added latency: the batcher dispatches as soon as
+    ``max_batch_seqs`` sequences are pending or the oldest request has waited
+    that long. ``port=0`` picks a free port (see ``.port`` after ``start()``).
+    """
+
+    def __init__(
+        self,
+        model,
+        *,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_batch_seqs: int = 16,
+        max_wait_ms: float = 10.0,
+        truncation_seq_length: int = 1022,
+        max_request_seqs: int = 64,
+    ):
+        if getattr(model, "kind", None) not in ("esm2", "esm1"):
+            raise ValueError(
+                "InferenceServer serves single-sequence LMs (esm2/esm1); "
+                f"got kind={getattr(model, 'kind', None)!r}"
+            )
+        self.model = model
+        self.alphabet = model.alphabet
+        self.max_batch_seqs = max_batch_seqs
+        self.max_wait_s = max_wait_ms / 1e3
+        self.truncation_seq_length = truncation_seq_length
+        self.max_request_seqs = max_request_seqs
+        self._converter = self.alphabet.get_batch_converter(truncation_seq_length)
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._stats = {
+            "requests": 0, "sequences": 0, "batches": 0,
+            "batched_sequences": 0, "errors": 0,
+        }
+        self._latencies: List[float] = []
+        self._started = time.time()
+        self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        self._http_thread = threading.Thread(
+            target=self._httpd.serve_forever, name="esm-serve-http", daemon=True
+        )
+        self._batch_thread = threading.Thread(
+            target=self._batch_loop, name="esm-serve-batcher", daemon=True
+        )
+
+    # ---------------------------------------------------------------- public
+
+    @property
+    def port(self) -> int:
+        return self._httpd.server_address[1]
+
+    @property
+    def url(self) -> str:
+        host = self._httpd.server_address[0]
+        return f"http://{host}:{self.port}"
+
+    def start(self) -> "InferenceServer":
+        self._batch_thread.start()
+        self._http_thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._batch_thread.join(timeout=30)
+
+    def stats(self) -> Dict[str, Any]:
+        with self._lock:
+            s = dict(self._stats)
+            lat = sorted(self._latencies)
+        s["uptime_s"] = round(time.time() - self._started, 3)
+        s["mean_batch_seqs"] = (
+            round(s["batched_sequences"] / s["batches"], 3) if s["batches"] else 0.0
+        )
+        if lat:
+            s["latency_p50_ms"] = round(1e3 * lat[len(lat) // 2], 3)
+            s["latency_p95_ms"] = round(1e3 * lat[min(len(lat) - 1, int(0.95 * len(lat)))], 3)
+        return s
+
+    # --------------------------------------------------------------- batcher
+
+    def _batch_loop(self) -> None:
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            window = [first]
+            n = len(first.seqs)
+            deadline = first.enqueued + self.max_wait_s
+            while n < self.max_batch_seqs:
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                try:
+                    req = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                window.append(req)
+                n += len(req.seqs)
+            # one device batch per distinct (repr_layers, include) group
+            groups: Dict[Tuple, List[_Request]] = {}
+            for req in window:
+                groups.setdefault(req.key, []).append(req)
+            for reqs in groups.values():
+                try:
+                    self._run_group(reqs)
+                except Exception as e:  # noqa: BLE001 — report to the client
+                    with self._lock:
+                        self._stats["errors"] += 1
+                    for r in reqs:
+                        r.error = f"{type(e).__name__}: {e}"
+                        r.done.set()
+
+    def _run_group(self, reqs: List[_Request]) -> None:
+        import numpy as np
+
+        pairs = [
+            (lab, seq) for r in reqs for lab, seq in zip(r.labels, r.seqs)
+        ]
+        repr_layers, include = reqs[0].repr_layers, set(reqs[0].include)
+        n_layers = self.model.num_layers
+        layers = sorted(
+            {(i + n_layers + 1) % (n_layers + 1) for i in repr_layers}
+        )
+
+        _, _, toks = self._converter(pairs)
+        toks, real_b = _bucket(
+            np.asarray(toks), self.alphabet.padding_idx, self.truncation_seq_length + 2
+        )
+        out = self.model(
+            toks,
+            repr_layers=tuple(layers) if ("mean" in include or "per_tok" in include) else (),
+            return_contacts="contacts" in include,
+        )
+
+        lengths = [min(len(s), self.truncation_seq_length) for _, s in pairs]
+        prepend = int(self.alphabet.prepend_bos)
+        reps = out.get("representations", {})
+        means = {}
+        if "mean" in include:
+            # reduce on device: (B, T, D) -> (B, D) per layer before readback
+            lens = np.asarray(lengths, np.int32)
+            for k in layers:
+                means[k] = np.asarray(
+                    _device_mean(reps[k][:real_b], _jnp(lens), toks.shape[1], prepend)
+                )
+        per_tok = {k: np.asarray(reps[k][:real_b]) for k in layers} if "per_tok" in include else {}
+        logits = np.asarray(out["logits"][:real_b]) if "logits" in include else None
+        contacts = np.asarray(out["contacts"][:real_b]) if "contacts" in include else None
+
+        i = 0
+        for r in reqs:
+            results = []
+            for lab, seq in zip(r.labels, r.seqs):
+                L = lengths[i]
+                item: Dict[str, Any] = {
+                    "label": lab, "length": L, "truncated": len(seq) > L,
+                }
+                if means:
+                    item["mean_representations"] = {
+                        str(k): means[k][i].tolist() for k in layers
+                    }
+                if per_tok:
+                    item["representations"] = {
+                        str(k): per_tok[k][i, prepend : prepend + L].tolist()
+                        for k in layers
+                    }
+                if logits is not None:
+                    item["logits"] = logits[i, prepend : prepend + L].tolist()
+                if contacts is not None:
+                    item["contacts"] = contacts[i, :L, :L].tolist()
+                results.append(item)
+                i += 1
+            r.result = results
+            with self._lock:
+                self._latencies.append(time.perf_counter() - r.enqueued)
+                if len(self._latencies) > 1024:
+                    del self._latencies[:512]
+            r.done.set()
+        with self._lock:
+            self._stats["batches"] += 1
+            self._stats["batched_sequences"] += len(pairs)
+
+    # ------------------------------------------------------------------ http
+
+    def _submit(self, payload: Dict[str, Any]) -> _Request:
+        seqs_in = payload.get("sequences")
+        if not isinstance(seqs_in, list) or not seqs_in:
+            raise ValueError('"sequences" must be a non-empty list')
+        if len(seqs_in) > self.max_request_seqs:
+            raise ValueError(
+                f"too many sequences in one request ({len(seqs_in)} > "
+                f"{self.max_request_seqs}); split the request"
+            )
+        labels, seqs = [], []
+        for j, item in enumerate(seqs_in):
+            if isinstance(item, str):
+                lab, seq = f"seq{j}", item
+            elif isinstance(item, (list, tuple)) and len(item) == 2:
+                lab, seq = str(item[0]), str(item[1])
+            elif isinstance(item, dict) and "sequence" in item:
+                lab, seq = str(item.get("label", f"seq{j}")), str(item["sequence"])
+            else:
+                raise ValueError(
+                    f"sequences[{j}]: expected a string, [label, sequence] "
+                    "pair, or {label, sequence} object"
+                )
+            if not seq:
+                raise ValueError(f"sequences[{j}] ({lab!r}): empty sequence")
+            bad = [c for c in seq if c not in self.alphabet.tok_to_idx]
+            if bad:
+                raise ValueError(
+                    f"sequences[{j}] ({lab!r}): unknown residue {bad[0]!r}"
+                )
+            labels.append(lab)
+            seqs.append(seq)
+        repr_layers = tuple(payload.get("repr_layers", [-1]))
+        n = self.model.num_layers
+        for i in repr_layers:
+            if not isinstance(i, int) or not -(n + 1) <= i <= n:
+                raise ValueError(f"repr_layers entry {i!r} out of range [-{n + 1}, {n}]")
+        include = tuple(payload.get("include", ["mean"]))
+        for inc in include:
+            if inc not in _INCLUDE:
+                raise ValueError(f'include entry {inc!r} not in {_INCLUDE}')
+        req = _Request(labels, seqs, repr_layers, include)
+        with self._lock:
+            self._stats["requests"] += 1
+            self._stats["sequences"] += len(seqs)
+        self._queue.put(req)
+        return req
+
+    def _make_handler(self):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet by default
+                pass
+
+            def _send(self, code: int, obj: Dict[str, Any]) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    m = server.model
+                    self._send(200, {
+                        "status": "ok",
+                        "model_kind": m.kind,
+                        "num_layers": m.num_layers,
+                        "embed_dim": m.embed_dim,
+                        "truncation_seq_length": server.truncation_seq_length,
+                    })
+                elif self.path == "/stats":
+                    self._send(200, server.stats())
+                else:
+                    self._send(404, {"error": f"unknown path {self.path}"})
+
+            def do_POST(self):
+                if self.path != "/embed":
+                    self._send(404, {"error": f"unknown path {self.path}"})
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", 0))
+                    payload = json.loads(self.rfile.read(length) or b"{}")
+                    if not isinstance(payload, dict):
+                        raise ValueError("request body must be a JSON object")
+                    req = server._submit(payload)
+                except (ValueError, KeyError, json.JSONDecodeError) as e:
+                    with server._lock:
+                        server._stats["errors"] += 1
+                    self._send(400, {"error": str(e)})
+                    return
+                req.done.wait()
+                if req.error is not None:
+                    self._send(500, {"error": req.error})
+                else:
+                    self._send(200, {"results": req.result})
+
+        return Handler
+
+
+def _jnp(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
+def _bucket(toks, padding_idx: int, t_cap: int):
+    """Shape-bucket a (B, T) token batch: T to the next 128-multiple (capped
+    at the truncation length), B to the next power of two. Padded rows copy
+    row 0 (numerically inert; dropped on output)."""
+    import numpy as np
+
+    b, t = toks.shape
+    tp = min(-(-t // 128) * 128, max(t, -(-t_cap // 128) * 128))
+    toks = np.pad(toks, ((0, 0), (0, tp - t)), constant_values=padding_idx)
+    bp = 1 << (b - 1).bit_length()
+    if bp != b:
+        toks = np.concatenate([toks, np.repeat(toks[:1], bp - b, axis=0)])
+    return toks, b
+
+
+def _device_mean(rep, lengths, t, prepend):
+    """Masked mean over real residue positions, computed on device."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("t", "prepend"))
+    def f(rep, lengths, t, prepend):
+        pos = jnp.arange(t)[None, :]
+        # real tokens occupy [prepend, prepend + L) (bos, if any, at 0;
+        # eos/padding after)
+        mask = (pos >= prepend) & (pos < prepend + lengths[:, None])
+        w = mask.astype(rep.dtype)[..., None]
+        return (rep * w).sum(1) / jnp.maximum(w.sum(1), 1.0)
+
+    return f(rep, lengths, t, prepend)

@@ -1,0 +1,151 @@
+"""Dynamic-batching inference server (esm_tpu/runtime/server.py): response
+numerics must match a direct model call, concurrent requests must coalesce
+into shared device batches, and malformed requests must fail cleanly."""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from esm_tpu.data import Alphabet
+from esm_tpu.models import esm2
+from esm_tpu.pretrained import LMHandle
+from esm_tpu.runtime.server import InferenceServer
+
+SEQS = [
+    "MKTVRQERLKSIVRILERSKEPVSGAQLAEELSVSRQVIVQDIAYLRSLGYNIVATPRGYVLA",
+    "KALTARQQEVFDLIRDHISQTGMPPTRAEIA",
+    "QEVFDLIRD",
+]
+
+
+@pytest.fixture(scope="module")
+def server():
+    alphabet = Alphabet.from_architecture("ESM-1b")
+    cfg = esm2.ESM2Config.from_alphabet(
+        alphabet, num_layers=2, embed_dim=32, attention_heads=2
+    )
+    params = esm2.init(jax.random.PRNGKey(0), cfg)
+    model = LMHandle("esm2", cfg, params, alphabet)
+    srv = InferenceServer(model, max_wait_ms=150.0, truncation_seq_length=60).start()
+    yield srv, model
+    srv.stop()
+
+
+def _post(srv, payload, path="/embed"):
+    req = urllib.request.Request(
+        srv.url + path,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return json.loads(resp.read())
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(srv.url + path, timeout=30) as resp:
+        return json.loads(resp.read())
+
+
+def test_healthz(server):
+    srv, _ = server
+    h = _get(srv, "/healthz")
+    assert h["status"] == "ok" and h["model_kind"] == "esm2" and h["num_layers"] == 2
+
+
+def test_embed_matches_direct_call(server):
+    srv, model = server
+    out = _post(srv, {
+        "sequences": [["a", SEQS[0]], ["b", SEQS[1]]],
+        "repr_layers": [0, -1],
+        "include": ["mean", "per_tok", "logits", "contacts"],
+    })
+    results = out["results"]
+    assert [r["label"] for r in results] == ["a", "b"]
+
+    _, _, toks = model.alphabet.get_batch_converter(60)(
+        [("a", SEQS[0]), ("b", SEQS[1])]
+    )
+    direct = model(toks, repr_layers=[0, 2], return_contacts=True)
+    for i, (r, seq) in enumerate(zip(results, SEQS[:2])):
+        L = min(len(seq), 60)
+        assert r["length"] == L and r["truncated"] == (len(seq) > 60)
+        rep = np.asarray(direct["representations"][2])[i, 1 : L + 1]
+        np.testing.assert_allclose(
+            np.asarray(r["representations"]["2"]), rep, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(r["mean_representations"]["2"]), rep.mean(0), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(r["logits"]),
+            np.asarray(direct["logits"])[i, 1 : L + 1],
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(r["contacts"]),
+            np.asarray(direct["contacts"])[i, :L, :L],
+            atol=1e-5,
+        )
+
+
+def test_concurrent_requests_are_batched(server):
+    srv, _ = server
+    before = _get(srv, "/stats")
+    n = 6
+    results = [None] * n
+    barrier = threading.Barrier(n)
+
+    def worker(j):
+        barrier.wait()
+        results[j] = _post(srv, {"sequences": [SEQS[j % 3]], "include": ["mean"]})
+
+    threads = [threading.Thread(target=worker, args=(j,)) for j in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert all(r is not None and len(r["results"]) == 1 for r in results)
+    # identical sequences must produce identical embeddings across batches
+    a = results[0]["results"][0]["mean_representations"]
+    b = results[3]["results"][0]["mean_representations"]
+    for k in a:
+        np.testing.assert_allclose(np.asarray(a[k]), np.asarray(b[k]), atol=1e-5)
+
+    after = _get(srv, "/stats")
+    new_reqs = after["requests"] - before["requests"]
+    new_batches = after["batches"] - before["batches"]
+    assert new_reqs == n
+    assert new_batches < new_reqs, (before, after)  # coalescing happened
+
+
+def test_bad_requests(server):
+    srv, _ = server
+    for payload, frag in [
+        ({"sequences": []}, "non-empty"),
+        ({"sequences": ["MK1TA"]}, "unknown residue"),
+        ({"sequences": [""]}, "empty sequence"),
+        ({"sequences": ["MKT"], "include": ["bogus"]}, "bogus"),
+        ({"sequences": ["MKT"], "repr_layers": [99]}, "out of range"),
+        ({"sequences": "MKT"}, "non-empty list"),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(srv, payload)
+        assert exc_info.value.code == 400
+        body = json.loads(exc_info.value.read())
+        assert frag in body["error"], (payload, body)
+
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(srv, {"sequences": ["MKT"]}, path="/nope")
+    assert exc_info.value.code == 404
+
+
+def test_msa_model_rejected():
+    alphabet = Alphabet.from_architecture("msa_transformer")
+    fake = type("H", (), {"kind": "msa", "alphabet": alphabet})()
+    with pytest.raises(ValueError, match="single-sequence"):
+        InferenceServer(fake)
