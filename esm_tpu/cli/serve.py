@@ -18,8 +18,22 @@ import argparse
 def create_parser():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument(
-        "model_location",
-        help="registry name (e.g. esm2_t33_650M_UR50D) or local checkpoint path",
+        "model_location", nargs="?", default=None,
+        help="LM registry name (e.g. esm2_t33_650M_UR50D) or local checkpoint "
+        "path; omit for a fold-only server",
+    )
+    p.add_argument(
+        "--fold-model", default=None,
+        help="also serve POST /fold from this ESMFold checkpoint name/path "
+        "(e.g. esmfold_v1)",
+    )
+    p.add_argument(
+        "--max-fold-batch", type=int, default=4,
+        help="max sequences per fold device batch (pair tensors are O(L^2))",
+    )
+    p.add_argument(
+        "--fold-chunk-size", type=int, default=None,
+        help="triangle-attention chunk size for long-sequence folds",
     )
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8080)
@@ -55,30 +69,54 @@ def run(args):
     if args.fp32_precision:
         jax.config.update("jax_default_matmul_precision", "float32")
 
-    model, _ = pretrained.load_model_and_alphabet(args.model_location)
-    opts = {}
-    if args.bf16:
-        import jax.numpy as jnp
+    if args.model_location is None and args.fold_model is None:
+        raise SystemExit("esm-serve: give an LM model name and/or --fold-model")
 
-        opts["compute_dtype"] = jnp.bfloat16
-    if args.flash:
-        opts["use_flash"] = True
-    if opts:
-        model = model.with_options(**opts)
-    if args.int8:
-        model = model.quantized()
+    model = None
+    if args.model_location is not None:
+        model, _ = pretrained.load_model_and_alphabet(args.model_location)
+        opts = {}
+        if args.bf16:
+            import jax.numpy as jnp
+
+            opts["compute_dtype"] = jnp.bfloat16
+        if args.flash:
+            opts["use_flash"] = True
+        if opts:
+            model = model.with_options(**opts)
+        if args.int8:
+            model = model.quantized()
+
+    fold_model = None
+    if args.fold_model is not None:
+        fold_model = pretrained.load_esmfold(args.fold_model)
+        trunk_updates = {}
+        if args.bf16:
+            import jax.numpy as jnp
+
+            trunk_updates["compute_dtype"] = jnp.bfloat16
+        if args.flash:
+            trunk_updates["use_flash_tri"] = True
+        if args.fold_chunk_size is not None:
+            trunk_updates["chunk_size"] = args.fold_chunk_size
+        if trunk_updates:
+            fold_model = fold_model.with_options(**trunk_updates)
+        if args.int8:
+            fold_model = fold_model.quantized()
 
     server = InferenceServer(
         model,
+        fold_model=fold_model,
         host=args.host,
         port=args.port,
         max_batch_seqs=args.max_batch,
+        max_fold_batch_seqs=args.max_fold_batch,
         max_wait_ms=args.max_wait_ms,
         truncation_seq_length=args.truncation_seq_length,
         max_request_seqs=args.max_request_seqs,
     ).start()
-    print(f"esm-serve: {args.model_location} on {server.url} "
-          f"(max_batch={args.max_batch}, wait={args.max_wait_ms}ms)")
+    print(f"esm-serve: lm={args.model_location} fold={args.fold_model} on "
+          f"{server.url} (max_batch={args.max_batch}, wait={args.max_wait_ms}ms)")
     try:
         while True:
             import time

@@ -19,13 +19,19 @@ requests into device-efficient batches. This module provides that, TPU-first:
 API (mirrors the esm-extract CLI's --include vocabulary,
 scripts/extract.py:104-131 in the reference):
 
-  GET  /healthz -> {"status": "ok", model info}
+  GET  /healthz -> {"status": "ok", "endpoints": [...], model info}
   GET  /stats   -> request/batch/latency counters
   POST /embed   {"sequences": ["MKT...", ...] | [["label","MKT..."], ...],
                  "repr_layers": [-1], "include": ["mean"|"per_tok"|"logits"|"contacts"]}
                 -> {"results": [{"label", "length", "truncated",
                                  "mean_representations"/"representations":{layer: ...},
                                  "logits", "contacts"}, ...]}
+  POST /fold    {"sequences": [...], "num_recycles": N}    (multimers via ':')
+                -> {"results": [{"label", "length", "num_chains", "pdb",
+                                 "mean_plddt", "ptm"}, ...]}
+
+Folds share the batcher thread (the chip is single-tenant) but batch
+separately, capped at ``max_fold_batch_seqs`` — pair tensors are O(L^2..L^3).
 """
 
 from __future__ import annotations
@@ -45,8 +51,10 @@ _INCLUDE = ("mean", "per_tok", "logits", "contacts")
 class _Request:
     labels: List[str]
     seqs: List[str]
-    repr_layers: Tuple[int, ...]
-    include: Tuple[str, ...]
+    repr_layers: Tuple[int, ...] = ()
+    include: Tuple[str, ...] = ()
+    kind: str = "embed"  # "embed" | "fold"
+    num_recycles: Optional[int] = None
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[List[Dict[str, Any]]] = None
     error: Optional[str] = None
@@ -54,7 +62,9 @@ class _Request:
 
     @property
     def key(self) -> Tuple:
-        return (self.repr_layers, self.include)
+        if self.kind == "fold":
+            return ("fold", self.num_recycles)
+        return ("embed", self.repr_layers, self.include)
 
 
 class InferenceServer:
@@ -67,32 +77,42 @@ class InferenceServer:
 
     def __init__(
         self,
-        model,
+        model=None,
         *,
+        fold_model=None,
         host: str = "127.0.0.1",
         port: int = 0,
         max_batch_seqs: int = 16,
+        max_fold_batch_seqs: int = 4,
         max_wait_ms: float = 10.0,
         truncation_seq_length: int = 1022,
         max_request_seqs: int = 64,
     ):
-        if getattr(model, "kind", None) not in ("esm2", "esm1"):
+        if model is None and fold_model is None:
+            raise ValueError("need at least one of model (LM) / fold_model")
+        if model is not None and getattr(model, "kind", None) not in ("esm2", "esm1"):
             raise ValueError(
                 "InferenceServer serves single-sequence LMs (esm2/esm1); "
                 f"got kind={getattr(model, 'kind', None)!r}"
             )
         self.model = model
-        self.alphabet = model.alphabet
+        self.fold_model = fold_model
+        self.alphabet = model.alphabet if model is not None else None
         self.max_batch_seqs = max_batch_seqs
+        self.max_fold_batch_seqs = max_fold_batch_seqs
         self.max_wait_s = max_wait_ms / 1e3
         self.truncation_seq_length = truncation_seq_length
         self.max_request_seqs = max_request_seqs
-        self._converter = self.alphabet.get_batch_converter(truncation_seq_length)
+        self._converter = (
+            self.alphabet.get_batch_converter(truncation_seq_length)
+            if model is not None
+            else None
+        )
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._lock = threading.Lock()
         self._stats = {
-            "requests": 0, "sequences": 0, "batches": 0,
+            "requests": 0, "sequences": 0, "batches": 0, "fold_batches": 0,
             "batched_sequences": 0, "errors": 0,
         }
         self._latencies: List[float] = []
@@ -132,8 +152,9 @@ class InferenceServer:
             s = dict(self._stats)
             lat = sorted(self._latencies)
         s["uptime_s"] = round(time.time() - self._started, 3)
+        n_batches = s["batches"] + s["fold_batches"]
         s["mean_batch_seqs"] = (
-            round(s["batched_sequences"] / s["batches"], 3) if s["batches"] else 0.0
+            round(s["batched_sequences"] / n_batches, 3) if n_batches else 0.0
         )
         if lat:
             s["latency_p50_ms"] = round(1e3 * lat[len(lat) // 2], 3)
@@ -161,21 +182,70 @@ class InferenceServer:
                     break
                 window.append(req)
                 n += len(req.seqs)
-            # one device batch per distinct (repr_layers, include) group
+            # one device batch per distinct options group
             groups: Dict[Tuple, List[_Request]] = {}
             for req in window:
                 groups.setdefault(req.key, []).append(req)
             for reqs in groups.values():
-                try:
-                    self._run_group(reqs)
-                except Exception as e:  # noqa: BLE001 — report to the client
-                    with self._lock:
-                        self._stats["errors"] += 1
-                    for r in reqs:
-                        r.error = f"{type(e).__name__}: {e}"
-                        r.done.set()
+                # folds are O(L^2..L^3)-heavy: cap sequences per device batch
+                chunks = (
+                    _chunk_by_seqs(reqs, self.max_fold_batch_seqs)
+                    if reqs[0].kind == "fold"
+                    else [reqs]
+                )
+                for chunk in chunks:
+                    try:
+                        if chunk[0].kind == "fold":
+                            self._run_fold_group(chunk)
+                        else:
+                            self._run_embed_group(chunk)
+                    except Exception as e:  # noqa: BLE001 — report to the client
+                        with self._lock:
+                            self._stats["errors"] += 1
+                        for r in chunk:
+                            r.error = f"{type(e).__name__}: {e}"
+                            r.done.set()
 
-    def _run_group(self, reqs: List[_Request]) -> None:
+    def _finish(self, r: _Request, results: List[Dict[str, Any]]) -> None:
+        r.result = results
+        with self._lock:
+            self._latencies.append(time.perf_counter() - r.enqueued)
+            if len(self._latencies) > 1024:
+                del self._latencies[:512]
+        r.done.set()
+
+    def _run_fold_group(self, reqs: List[_Request]) -> None:
+        import numpy as np
+
+        pairs = [(lab, seq) for r in reqs for lab, seq in zip(r.labels, r.seqs)]
+        out = self.fold_model.infer(
+            [seq for _, seq in pairs],
+            num_recycles=reqs[0].num_recycles,
+            frugal=True,
+        )
+        pdbs = self.fold_model.output_to_pdb(out)
+        mean_plddt = np.asarray(out["mean_plddt"], np.float64)
+        ptm = np.asarray(out["ptm"], np.float64)
+
+        i = 0
+        for r in reqs:
+            results = []
+            for lab, seq in zip(r.labels, r.seqs):
+                results.append({
+                    "label": lab,
+                    "length": len(seq) - seq.count(":"),
+                    "num_chains": seq.count(":") + 1,
+                    "pdb": pdbs[i],
+                    "mean_plddt": round(float(mean_plddt[i]), 4),
+                    "ptm": round(float(ptm[i]), 4),
+                })
+                i += 1
+            self._finish(r, results)
+        with self._lock:
+            self._stats["fold_batches"] += 1
+            self._stats["batched_sequences"] += len(pairs)
+
+    def _run_embed_group(self, reqs: List[_Request]) -> None:
         import numpy as np
 
         pairs = [
@@ -235,19 +305,14 @@ class InferenceServer:
                     item["contacts"] = contacts[i, :L, :L].tolist()
                 results.append(item)
                 i += 1
-            r.result = results
-            with self._lock:
-                self._latencies.append(time.perf_counter() - r.enqueued)
-                if len(self._latencies) > 1024:
-                    del self._latencies[:512]
-            r.done.set()
+            self._finish(r, results)
         with self._lock:
             self._stats["batches"] += 1
             self._stats["batched_sequences"] += len(pairs)
 
     # ------------------------------------------------------------------ http
 
-    def _submit(self, payload: Dict[str, Any]) -> _Request:
+    def _parse_sequences(self, payload: Dict[str, Any], *, fold: bool):
         seqs_in = payload.get("sequences")
         if not isinstance(seqs_in, list) or not seqs_in:
             raise ValueError('"sequences" must be a non-empty list')
@@ -271,13 +336,50 @@ class InferenceServer:
                 )
             if not seq:
                 raise ValueError(f"sequences[{j}] ({lab!r}): empty sequence")
-            bad = [c for c in seq if c not in self.alphabet.tok_to_idx]
-            if bad:
-                raise ValueError(
-                    f"sequences[{j}] ({lab!r}): unknown residue {bad[0]!r}"
-                )
+            if fold:
+                # ESMFold maps unknown letters to X (reference misc.py:18-58);
+                # ':' separates multimer chains
+                bad = [c for c in seq if not (c.isalpha() and c.isupper() or c == ":")]
+                if bad:
+                    raise ValueError(
+                        f"sequences[{j}] ({lab!r}): invalid character {bad[0]!r}"
+                    )
+                if any(not chain for chain in seq.split(":")):
+                    raise ValueError(f"sequences[{j}] ({lab!r}): empty chain around ':'")
+            else:
+                bad = [c for c in seq if c not in self.alphabet.tok_to_idx]
+                if bad:
+                    raise ValueError(
+                        f"sequences[{j}] ({lab!r}): unknown residue {bad[0]!r}"
+                    )
             labels.append(lab)
             seqs.append(seq)
+        return labels, seqs
+
+    def _enqueue(self, req: _Request) -> _Request:
+        with self._lock:
+            self._stats["requests"] += 1
+            self._stats["sequences"] += len(req.seqs)
+        self._queue.put(req)
+        return req
+
+    def _submit_fold(self, payload: Dict[str, Any]) -> _Request:
+        if self.fold_model is None:
+            raise ValueError("no fold model loaded (start esm-serve with --fold-model)")
+        labels, seqs = self._parse_sequences(payload, fold=True)
+        num_recycles = payload.get("num_recycles")
+        if num_recycles is not None and (
+            not isinstance(num_recycles, int) or num_recycles < 0
+        ):
+            raise ValueError(f"num_recycles must be a non-negative int, got {num_recycles!r}")
+        return self._enqueue(
+            _Request(labels, seqs, kind="fold", num_recycles=num_recycles)
+        )
+
+    def _submit(self, payload: Dict[str, Any]) -> _Request:
+        if self.model is None:
+            raise ValueError("no LM loaded (start esm-serve with a model name)")
+        labels, seqs = self._parse_sequences(payload, fold=False)
         repr_layers = tuple(payload.get("repr_layers", [-1]))
         n = self.model.num_layers
         for i in repr_layers:
@@ -287,12 +389,7 @@ class InferenceServer:
         for inc in include:
             if inc not in _INCLUDE:
                 raise ValueError(f'include entry {inc!r} not in {_INCLUDE}')
-        req = _Request(labels, seqs, repr_layers, include)
-        with self._lock:
-            self._stats["requests"] += 1
-            self._stats["sequences"] += len(seqs)
-        self._queue.put(req)
-        return req
+        return self._enqueue(_Request(labels, seqs, repr_layers, include))
 
     def _make_handler(self):
         server = self
@@ -311,21 +408,27 @@ class InferenceServer:
 
             def do_GET(self):
                 if self.path == "/healthz":
-                    m = server.model
-                    self._send(200, {
+                    h = {
                         "status": "ok",
-                        "model_kind": m.kind,
-                        "num_layers": m.num_layers,
-                        "embed_dim": m.embed_dim,
+                        "endpoints": (["/embed"] if server.model else [])
+                        + (["/fold"] if server.fold_model else []),
                         "truncation_seq_length": server.truncation_seq_length,
-                    })
+                    }
+                    if server.model is not None:
+                        m = server.model
+                        h.update(
+                            model_kind=m.kind,
+                            num_layers=m.num_layers,
+                            embed_dim=m.embed_dim,
+                        )
+                    self._send(200, h)
                 elif self.path == "/stats":
                     self._send(200, server.stats())
                 else:
                     self._send(404, {"error": f"unknown path {self.path}"})
 
             def do_POST(self):
-                if self.path != "/embed":
+                if self.path not in ("/embed", "/fold"):
                     self._send(404, {"error": f"unknown path {self.path}"})
                     return
                 try:
@@ -333,7 +436,10 @@ class InferenceServer:
                     payload = json.loads(self.rfile.read(length) or b"{}")
                     if not isinstance(payload, dict):
                         raise ValueError("request body must be a JSON object")
-                    req = server._submit(payload)
+                    submit = (
+                        server._submit if self.path == "/embed" else server._submit_fold
+                    )
+                    req = submit(payload)
                 except (ValueError, KeyError, json.JSONDecodeError) as e:
                     with server._lock:
                         server._stats["errors"] += 1
@@ -346,6 +452,20 @@ class InferenceServer:
                     self._send(200, {"results": req.result})
 
         return Handler
+
+
+def _chunk_by_seqs(reqs: List[_Request], cap: int) -> List[List[_Request]]:
+    """Split a request group into chunks of at most ``cap`` total sequences
+    (whole requests only — a request never spans device batches)."""
+    chunks: List[List[_Request]] = [[]]
+    n = 0
+    for r in reqs:
+        if chunks[-1] and n + len(r.seqs) > cap:
+            chunks.append([])
+            n = 0
+        chunks[-1].append(r)
+        n += len(r.seqs)
+    return chunks
 
 
 def _jnp(x):

@@ -149,3 +149,71 @@ def test_msa_model_rejected():
     fake = type("H", (), {"kind": "msa", "alphabet": alphabet})()
     with pytest.raises(ValueError, match="single-sequence"):
         InferenceServer(fake)
+    with pytest.raises(ValueError, match="at least one"):
+        InferenceServer()
+
+
+@pytest.fixture(scope="module")
+def fold_server(tmp_path_factory, monkeypatch_module):
+    from tests.test_fold_cli import _make_cache
+
+    tmp_path = tmp_path_factory.mktemp("fold_srv")
+    cache, fold_path = _make_cache(tmp_path)
+    monkeypatch_module.setenv("ESM_TPU_CACHE", str(cache))
+
+    from esm_tpu import pretrained
+
+    handle = pretrained.load_esmfold(str(fold_path))
+    srv = InferenceServer(
+        fold_model=handle, max_wait_ms=100.0, max_fold_batch_seqs=2
+    ).start()
+    yield srv, handle
+    srv.stop()
+
+
+@pytest.fixture(scope="module")
+def monkeypatch_module():
+    mp = pytest.MonkeyPatch()
+    yield mp
+    mp.undo()
+
+
+def test_fold_endpoint(fold_server):
+    srv, handle = fold_server
+    h = _get(srv, "/healthz")
+    assert h["endpoints"] == ["/fold"]
+
+    out = _post(srv, {
+        "sequences": [["mono", "MKTVRQERLK"], ["dimer", "MKT:RQE"]],
+        "num_recycles": 1,
+    }, path="/fold")
+    mono, dimer = out["results"]
+    assert mono["label"] == "mono" and mono["length"] == 10 and mono["num_chains"] == 1
+    assert mono["pdb"].startswith("ATOM") and mono["pdb"].count(" CA ") == 10
+    assert 0.0 <= mono["mean_plddt"] <= 100.0 and 0.0 <= mono["ptm"] <= 1.0
+    assert dimer["num_chains"] == 2 and dimer["length"] == 6
+    assert "TER" in dimer["pdb"]
+
+    # parity with a direct infer_pdb call (same num_recycles)
+    direct = handle.infer_pdb("MKTVRQERLK", num_recycles=1)
+    # PDB text may differ in batch padding handling only if batched with the
+    # dimer; refold alone for an exact check
+    alone = _post(srv, {"sequences": ["MKTVRQERLK"], "num_recycles": 1}, path="/fold")
+    assert alone["results"][0]["pdb"] == direct
+
+    # embed endpoint must 400 on a fold-only server
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(srv, {"sequences": ["MKT"]})
+    assert exc_info.value.code == 400
+    assert "no LM loaded" in json.loads(exc_info.value.read())["error"]
+
+    # fold input validation
+    for payload, frag in [
+        ({"sequences": ["MKT:"]}, "empty chain"),
+        ({"sequences": ["MK T"]}, "invalid character"),
+        ({"sequences": ["MKT"], "num_recycles": -1}, "non-negative"),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(srv, payload, path="/fold")
+        assert exc_info.value.code == 400
+        assert frag in json.loads(exc_info.value.read())["error"], payload
