@@ -4,7 +4,8 @@ Times esm_tpu.training.train_step at a given model size/batch/length with
 remat and (optionally) the flash-attention training path. The reference has
 no trainer at all (SURVEY §1); these numbers document the training surface.
 
-Usage: python scripts_dev/tpu_train_bench.py [size] [batch] [seqlen] [--exact]
+Usage: python scripts_dev/tpu_train_bench.py [size] [batch] [seqlen]
+       [--exact] [--bf16-moments] [--accum N]
 """
 import os
 import sys
@@ -29,7 +30,15 @@ from esm_tpu.models import esm2
 
 def main():
     use_flash = "--exact" not in sys.argv
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    bf16_moments = "--bf16-moments" in sys.argv
+    accum = 1
+    if "--accum" in sys.argv:
+        accum = int(sys.argv[sys.argv.index("--accum") + 1])
+    argv = sys.argv[1:]
+    if "--accum" in argv:
+        i = argv.index("--accum")
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if not a.startswith("--")]
     size = args[0] if len(args) > 0 else "esm2_t33_650M_UR50D"
     batch = int(args[1]) if len(args) > 1 else 4  # B=8 OOMs at 650M/L=1024
     seqlen = int(args[2]) if len(args) > 2 else 1024
@@ -46,12 +55,12 @@ def main():
     t0 = time.perf_counter()
     # init on device
     params = jax.jit(esm2.init, static_argnums=(1,))(jax.random.PRNGKey(0), cfg)
-    tx = optax.adamw(1e-4)
+    tx = optax.adamw(1e-4, mu_dtype=jnp.bfloat16 if bf16_moments else None)
     state = training.init_state(params, tx)
     jax.block_until_ready(state)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"init {time.perf_counter()-t0:.1f}s  params {n_params/1e6:.0f}M  "
-          f"flash={use_flash} remat=True bf16")
+          f"flash={use_flash} remat=True bf16 mu_bf16={bf16_moments} accum={accum}")
 
     rng = np.random.default_rng(0)
     toks = np.full((batch, seqlen), alphabet.padding_idx, dtype=np.int32)
@@ -60,17 +69,20 @@ def main():
     toks[:, -1] = alphabet.eos_idx
     toks = jnp.asarray(toks)
 
+    def step(state, rng):
+        if accum > 1:
+            return training.train_step_accum(state, cfg, tx, rng, toks, accum_steps=accum)
+        return training.train_step(state, cfg, tx, rng, toks)
+
     t0 = time.perf_counter()
-    state, metrics = training.train_step(state, cfg, tx, jax.random.PRNGKey(1), toks)
+    state, metrics = step(state, jax.random.PRNGKey(1))
     loss = float(metrics["loss"])  # forces readback
     print(f"step0 (compile) {time.perf_counter()-t0:.1f}s loss {loss:.3f}")
 
     times = []
     for i in range(5):
         t0 = time.perf_counter()
-        state, metrics = training.train_step(
-            state, cfg, tx, jax.random.PRNGKey(2 + i), toks
-        )
+        state, metrics = step(state, jax.random.PRNGKey(2 + i))
         loss = float(metrics["loss"])  # device->host sync
         times.append(time.perf_counter() - t0)
     best = min(times)
