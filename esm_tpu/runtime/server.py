@@ -104,12 +104,13 @@ class InferenceServer:
         self.truncation_seq_length = truncation_seq_length
         self.max_request_seqs = max_request_seqs
         self._converter = (
-            self.alphabet.get_batch_converter(truncation_seq_length)
+            self.alphabet.get_batch_converter(truncation_seq_length, pad_to_multiple=128)
             if model is not None
             else None
         )
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
+        self._drained = threading.Event()
         self._lock = threading.Lock()
         self._stats = {
             "requests": 0, "sequences": 0, "batches": 0, "fold_batches": 0,
@@ -146,6 +147,15 @@ class InferenceServer:
         self._httpd.shutdown()
         self._httpd.server_close()
         self._batch_thread.join(timeout=30)
+        # fail anything still queued so no handler thread waits forever
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            req.error = "server shutting down"
+            req.done.set()
+        self._drained.set()
 
     def stats(self) -> Dict[str, Any]:
         with self._lock:
@@ -187,22 +197,16 @@ class InferenceServer:
             for req in window:
                 groups.setdefault(req.key, []).append(req)
             for reqs in groups.values():
-                # folds are O(L^2..L^3)-heavy: cap sequences per device batch
-                chunks = (
-                    _chunk_by_seqs(reqs, self.max_fold_batch_seqs)
-                    if reqs[0].kind == "fold"
-                    else [reqs]
-                )
-                for chunk in chunks:
-                    try:
-                        if chunk[0].kind == "fold":
-                            self._run_fold_group(chunk)
-                        else:
-                            self._run_embed_group(chunk)
-                    except Exception as e:  # noqa: BLE001 — report to the client
-                        with self._lock:
-                            self._stats["errors"] += 1
-                        for r in chunk:
+                try:
+                    if reqs[0].kind == "fold":
+                        self._run_fold_group(reqs)
+                    else:
+                        self._run_embed_group(reqs)
+                except Exception as e:  # noqa: BLE001 — report to the client
+                    with self._lock:
+                        self._stats["errors"] += 1
+                    for r in reqs:
+                        if not r.done.is_set():
                             r.error = f"{type(e).__name__}: {e}"
                             r.done.set()
 
@@ -214,24 +218,32 @@ class InferenceServer:
                 del self._latencies[:512]
         r.done.set()
 
+    def _distribute(self, reqs: List[_Request], items: List[Dict[str, Any]]) -> None:
+        i = 0
+        for r in reqs:
+            self._finish(r, items[i : i + len(r.seqs)])
+            i += len(r.seqs)
+
     def _run_fold_group(self, reqs: List[_Request]) -> None:
+        """Run a fold group, slicing into device batches of at most
+        ``max_fold_batch_seqs`` sequences (a single request may carry up to
+        max_request_seqs — the cap bounds the device batch, not the request)."""
         import numpy as np
 
         pairs = [(lab, seq) for r in reqs for lab, seq in zip(r.labels, r.seqs)]
-        out = self.fold_model.infer(
-            [seq for _, seq in pairs],
-            num_recycles=reqs[0].num_recycles,
-            frugal=True,
-        )
-        pdbs = self.fold_model.output_to_pdb(out)
-        mean_plddt = np.asarray(out["mean_plddt"], np.float64)
-        ptm = np.asarray(out["ptm"], np.float64)
-
-        i = 0
-        for r in reqs:
-            results = []
-            for lab, seq in zip(r.labels, r.seqs):
-                results.append({
+        items: List[Dict[str, Any]] = []
+        for s in range(0, len(pairs), self.max_fold_batch_seqs):
+            chunk = pairs[s : s + self.max_fold_batch_seqs]
+            out = self.fold_model.infer(
+                [seq for _, seq in chunk],
+                num_recycles=reqs[0].num_recycles,
+                frugal=True,
+            )
+            pdbs = self.fold_model.output_to_pdb(out)
+            mean_plddt = np.asarray(out["mean_plddt"], np.float64)
+            ptm = np.asarray(out["ptm"], np.float64)
+            for i, (lab, seq) in enumerate(chunk):
+                items.append({
                     "label": lab,
                     "length": len(seq) - seq.count(":"),
                     "num_chains": seq.count(":") + 1,
@@ -239,15 +251,14 @@ class InferenceServer:
                     "mean_plddt": round(float(mean_plddt[i]), 4),
                     "ptm": round(float(ptm[i]), 4),
                 })
-                i += 1
-            self._finish(r, results)
-        with self._lock:
-            self._stats["fold_batches"] += 1
-            self._stats["batched_sequences"] += len(pairs)
+            with self._lock:
+                self._stats["fold_batches"] += 1
+                self._stats["batched_sequences"] += len(chunk)
+        self._distribute(reqs, items)
 
     def _run_embed_group(self, reqs: List[_Request]) -> None:
-        import numpy as np
-
+        """Run an embed group, slicing into device batches of at most
+        ``max_batch_seqs`` sequences."""
         pairs = [
             (lab, seq) for r in reqs for lab, seq in zip(r.labels, r.seqs)
         ]
@@ -256,11 +267,20 @@ class InferenceServer:
         layers = sorted(
             {(i + n_layers + 1) % (n_layers + 1) for i in repr_layers}
         )
+        items: List[Dict[str, Any]] = []
+        for s in range(0, len(pairs), self.max_batch_seqs):
+            items.extend(
+                self._embed_batch(pairs[s : s + self.max_batch_seqs], layers, include)
+            )
+        self._distribute(reqs, items)
 
+    def _embed_batch(self, pairs, layers, include) -> List[Dict[str, Any]]:
+        import numpy as np
+
+        # the converter pads T to 128-multiples; _pad_batch_rows pads B to the
+        # next power of two — together a handful of compiled shapes
         _, _, toks = self._converter(pairs)
-        toks, real_b = _bucket(
-            np.asarray(toks), self.alphabet.padding_idx, self.truncation_seq_length + 2
-        )
+        toks, real_b = _pad_batch_rows(np.asarray(toks))
         out = self.model(
             toks,
             repr_layers=tuple(layers) if ("mean" in include or "per_tok" in include) else (),
@@ -282,33 +302,30 @@ class InferenceServer:
         logits = np.asarray(out["logits"][:real_b]) if "logits" in include else None
         contacts = np.asarray(out["contacts"][:real_b]) if "contacts" in include else None
 
-        i = 0
-        for r in reqs:
-            results = []
-            for lab, seq in zip(r.labels, r.seqs):
-                L = lengths[i]
-                item: Dict[str, Any] = {
-                    "label": lab, "length": L, "truncated": len(seq) > L,
+        items: List[Dict[str, Any]] = []
+        for i, (lab, seq) in enumerate(pairs):
+            L = lengths[i]
+            item: Dict[str, Any] = {
+                "label": lab, "length": L, "truncated": len(seq) > L,
+            }
+            if means:
+                item["mean_representations"] = {
+                    str(k): means[k][i].tolist() for k in layers
                 }
-                if means:
-                    item["mean_representations"] = {
-                        str(k): means[k][i].tolist() for k in layers
-                    }
-                if per_tok:
-                    item["representations"] = {
-                        str(k): per_tok[k][i, prepend : prepend + L].tolist()
-                        for k in layers
-                    }
-                if logits is not None:
-                    item["logits"] = logits[i, prepend : prepend + L].tolist()
-                if contacts is not None:
-                    item["contacts"] = contacts[i, :L, :L].tolist()
-                results.append(item)
-                i += 1
-            self._finish(r, results)
+            if per_tok:
+                item["representations"] = {
+                    str(k): per_tok[k][i, prepend : prepend + L].tolist()
+                    for k in layers
+                }
+            if logits is not None:
+                item["logits"] = logits[i, prepend : prepend + L].tolist()
+            if contacts is not None:
+                item["contacts"] = contacts[i, :L, :L].tolist()
+            items.append(item)
         with self._lock:
             self._stats["batches"] += 1
             self._stats["batched_sequences"] += len(pairs)
+        return items
 
     # ------------------------------------------------------------------ http
 
@@ -357,6 +374,8 @@ class InferenceServer:
         return labels, seqs
 
     def _enqueue(self, req: _Request) -> _Request:
+        if self._stop.is_set():
+            raise ValueError("server shutting down")
         with self._lock:
             self._stats["requests"] += 1
             self._stats["sequences"] += len(req.seqs)
@@ -445,7 +464,13 @@ class InferenceServer:
                         server._stats["errors"] += 1
                     self._send(400, {"error": str(e)})
                     return
-                req.done.wait()
+                # wait for the batcher; if the server drained its queue on
+                # shutdown and this request still isn't done, it was orphaned
+                # by the enqueue/stop race — fail it rather than hang
+                while not req.done.wait(timeout=1.0):
+                    if server._drained.is_set():
+                        req.error = req.error or "server shutting down"
+                        break
                 if req.error is not None:
                     self._send(500, {"error": req.error})
                 else:
@@ -454,35 +479,18 @@ class InferenceServer:
         return Handler
 
 
-def _chunk_by_seqs(reqs: List[_Request], cap: int) -> List[List[_Request]]:
-    """Split a request group into chunks of at most ``cap`` total sequences
-    (whole requests only — a request never spans device batches)."""
-    chunks: List[List[_Request]] = [[]]
-    n = 0
-    for r in reqs:
-        if chunks[-1] and n + len(r.seqs) > cap:
-            chunks.append([])
-            n = 0
-        chunks[-1].append(r)
-        n += len(r.seqs)
-    return chunks
-
-
 def _jnp(x):
     import jax.numpy as jnp
 
     return jnp.asarray(x)
 
 
-def _bucket(toks, padding_idx: int, t_cap: int):
-    """Shape-bucket a (B, T) token batch: T to the next 128-multiple (capped
-    at the truncation length), B to the next power of two. Padded rows copy
-    row 0 (numerically inert; dropped on output)."""
+def _pad_batch_rows(toks):
+    """Pad the batch dim of a (B, T) token batch to the next power of two.
+    Padded rows copy row 0 (numerically inert; dropped on output)."""
     import numpy as np
 
-    b, t = toks.shape
-    tp = min(-(-t // 128) * 128, max(t, -(-t_cap // 128) * 128))
-    toks = np.pad(toks, ((0, 0), (0, tp - t)), constant_values=padding_idx)
+    b = toks.shape[0]
     bp = 1 << (b - 1).bit_length()
     if bp != b:
         toks = np.concatenate([toks, np.repeat(toks[:1], bp - b, axis=0)])

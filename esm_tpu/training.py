@@ -91,6 +91,19 @@ def mask_tokens(
     return corrupted.astype(tokens.dtype), selected
 
 
+def _mlm_terms(
+    params, cfg, corrupted, targets, target_mask, apply_fn=None
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-position masked-CE terms: (nll·w, correct·w, w), each (B, T)."""
+    out = (apply_fn or esm2.apply)(params, cfg, corrupted)
+    logits = out["logits"]
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    w = target_mask.astype(nll.dtype)
+    correct = (jnp.argmax(logits, -1) == targets) * w
+    return nll * w, correct, w
+
+
 def mlm_loss_sums(
     params,
     cfg: esm2.ESM2Config,
@@ -102,13 +115,10 @@ def mlm_loss_sums(
     """Unnormalized masked-CE: returns (sum of per-position NLL over masked
     positions, {"correct": …, "count": …}). Linear in the batch, so sums from
     microbatches add exactly — the basis for gradient accumulation."""
-    out = (apply_fn or esm2.apply)(params, cfg, corrupted)
-    logits = out["logits"]
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-    w = target_mask.astype(nll.dtype)
-    correct = jnp.sum((jnp.argmax(logits, -1) == targets) * w)
-    return jnp.sum(nll * w), {"correct": correct, "count": jnp.sum(w)}
+    nll_w, correct, w = _mlm_terms(
+        params, cfg, corrupted, targets, target_mask, apply_fn
+    )
+    return jnp.sum(nll_w), {"correct": jnp.sum(correct), "count": jnp.sum(w)}
 
 
 def mlm_loss(
@@ -228,12 +238,17 @@ def eval_step(
     params, cfg: esm2.ESM2Config, rng: jax.Array, tokens: jax.Array
 ) -> dict:
     """Masked-LM evaluation on one batch: corrupts with the same BERT recipe
-    as training (deterministic given ``rng``) and returns the raw sums
-    {"nll_sum", "correct", "count"} so callers aggregate an exact masked
-    perplexity over any number of batches: ppl = exp(Σnll / Σcount)."""
+    as training (deterministic given ``rng``) and returns PER-SEQUENCE sums
+    {"nll_sum", "correct", "count"} (each (B,)), so callers aggregate an exact
+    masked perplexity over any number of batches — ppl = exp(Σnll / Σcount) —
+    and can drop rows added only to pad the batch shape."""
     corrupted, target_mask = _corrupt_batch(cfg, rng, tokens)
-    nll_sum, aux = mlm_loss_sums(params, cfg, corrupted, tokens, target_mask)
-    return {"nll_sum": nll_sum, **aux}
+    nll_w, correct, w = _mlm_terms(params, cfg, corrupted, tokens, target_mask)
+    return {
+        "nll_sum": jnp.sum(nll_w, axis=-1),
+        "correct": jnp.sum(correct, axis=-1),
+        "count": jnp.sum(w, axis=-1),
+    }
 
 
 @partial(

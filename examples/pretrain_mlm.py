@@ -46,11 +46,11 @@ def create_parser():
     p.add_argument(
         "--save-every", type=int, default=0,
         help="also save the FULL train state (params+optimizer+step) every N "
-        "steps under <checkpoint-dir>/state for --resume",
+        "steps to the sibling dir <checkpoint-dir>-state for --resume",
     )
     p.add_argument(
         "--resume", action="store_true",
-        help="restore <checkpoint-dir>/state and continue; per-step rng is "
+        help="restore <checkpoint-dir>-state and continue; per-step rng is "
         "folded from the step index, so the resumed run is bit-exact",
     )
     p.add_argument(
@@ -170,33 +170,40 @@ def run(args):
         eval_idx = eval_ds.get_batch_indices(args.toks_per_batch, extra_toks_per_seq=2)
         eval_batches = [converter([eval_ds[i] for i in b])[2] for b in eval_idx]
 
-    def pad_batch(toks):
-        if toks.shape[0] % batch_mult:
-            pad = batch_mult - toks.shape[0] % batch_mult
+    def pad_batch(toks, mult):
+        real_b = toks.shape[0]
+        if real_b % mult:
+            pad = mult - real_b % mult
             toks = np.concatenate([toks, np.repeat(toks[:1], pad, axis=0)])
-        return toks
+        return toks, real_b
 
     def run_eval(step):
         nll = cnt = 0.0
         for j, toks in enumerate(eval_batches):
+            # eval never accumulates, so pad to the data-parallel rows only;
+            # eval_step returns per-sequence sums — drop the padded rows so
+            # the aggregate perplexity is exact
+            padded, real_b = pad_batch(toks, dp)
             sums = training.eval_step(
                 state.params, cfg,
                 jax.random.fold_in(jax.random.PRNGKey(args.seed + 2), j),
-                jax.device_put(jnp.asarray(pad_batch(toks)), bsh),
+                jax.device_put(jnp.asarray(padded), bsh),
             )
-            nll += float(sums["nll_sum"])
-            cnt += float(sums["count"])
+            nll += float(np.sum(np.asarray(sums["nll_sum"])[:real_b]))
+            cnt += float(np.sum(np.asarray(sums["count"])[:real_b]))
         print(f"step {step:5d}  eval masked-ppl {np.exp(nll / max(cnt, 1)):8.3f}")
 
     t0 = time.perf_counter()
     tokens_seen = 0
     offset = start_step % len(batches)
     batch_iter = itertools.islice(itertools.cycle(batches), offset, None)
+    last_step = start_step
     for step, batch in zip(range(start_step, args.steps), batch_iter):
+        last_step = step + 1
         _, _, toks = converter([dataset[i] for i in batch])
         # pad the batch dim to a multiple of the data-parallel rows (times
         # microbatch count, so every microbatch shards evenly)
-        toks = pad_batch(toks)
+        toks, _ = pad_batch(toks, batch_mult)
         # rng from the step index (not a split chain): resume stays bit-exact
         step_rng = jax.random.fold_in(rng, step)
         tokens_dev = jax.device_put(jnp.asarray(toks), bsh)
@@ -227,8 +234,10 @@ def run(args):
             print(f"stopping after step {step + 1} (--stop-after)")
             break
 
-    if eval_batches is not None and (not args.eval_every or args.steps % args.eval_every):
-        run_eval(args.steps)
+    if eval_batches is not None and (
+        not args.eval_every or last_step % args.eval_every
+    ):
+        run_eval(last_step)
     if args.checkpoint_dir:
         from esm_tpu.io.checkpoint import save_params
 

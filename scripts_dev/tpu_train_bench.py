@@ -32,12 +32,13 @@ def main():
     use_flash = "--exact" not in sys.argv
     bf16_moments = "--bf16-moments" in sys.argv
     accum = 1
-    if "--accum" in sys.argv:
-        accum = int(sys.argv[sys.argv.index("--accum") + 1])
     argv = sys.argv[1:]
     if "--accum" in argv:
         i = argv.index("--accum")
-        argv = argv[:i] + argv[i + 2 :]
+        if i + 1 >= len(argv):
+            sys.exit("usage: --accum N (microbatch count)")
+        accum = int(argv[i + 1])
+        del argv[i : i + 2]
     args = [a for a in argv if not a.startswith("--")]
     size = args[0] if len(args) > 0 else "esm2_t33_650M_UR50D"
     batch = int(args[1]) if len(args) > 1 else 4  # B=8 OOMs at 650M/L=1024

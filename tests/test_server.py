@@ -123,6 +123,26 @@ def test_concurrent_requests_are_batched(server):
     assert new_batches < new_reqs, (before, after)  # coalescing happened
 
 
+def test_oversized_request_is_sliced(server):
+    """A single request above max_batch_seqs (16) must be served in multiple
+    device batches, never one giant padded batch."""
+    srv, model = server
+    before = _get(srv, "/stats")
+    seqs = [SEQS[j % 3][: 5 + j % 7] for j in range(20)]
+    out = _post(srv, {"sequences": seqs, "include": ["mean"]})
+    assert len(out["results"]) == 20
+    after = _get(srv, "/stats")
+    assert after["batches"] - before["batches"] >= 2
+    # order preserved and numerics independent of slicing
+    _, _, toks = model.alphabet.get_batch_converter(60)([("x", seqs[-1])])
+    rep = np.asarray(model(toks, repr_layers=[2])["representations"][2])
+    expect = rep[0, 1 : len(seqs[-1]) + 1].mean(0)
+    np.testing.assert_allclose(
+        np.asarray(out["results"][-1]["mean_representations"]["2"]),
+        expect, atol=1e-5,
+    )
+
+
 def test_bad_requests(server):
     srv, _ = server
     for payload, frag in [

@@ -95,19 +95,24 @@ def test_grad_clip_and_bf16_moments():
 
 
 def test_eval_step_matches_loss():
-    """eval_step's sums reproduce mlm_loss exactly (same corruption rng)."""
+    """eval_step's per-sequence sums reproduce mlm_loss exactly (same
+    corruption rng), and dropping rows drops exactly their contribution."""
     cfg, params, toks = _setup()
     rng = jax.random.PRNGKey(3)
     sums = training.eval_step(params, cfg, rng, toks)
+    assert sums["nll_sum"].shape == (toks.shape[0],)
 
     corrupted, target_mask = training._corrupt_batch(cfg, rng, toks)
     loss, metrics = training.mlm_loss(params, cfg, corrupted, toks, target_mask)
     assert np.isclose(
-        float(sums["nll_sum"]) / max(float(sums["count"]), 1.0),
+        float(np.sum(sums["nll_sum"])) / max(float(np.sum(sums["count"])), 1.0),
         float(loss),
         atol=1e-6,
     )
-    assert float(sums["count"]) == float(metrics["num_masked"])
+    assert float(np.sum(sums["count"])) == float(metrics["num_masked"])
+    # per-row counts only cover that row's masked positions
+    per_row = np.asarray(target_mask).sum(-1)
+    np.testing.assert_array_equal(np.asarray(sums["count"]), per_row)
 
 
 def _run_example(tmp_path, extra, steps):
