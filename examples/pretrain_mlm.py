@@ -17,7 +17,6 @@ device count).
 from __future__ import annotations
 
 import argparse
-import itertools
 import time
 
 
@@ -70,6 +69,11 @@ def create_parser():
     )
     p.add_argument("--eval-fasta", default=None, help="held-out FASTA for masked-ppl eval")
     p.add_argument("--eval-every", type=int, default=0, help="eval every N steps (and at the end)")
+    p.add_argument(
+        "--shuffle", action="store_true",
+        help="deterministically shuffle batch order each epoch (seeded by "
+        "(seed, epoch), so --resume stays bit-exact)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--cpu", action="store_true")
@@ -193,12 +197,27 @@ def run(args):
             cnt += float(np.sum(np.asarray(sums["count"])[:real_b]))
         print(f"step {step:5d}  eval masked-ppl {np.exp(nll / max(cnt, 1)):8.3f}")
 
+    perm_cache = {}
+
+    def batch_for_step(step):
+        """Batch order is a pure function of (seed, step): epoch-seeded
+        permutations when --shuffle, plain cycling otherwise — either way a
+        resumed run sees exactly the data the uninterrupted run would."""
+        epoch, idx = divmod(step, len(batches))
+        if not args.shuffle:
+            return batches[idx]
+        if epoch not in perm_cache:
+            perm_cache.clear()  # only the current epoch's permutation is live
+            perm_cache[epoch] = np.random.default_rng(
+                (args.seed, epoch)
+            ).permutation(len(batches))
+        return batches[perm_cache[epoch][idx]]
+
     t0 = time.perf_counter()
     tokens_seen = 0
-    offset = start_step % len(batches)
-    batch_iter = itertools.islice(itertools.cycle(batches), offset, None)
     last_step = start_step
-    for step, batch in zip(range(start_step, args.steps), batch_iter):
+    for step in range(start_step, args.steps):
+        batch = batch_for_step(step)
         last_step = step + 1
         _, _, toks = converter([dataset[i] for i in batch])
         # pad the batch dim to a multiple of the data-parallel rows (times

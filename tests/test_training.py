@@ -143,13 +143,17 @@ def test_resume_is_bit_exact(tmp_path):
     """3 steps + save + resume for 3 more == 6 uninterrupted steps: identical
     final params (per-step rng is folded from the step index, the batch
     iterator fast-forwards, and the full optimizer state round-trips)."""
-    straight, _ = _run_example(tmp_path / "a", ["--save-every", "100"], steps=6)
+    straight, _ = _run_example(
+        tmp_path / "a", ["--save-every", "100", "--shuffle"], steps=6
+    )
     first, out1 = _run_example(
-        tmp_path / "b", ["--save-every", "3", "--stop-after", "3"], steps=6
+        tmp_path / "b",
+        ["--save-every", "3", "--stop-after", "3", "--shuffle"],
+        steps=6,
     )
     assert "stopping after step 3" in out1
     resumed, out2 = _run_example(
-        tmp_path / "b", ["--save-every", "3", "--resume"], steps=6
+        tmp_path / "b", ["--save-every", "3", "--resume", "--shuffle"], steps=6
     )
     assert "resumed from" in out2 and "at step 3" in out2
     assert int(resumed.step) == 6
