@@ -133,7 +133,7 @@ def embed_tokens(params, cfg: ESM2Config, tokens: jax.Array) -> jax.Array:
     jax.jit,
     static_argnames=(
         "cfg", "need_head_weights", "return_contacts", "return_representations",
-        "repr_layers",
+        "repr_layers", "ring",
     ),
 )
 def apply(
@@ -145,6 +145,7 @@ def apply(
     return_contacts: bool = False,
     return_representations: bool = False,
     repr_layers=None,
+    ring=None,
 ):
     """Forward pass. tokens: (B, T) int32.
 
@@ -162,6 +163,11 @@ def apply(
     (esm/model/esm2.py:133-141). Pass ``need_head_weights=True`` to also get
     the full attention stack (the reference's behavior).
     """
+    if ring is not None and (need_head_weights or return_contacts):
+        raise ValueError(
+            "sequence-parallel (ring) forward cannot materialize T×T "
+            "attention maps; request representations/logits only"
+        )
     streaming_contacts = return_contacts and not need_head_weights
     repr_layers = normalize_repr_layers(repr_layers, cfg.num_layers)
     # 1-based mid-stack layer ids collected selectively inside the scan
@@ -187,10 +193,15 @@ def apply(
                 "need_head_weights=True or return_representations=True"
             )
     else:
+        static = cfg.layer_static()
+        if ring is not None:
+            import dataclasses
+
+            static = dataclasses.replace(static, ring=ring)
         x, hiddens, attn = transformer_stack_apply(
             params["layers"],
             x,
-            static=cfg.layer_static(),
+            static=static,
             key_padding_mask=padding_mask,
             collect_hiddens=return_representations,
             collect_layer_ids=mid_layers,
@@ -245,6 +256,19 @@ def apply(
             logits_c = logits_c + bias.astype(logits_c.dtype)[0]
         result["contacts"] = jax.nn.sigmoid(logits_c)
     return result
+
+
+def apply_seq_sharded(
+    params, cfg: ESM2Config, tokens: jax.Array, *, mesh, seq_axis: str = "tp", **kw
+):
+    """Sequence-parallel forward: the T axis is sharded over ``seq_axis`` and
+    every attention runs as a ring with KV blocks rotating via ppermute
+    (parallel/ring_attention.py) — activations and attention state stay
+    O(T/N) per chip, the long-context mechanism SURVEY §5.7 plans in place of
+    the reference's chunk/truncate (esm/axial_attention.py:40-69,
+    scripts/extract.py:52-57). T must divide the ``seq_axis`` size. Returns
+    the usual result dict minus attentions/contacts (they materialize T×T)."""
+    return apply(params, cfg, tokens, ring=(mesh, seq_axis), **kw)
 
 
 @partial(jax.jit, static_argnames=("cfg", "mesh", "num_microbatches"))

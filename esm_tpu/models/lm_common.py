@@ -43,6 +43,11 @@ class LayerStatic:
     # knob: activations are O(1) layers deep instead of O(num_layers);
     # matmul outputs stay saved per the dots_saveable policy).
     remat: bool = False
+    # Sequence parallelism: (Mesh, axis_name) shards the T axis over that
+    # mesh axis and runs attention as a ring (parallel/ring_attention.py) —
+    # the long-context mechanism replacing the reference's chunk/truncate
+    # (SURVEY §5.7). Mesh is hashable, so this stays a valid static.
+    ring: Optional[tuple] = None
 
 
 def transformer_layer_apply(
@@ -68,6 +73,7 @@ def transformer_layer_apply(
         use_bias_kv=static.use_bias_kv,
         need_weights=need_head_weights,
         use_flash=static.use_flash,
+        ring=static.ring,
     )
     x = residual + attn_out
 

@@ -54,14 +54,24 @@ def multihead_attention(
     use_bias_kv: bool = False,
     need_weights: bool = False,
     use_flash: bool = False,
+    ring=None,
 ) -> AttentionOutput:
     """Self-attention over (B, T, D) activations.
 
     params: {"q_proj","k_proj","v_proj","out_proj": linear params,
              optionally "bias_k","bias_v": (D,) arrays}.
     attn_mask: optional additive (T, S) mask broadcast over batch/heads.
+    ring: optional (Mesh, axis_name) — sequence-parallel path: T stays
+    sharded over that mesh axis and KV blocks rotate around the ring
+    (parallel/ring_attention.py) instead of materializing T×T logits.
     """
     from .common import linear
+
+    if ring is not None:
+        if need_weights:
+            raise ValueError("ring attention cannot return T×T attention maps")
+        if attn_mask is not None or use_bias_kv:
+            raise ValueError("ring attention supports key padding masks only")
 
     b, t, d = x.shape
     head_dim = d // num_heads
@@ -87,6 +97,23 @@ def multihead_attention(
     q = _split_heads(q, num_heads)  # (B, H, T, Dh)
     k = _split_heads(k, num_heads)  # (B, H, S, Dh)
     v = _split_heads(v, num_heads)
+
+    if ring is not None:
+        # rotary runs here (global position tables; XLA shards their T axis
+        # with the activations), then the ring body handles the KV rotation
+        if use_rotary:
+            cos, sin = rotary_tables(k.shape[2], head_dim)
+            q = apply_rotary(q, cos[:t], sin[:t])
+            k = apply_rotary(k, cos, sin)
+        from ..parallel.ring_attention import ring_attention
+
+        mesh, axis_name = ring
+        out = ring_attention(
+            q, k, v, mesh, axis_name=axis_name, key_padding_mask=key_padding_mask
+        )
+        out = _merge_heads(out)
+        out = linear(params["out_proj"], out)
+        return AttentionOutput(out, None)
 
     flash_path = use_flash and not need_weights and attn_mask is None
 

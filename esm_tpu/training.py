@@ -252,6 +252,28 @@ def eval_step(
 
 
 @partial(
+    jax.jit, static_argnames=("cfg", "tx", "mesh", "seq_axis"), donate_argnums=(0,)
+)
+def train_step_seq(
+    state: TrainState,
+    cfg: esm2.ESM2Config,
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+    tokens: jax.Array,
+    *,
+    mesh,
+    seq_axis: str = "tp",
+) -> Tuple[TrainState, dict]:
+    """Sequence-parallel MLM step: the forward/backward runs with the T axis
+    sharded over ``seq_axis`` and ring attention (esm2.apply_seq_sharded), so
+    per-chip activation memory is O(T/N) — the training path for context
+    lengths one chip cannot hold (650M L=8192 OOMs single-chip, BENCH_NOTES).
+    Same objective and grads as ``train_step`` (tests/test_sharding.py)."""
+    apply_fn = partial(esm2.apply, ring=(mesh, seq_axis))
+    return _mlm_step(state, cfg, tx, rng, tokens, apply_fn)
+
+
+@partial(
     jax.jit,
     static_argnames=("cfg", "tx", "mesh", "num_microbatches"),
     donate_argnums=(0,),
