@@ -58,7 +58,9 @@ def create_parser():
     return p
 
 
-def run(args):
+def start_server(args):
+    """Build and start the InferenceServer from parsed CLI args (separate
+    from run()'s blocking loop so tests and embedders can drive it)."""
     import jax
 
     from .. import pretrained
@@ -104,7 +106,7 @@ def run(args):
         if args.int8:
             fold_model = fold_model.quantized()
 
-    server = InferenceServer(
+    return InferenceServer(
         model,
         fold_model=fold_model,
         host=args.host,
@@ -115,6 +117,10 @@ def run(args):
         truncation_seq_length=args.truncation_seq_length,
         max_request_seqs=args.max_request_seqs,
     ).start()
+
+
+def run(args):
+    server = start_server(args)
     print(f"esm-serve: lm={args.model_location} fold={args.fold_model} on "
           f"{server.url} (max_batch={args.max_batch}, wait={args.max_wait_ms}ms)")
     try:

@@ -164,6 +164,33 @@ def test_bad_requests(server):
     assert exc_info.value.code == 404
 
 
+def test_serve_cli_starts_from_checkpoint(tmp_path, monkeypatch):
+    """esm-serve CLI path: load a (synthesized) checkpoint by location, apply
+    --int8/--max-batch flags, serve /healthz and /embed."""
+    from tests.test_fold_cli import _make_cache
+
+    cache, _ = _make_cache(tmp_path)
+    monkeypatch.setenv("ESM_TPU_CACHE", str(cache))
+
+    from esm_tpu.cli import serve
+
+    args = serve.create_parser().parse_args(
+        [str(cache / "esm2_t6_8M_UR50D_500K.pt"), "--port", "0",
+         "--max-batch", "4", "--max-wait-ms", "50", "--int8",
+         "--truncation-seq-length", "60"]
+    )
+    srv = serve.start_server(args)
+    try:
+        h = _get(srv, "/healthz")
+        assert h["status"] == "ok" and h["num_layers"] == 2
+        out = _post(srv, {"sequences": ["MKTVRQERLK"], "include": ["mean", "logits"]})
+        r = out["results"][0]
+        assert r["length"] == 10 and len(r["logits"]) == 10
+        assert np.isfinite(np.asarray(r["mean_representations"]["2"])).all()
+    finally:
+        srv.stop()
+
+
 def test_msa_model_rejected():
     alphabet = Alphabet.from_architecture("msa_transformer")
     fake = type("H", (), {"kind": "msa", "alphabet": alphabet})()
