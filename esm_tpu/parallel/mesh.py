@@ -72,5 +72,56 @@ def make_mesh(cfg: Optional[MeshConfig] = None, devices=None) -> Mesh:
     return Mesh(arr, AXES)
 
 
+def init_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host bring-up: call ONCE per host process before any jax op
+    (SURVEY §5.8 — the reference's only 'distributed' init is a world_size=1
+    NCCL group for CPU offload, scripts/fold.py:42-44). On Cloud TPU all
+    arguments auto-detect from the TPU metadata; elsewhere pass the
+    coordinator's host:port plus this process's rank. After this,
+    ``jax.devices()`` spans every chip in the slice and ``make_mesh`` /
+    ``make_hybrid_mesh`` build global meshes over them. Returns the process
+    index. Safe to call when already initialized (no-op then)."""
+    import jax.distributed
+
+    try:
+        jax.distributed.initialize(coordinator_address, num_processes, process_id)
+    except RuntimeError as e:  # already initialized — keep bring-up idempotent
+        if "already" not in str(e).lower():
+            raise
+    return jax.process_index()
+
+
+def make_hybrid_mesh(cfg: Optional[MeshConfig] = None) -> Mesh:
+    """Multi-host mesh with DCN/ICI-aware device order: the ``data`` axis maps
+    across hosts (slow DCN — pure-DP gradient/batch traffic only) while
+    ``fsdp``/``tp`` stay inside each host's ICI domain where the per-layer
+    all-gathers and psums live — the scaling-book layout. Requires
+    cfg.data == number of processes; falls back to :func:`make_mesh` in a
+    single-process run."""
+    n_proc = jax.process_count()
+    if cfg is None:
+        per_host = jax.local_device_count()
+        local = MeshConfig.for_devices(per_host)
+        cfg = MeshConfig(data=n_proc, fsdp=local.fsdp, tp=local.tp)
+    if n_proc == 1:
+        return make_mesh(cfg)
+    if cfg.data % n_proc:
+        raise ValueError(
+            f"hybrid mesh: data axis ({cfg.data}) must be a multiple of the "
+            f"process count ({n_proc}) so DCN carries only the data axis"
+        )
+    from jax.experimental import mesh_utils
+
+    arr = mesh_utils.create_hybrid_device_mesh(
+        (cfg.data // n_proc, cfg.fsdp, cfg.tp),
+        (n_proc, 1, 1),
+    )
+    return Mesh(arr.reshape(cfg.shape), AXES)
+
+
 def named(mesh: Mesh, *spec) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec(*spec))

@@ -242,6 +242,18 @@ def test_train_step_seq_matches_train_step():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_hybrid_mesh_single_process_fallback():
+    """make_hybrid_mesh in a single-process run == make_mesh (DCN layout only
+    matters across hosts); default factorization spans the local devices."""
+    from esm_tpu.parallel.mesh import make_hybrid_mesh
+
+    mesh = make_hybrid_mesh(MeshConfig(data=1, fsdp=2, tp=4))
+    assert mesh.axis_names == ("data", "fsdp", "tp")
+    assert mesh.devices.shape == (1, 2, 4)
+    default = make_hybrid_mesh()
+    assert default.devices.size == len(jax.devices())
+
+
 def test_decay_mask_excludes_non_kernels():
     """AdamW weight decay applies to matmul kernels only (BERT/ESM recipe)."""
     from esm_tpu import training
