@@ -42,6 +42,12 @@ def create_parser():
         "--max-wait-ms", type=float, default=10.0,
         help="max time a request waits for batch-mates before dispatch",
     )
+    p.add_argument(
+        "--batch-bucket", choices=["pow2", "max"], default="max",
+        help="batch-dim padding: 'max' pads every multi-request batch to "
+        "--max-batch (one compiled shape per length bucket — best under "
+        "mixed concurrent load); 'pow2' pads to powers of two",
+    )
     p.add_argument("--truncation-seq-length", type=int, default=1022)
     p.add_argument(
         "--max-request-seqs", type=int, default=64,
@@ -116,6 +122,7 @@ def start_server(args):
         max_wait_ms=args.max_wait_ms,
         truncation_seq_length=args.truncation_seq_length,
         max_request_seqs=args.max_request_seqs,
+        batch_bucket=args.batch_bucket,
     ).start()
 
 

@@ -47,6 +47,13 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 _INCLUDE = ("mean", "per_tok", "logits", "contacts")
 
 
+class _HTTPServer(ThreadingHTTPServer):
+    # the stdlib default listen backlog of 5 resets concurrent connects the
+    # moment more than a handful of clients arrive together
+    request_queue_size = 128
+    daemon_threads = True
+
+
 @dataclass
 class _Request:
     labels: List[str]
@@ -87,7 +94,10 @@ class InferenceServer:
         max_wait_ms: float = 10.0,
         truncation_seq_length: int = 1022,
         max_request_seqs: int = 64,
+        batch_bucket: str = "pow2",
     ):
+        if batch_bucket not in ("pow2", "max"):
+            raise ValueError(f"batch_bucket must be 'pow2' or 'max', got {batch_bucket!r}")
         if model is None and fold_model is None:
             raise ValueError("need at least one of model (LM) / fold_model")
         if model is not None and getattr(model, "kind", None) not in ("esm2", "esm1"):
@@ -100,6 +110,7 @@ class InferenceServer:
         self.alphabet = model.alphabet if model is not None else None
         self.max_batch_seqs = max_batch_seqs
         self.max_fold_batch_seqs = max_fold_batch_seqs
+        self.batch_bucket = batch_bucket
         self.max_wait_s = max_wait_ms / 1e3
         self.truncation_seq_length = truncation_seq_length
         self.max_request_seqs = max_request_seqs
@@ -118,7 +129,7 @@ class InferenceServer:
         }
         self._latencies: List[float] = []
         self._started = time.time()
-        self._httpd = ThreadingHTTPServer((host, port), self._make_handler())
+        self._httpd = _HTTPServer((host, port), self._make_handler())
         self._http_thread = threading.Thread(
             target=self._httpd.serve_forever, name="esm-serve-http", daemon=True
         )
@@ -181,6 +192,19 @@ class InferenceServer:
                 continue
             window = [first]
             n = len(first.seqs)
+            # drain everything already waiting (requests that arrived while
+            # the previous batch was on the device) — free coalescing, no
+            # added latency
+            while n < self.max_batch_seqs:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                window.append(req)
+                n += len(req.seqs)
+            # then wait out the window for stragglers, counted from the
+            # FIRST request's arrival so a lone request never waits longer
+            # than max_wait_ms end-to-end
             deadline = first.enqueued + self.max_wait_s
             while n < self.max_batch_seqs:
                 remaining = deadline - time.perf_counter()
@@ -277,10 +301,18 @@ class InferenceServer:
     def _embed_batch(self, pairs, layers, include) -> List[Dict[str, Any]]:
         import numpy as np
 
-        # the converter pads T to 128-multiples; _pad_batch_rows pads B to the
-        # next power of two — together a handful of compiled shapes
+        # the converter pads T to 128-multiples; the batch dim pads to the
+        # next power of two ("pow2") or straight to max_batch_seqs for any
+        # multi-sequence batch ("max": one compiled shape per T bucket —
+        # each (B, T) combo costs a trace + XLA compile, and under a mixed
+        # concurrent load the smaller trace count beats the padded-row FLOPs)
         _, _, toks = self._converter(pairs)
-        toks, real_b = _pad_batch_rows(np.asarray(toks))
+        target = (
+            self.max_batch_seqs
+            if self.batch_bucket == "max" and len(pairs) > 1
+            else None
+        )
+        toks, real_b = _pad_batch_rows(np.asarray(toks), target)
         out = self.model(
             toks,
             repr_layers=tuple(layers) if ("mean" in include or "per_tok" in include) else (),
@@ -485,13 +517,14 @@ def _jnp(x):
     return jnp.asarray(x)
 
 
-def _pad_batch_rows(toks):
-    """Pad the batch dim of a (B, T) token batch to the next power of two.
-    Padded rows copy row 0 (numerically inert; dropped on output)."""
+def _pad_batch_rows(toks, target=None):
+    """Pad the batch dim of a (B, T) token batch to the next power of two, or
+    to ``target`` rows when given. Padded rows copy row 0 (numerically inert;
+    dropped on output)."""
     import numpy as np
 
     b = toks.shape[0]
-    bp = 1 << (b - 1).bit_length()
+    bp = max(target or 0, 1 << (b - 1).bit_length())
     if bp != b:
         toks = np.concatenate([toks, np.repeat(toks[:1], bp - b, axis=0)])
     return toks, b

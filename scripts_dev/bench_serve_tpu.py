@@ -1,0 +1,91 @@
+"""Serving bench: esm-serve stack end-to-end on the real chip.
+
+Random-init ESM2-650M (bf16 + flash), dynamic batching; N concurrent client
+threads each posting single-sequence /embed requests (mean embeddings) with
+mixed lengths. Reports throughput through the full HTTP + batcher + device +
+readback path, vs. bench.py's offline forward number.
+
+Usage: python scripts_dev/bench_serve_tpu.py [n_requests] [n_clients]
+"""
+import os, sys
+sys.path.insert(0, "/root/repo")
+if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") != "1":
+    os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "1"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+import json, threading, time, urllib.request
+import numpy as np
+import jax, jax.numpy as jnp
+from esm_tpu.data import Alphabet
+from esm_tpu.models import esm2
+from esm_tpu.pretrained import LMHandle
+from esm_tpu.runtime.server import InferenceServer
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_req = int(args[0]) if len(args) > 0 else 64
+    n_cli = int(args[1]) if len(args) > 1 else 8
+    print("devices:", jax.devices())
+    alphabet = Alphabet.from_architecture("ESM-1b")
+    cfg = esm2.ESM2Config.from_alphabet(
+        alphabet, **esm2.ESM2_SIZES["esm2_t33_650M_UR50D"],
+        compute_dtype=jnp.bfloat16, use_flash=True,
+    )
+    t0 = time.perf_counter()
+    params = jax.jit(esm2.init, static_argnums=(1,))(jax.random.PRNGKey(0), cfg)
+    jax.block_until_ready(params)
+    model = LMHandle("esm2", cfg, params, alphabet)
+    bucket = "max" if "--pow2" not in sys.argv else "pow2"
+    srv = InferenceServer(model, max_batch_seqs=16, max_wait_ms=20.0, batch_bucket=bucket).start()
+    print(f"init {time.perf_counter()-t0:.1f}s  url {srv.url}  bucket={bucket}")
+
+    rng = np.random.default_rng(0)
+    aas = "LAGVSERTIDPKQNFYMHWC"
+    def seq(n):
+        return "".join(aas[i] for i in rng.integers(0, 20, n))
+    # mixed lengths within one 128-bucket band and across bands
+    lens = [int(l) for l in rng.choice([250, 380, 500, 1000, 1022], n_req)]
+    seqs = [seq(l) for l in lens]
+
+    def post(s):
+        req = urllib.request.Request(
+            srv.url + "/embed",
+            data=json.dumps({"sequences": [s], "include": ["mean"]}).encode())
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return json.loads(r.read())
+
+    # warm the compile cache for each bucket
+    t0 = time.perf_counter()
+    for l in sorted({-(-((l + 2)) // 128) for l in lens}):
+        post(seq(l * 128 - 2))
+    print(f"warmup (compiles): {time.perf_counter()-t0:.1f}s")
+
+    def load_pass(label):
+        done = [None] * n_req
+        idx = iter(range(n_req))
+        lock = threading.Lock()
+        def worker():
+            while True:
+                with lock:
+                    try:
+                        i = next(idx)
+                    except StopIteration:
+                        return
+                done[i] = post(seqs[i])
+        t0 = time.perf_counter()
+        ts = [threading.Thread(target=worker) for _ in range(n_cli)]
+        [t.start() for t in ts]; [t.join() for t in ts]
+        wall = time.perf_counter() - t0
+        assert all(d is not None for d in done)
+        with urllib.request.urlopen(srv.url + "/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        print(f"{label}: {n_req} requests / {n_cli} clients: {wall:.2f}s  "
+              f"{n_req/wall:.1f} seq/s  mean_batch {stats['mean_batch_seqs']}  "
+              f"p50 {stats['latency_p50_ms']:.0f} ms  p95 {stats['latency_p95_ms']:.0f} ms")
+
+    load_pass("pass1 (cold traces)")
+    load_pass("pass2 (steady)")
+    srv.stop()
+
+if __name__ == "__main__":
+    main()
