@@ -120,6 +120,9 @@ class InferenceServer:
             else None
         )
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # dispatched-but-not-finalized batches; depth 2 bounds in-flight
+        # device work while letting readback overlap the next batch's compute
+        self._pending: "queue.Queue" = queue.Queue(maxsize=2)
         self._stop = threading.Event()
         self._drained = threading.Event()
         self._lock = threading.Lock()
@@ -136,6 +139,9 @@ class InferenceServer:
         self._batch_thread = threading.Thread(
             target=self._batch_loop, name="esm-serve-batcher", daemon=True
         )
+        self._finalize_thread = threading.Thread(
+            target=self._finalize_loop, name="esm-serve-finalizer", daemon=True
+        )
 
     # ---------------------------------------------------------------- public
 
@@ -150,6 +156,7 @@ class InferenceServer:
 
     def start(self) -> "InferenceServer":
         self._batch_thread.start()
+        self._finalize_thread.start()
         self._http_thread.start()
         return self
 
@@ -158,6 +165,9 @@ class InferenceServer:
         self._httpd.shutdown()
         self._httpd.server_close()
         self._batch_thread.join(timeout=30)
+        # let the finalizer drain already-dispatched batches, then exit
+        self._pending.put(None)
+        self._finalize_thread.join(timeout=60)
         # fail anything still queued so no handler thread waits forever
         while True:
             try:
@@ -221,18 +231,45 @@ class InferenceServer:
             for req in window:
                 groups.setdefault(req.key, []).append(req)
             for reqs in groups.values():
+                # dispatch phase: tokenize + enqueue device work (async —
+                # jitted calls return futures); the finalize thread overlaps
+                # batch k's readback + JSON with batch k+1's device compute
                 try:
                     if reqs[0].kind == "fold":
-                        self._run_fold_group(reqs)
+                        fin = self._dispatch_fold_group(reqs)
                     else:
-                        self._run_embed_group(reqs)
+                        fin = self._dispatch_embed_group(reqs)
                 except Exception as e:  # noqa: BLE001 — report to the client
-                    with self._lock:
-                        self._stats["errors"] += 1
-                    for r in reqs:
-                        if not r.done.is_set():
-                            r.error = f"{type(e).__name__}: {e}"
-                            r.done.set()
+                    self._fail(reqs, e)
+                    continue
+                while not self._stop.is_set():
+                    try:
+                        self._pending.put((reqs, fin), timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
+                else:
+                    self._fail(reqs, RuntimeError("server shutting down"))
+
+    def _fail(self, reqs: List[_Request], e: BaseException) -> None:
+        with self._lock:
+            self._stats["errors"] += 1
+        msg = str(e) if isinstance(e, RuntimeError) else f"{type(e).__name__}: {e}"
+        for r in reqs:
+            if not r.done.is_set():
+                r.error = msg
+                r.done.set()
+
+    def _finalize_loop(self) -> None:
+        while True:
+            item = self._pending.get()
+            if item is None:
+                return
+            reqs, fin = item
+            try:
+                fin()
+            except Exception as e:  # noqa: BLE001 — report to the client
+                self._fail(reqs, e)
 
     def _finish(self, r: _Request, results: List[Dict[str, Any]]) -> None:
         r.result = results
@@ -248,14 +285,13 @@ class InferenceServer:
             self._finish(r, items[i : i + len(r.seqs)])
             i += len(r.seqs)
 
-    def _run_fold_group(self, reqs: List[_Request]) -> None:
-        """Run a fold group, slicing into device batches of at most
+    def _dispatch_fold_group(self, reqs: List[_Request]):
+        """Dispatch a fold group in device batches of at most
         ``max_fold_batch_seqs`` sequences (a single request may carry up to
-        max_request_seqs — the cap bounds the device batch, not the request)."""
-        import numpy as np
-
+        max_request_seqs — the cap bounds the device batch, not the request).
+        Returns the finalize thunk that reads back and distributes."""
         pairs = [(lab, seq) for r in reqs for lab, seq in zip(r.labels, r.seqs)]
-        items: List[Dict[str, Any]] = []
+        chunks = []
         for s in range(0, len(pairs), self.max_fold_batch_seqs):
             chunk = pairs[s : s + self.max_fold_batch_seqs]
             out = self.fold_model.infer(
@@ -263,26 +299,35 @@ class InferenceServer:
                 num_recycles=reqs[0].num_recycles,
                 frugal=True,
             )
-            pdbs = self.fold_model.output_to_pdb(out)
-            mean_plddt = np.asarray(out["mean_plddt"], np.float64)
-            ptm = np.asarray(out["ptm"], np.float64)
-            for i, (lab, seq) in enumerate(chunk):
-                items.append({
-                    "label": lab,
-                    "length": len(seq) - seq.count(":"),
-                    "num_chains": seq.count(":") + 1,
-                    "pdb": pdbs[i],
-                    "mean_plddt": round(float(mean_plddt[i]), 4),
-                    "ptm": round(float(ptm[i]), 4),
-                })
-            with self._lock:
-                self._stats["fold_batches"] += 1
-                self._stats["batched_sequences"] += len(chunk)
-        self._distribute(reqs, items)
+            chunks.append((chunk, out))
 
-    def _run_embed_group(self, reqs: List[_Request]) -> None:
-        """Run an embed group, slicing into device batches of at most
-        ``max_batch_seqs`` sequences."""
+        def finalize():
+            import numpy as np
+
+            items: List[Dict[str, Any]] = []
+            for chunk, out in chunks:
+                pdbs = self.fold_model.output_to_pdb(out)  # readback
+                mean_plddt = np.asarray(out["mean_plddt"], np.float64)
+                ptm = np.asarray(out["ptm"], np.float64)
+                for i, (lab, seq) in enumerate(chunk):
+                    items.append({
+                        "label": lab,
+                        "length": len(seq) - seq.count(":"),
+                        "num_chains": seq.count(":") + 1,
+                        "pdb": pdbs[i],
+                        "mean_plddt": round(float(mean_plddt[i]), 4),
+                        "ptm": round(float(ptm[i]), 4),
+                    })
+                with self._lock:
+                    self._stats["fold_batches"] += 1
+                    self._stats["batched_sequences"] += len(chunk)
+            self._distribute(reqs, items)
+
+        return finalize
+
+    def _dispatch_embed_group(self, reqs: List[_Request]):
+        """Dispatch an embed group in device batches of at most
+        ``max_batch_seqs`` sequences; returns the finalize thunk."""
         pairs = [
             (lab, seq) for r in reqs for lab, seq in zip(r.labels, r.seqs)
         ]
@@ -291,14 +336,22 @@ class InferenceServer:
         layers = sorted(
             {(i + n_layers + 1) % (n_layers + 1) for i in repr_layers}
         )
-        items: List[Dict[str, Any]] = []
-        for s in range(0, len(pairs), self.max_batch_seqs):
-            items.extend(
-                self._embed_batch(pairs[s : s + self.max_batch_seqs], layers, include)
+        finalizers = [
+            self._dispatch_embed_chunk(
+                pairs[s : s + self.max_batch_seqs], layers, include
             )
-        self._distribute(reqs, items)
+            for s in range(0, len(pairs), self.max_batch_seqs)
+        ]
 
-    def _embed_batch(self, pairs, layers, include) -> List[Dict[str, Any]]:
+        def finalize():
+            items: List[Dict[str, Any]] = []
+            for fin in finalizers:
+                items.extend(fin())
+            self._distribute(reqs, items)
+
+        return finalize
+
+    def _dispatch_embed_chunk(self, pairs, layers, include):
         import numpy as np
 
         # the converter pads T to 128-multiples; the batch dim pads to the
@@ -322,42 +375,52 @@ class InferenceServer:
         lengths = [min(len(s), self.truncation_seq_length) for _, s in pairs]
         prepend = int(self.alphabet.prepend_bos)
         reps = out.get("representations", {})
-        means = {}
+        means_dev = {}
         if "mean" in include:
             # reduce on device: (B, T, D) -> (B, D) per layer before readback
             lens = np.asarray(lengths, np.int32)
             for k in layers:
-                means[k] = np.asarray(
-                    _device_mean(reps[k][:real_b], _jnp(lens), toks.shape[1], prepend)
+                means_dev[k] = _device_mean(
+                    reps[k][:real_b], _jnp(lens), toks.shape[1], prepend
                 )
-        per_tok = {k: np.asarray(reps[k][:real_b]) for k in layers} if "per_tok" in include else {}
-        logits = np.asarray(out["logits"][:real_b]) if "logits" in include else None
-        contacts = np.asarray(out["contacts"][:real_b]) if "contacts" in include else None
+        per_tok_dev = (
+            {k: reps[k][:real_b] for k in layers} if "per_tok" in include else {}
+        )
+        logits_dev = out["logits"][:real_b] if "logits" in include else None
+        contacts_dev = out["contacts"][:real_b] if "contacts" in include else None
 
-        items: List[Dict[str, Any]] = []
-        for i, (lab, seq) in enumerate(pairs):
-            L = lengths[i]
-            item: Dict[str, Any] = {
-                "label": lab, "length": L, "truncated": len(seq) > L,
-            }
-            if means:
-                item["mean_representations"] = {
-                    str(k): means[k][i].tolist() for k in layers
+        def finalize():
+            means = {k: np.asarray(v) for k, v in means_dev.items()}
+            per_tok = {k: np.asarray(v) for k, v in per_tok_dev.items()}
+            logits = np.asarray(logits_dev) if logits_dev is not None else None
+            contacts = np.asarray(contacts_dev) if contacts_dev is not None else None
+
+            items: List[Dict[str, Any]] = []
+            for i, (lab, seq) in enumerate(pairs):
+                L = lengths[i]
+                item: Dict[str, Any] = {
+                    "label": lab, "length": L, "truncated": len(seq) > L,
                 }
-            if per_tok:
-                item["representations"] = {
-                    str(k): per_tok[k][i, prepend : prepend + L].tolist()
-                    for k in layers
-                }
-            if logits is not None:
-                item["logits"] = logits[i, prepend : prepend + L].tolist()
-            if contacts is not None:
-                item["contacts"] = contacts[i, :L, :L].tolist()
-            items.append(item)
-        with self._lock:
-            self._stats["batches"] += 1
-            self._stats["batched_sequences"] += len(pairs)
-        return items
+                if means:
+                    item["mean_representations"] = {
+                        str(k): means[k][i].tolist() for k in layers
+                    }
+                if per_tok:
+                    item["representations"] = {
+                        str(k): per_tok[k][i, prepend : prepend + L].tolist()
+                        for k in layers
+                    }
+                if logits is not None:
+                    item["logits"] = logits[i, prepend : prepend + L].tolist()
+                if contacts is not None:
+                    item["contacts"] = contacts[i, :L, :L].tolist()
+                items.append(item)
+            with self._lock:
+                self._stats["batches"] += 1
+                self._stats["batched_sequences"] += len(pairs)
+            return items
+
+        return finalize
 
     # ------------------------------------------------------------------ http
 

@@ -22,7 +22,10 @@ from esm_tpu.pretrained import LMHandle
 from esm_tpu.runtime.server import InferenceServer
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    if "--wait" in argv:
+        i = argv.index("--wait"); argv = argv[:i] + argv[i+2:]
+    args = [a for a in argv if not a.startswith("--")]
     n_req = int(args[0]) if len(args) > 0 else 64
     n_cli = int(args[1]) if len(args) > 1 else 8
     print("devices:", jax.devices())
@@ -36,7 +39,10 @@ def main():
     jax.block_until_ready(params)
     model = LMHandle("esm2", cfg, params, alphabet)
     bucket = "max" if "--pow2" not in sys.argv else "pow2"
-    srv = InferenceServer(model, max_batch_seqs=16, max_wait_ms=20.0, batch_bucket=bucket).start()
+    wait_ms = 20.0
+    if "--wait" in sys.argv:
+        wait_ms = float(sys.argv[sys.argv.index("--wait") + 1])
+    srv = InferenceServer(model, max_batch_seqs=16, max_wait_ms=wait_ms, batch_bucket=bucket).start()
     print(f"init {time.perf_counter()-t0:.1f}s  url {srv.url}  bucket={bucket}")
 
     rng = np.random.default_rng(0)
