@@ -23,8 +23,9 @@ from esm_tpu.runtime.server import InferenceServer
 
 def main():
     argv = sys.argv[1:]
-    if "--wait" in argv:
-        i = argv.index("--wait"); argv = argv[:i] + argv[i+2:]
+    for flag in ("--wait", "--open-loop"):
+        if flag in argv:
+            i = argv.index(flag); argv = argv[:i] + argv[i+2:]
     args = [a for a in argv if not a.startswith("--")]
     n_req = int(args[0]) if len(args) > 0 else 64
     n_cli = int(args[1]) if len(args) > 1 else 8
@@ -89,8 +90,32 @@ def main():
               f"{n_req/wall:.1f} seq/s  mean_batch {stats['mean_batch_seqs']}  "
               f"p50 {stats['latency_p50_ms']:.0f} ms  p95 {stats['latency_p95_ms']:.0f} ms")
 
+    def open_loop_pass(rate):
+        """Open-loop arrivals: request i fires at t0 + i/rate regardless of
+        earlier responses (one thread per request) — the regime the pipelined
+        batcher is built for; closed-loop clients idle the window."""
+        done = [None] * n_req
+        t0 = time.perf_counter()
+        def w(i):
+            delay = t0 + i / rate - time.perf_counter()
+            if delay > 0:
+                time.sleep(delay)
+            done[i] = post(seqs[i])
+        ts = [threading.Thread(target=w, args=(i,)) for i in range(n_req)]
+        [t.start() for t in ts]; [t.join() for t in ts]
+        wall = time.perf_counter() - t0
+        assert all(d is not None for d in done)
+        with urllib.request.urlopen(srv.url + "/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        print(f"open-loop @{rate:.0f}/s: {n_req} requests in {wall:.2f}s  "
+              f"{n_req/wall:.1f} seq/s achieved  mean_batch {stats['mean_batch_seqs']}  "
+              f"p50 {stats['latency_p50_ms']:.0f} ms  p95 {stats['latency_p95_ms']:.0f} ms")
+
     load_pass("pass1 (cold traces)")
-    load_pass("pass2 (steady)")
+    if "--open-loop" in sys.argv:
+        open_loop_pass(float(sys.argv[sys.argv.index("--open-loop") + 1]))
+    else:
+        load_pass("pass2 (steady)")
     srv.stop()
 
 if __name__ == "__main__":

@@ -164,6 +164,42 @@ def test_bad_requests(server):
     assert exc_info.value.code == 404
 
 
+def test_batch_bucket_max_outputs_unchanged():
+    """batch_bucket='max' (pad multi-request batches to max_batch) must not
+    change any response numerics vs the default pow2 bucketing."""
+    alphabet = Alphabet.from_architecture("ESM-1b")
+    cfg = esm2.ESM2Config.from_alphabet(
+        alphabet, num_layers=2, embed_dim=32, attention_heads=2
+    )
+    params = esm2.init(jax.random.PRNGKey(0), cfg)
+    model = LMHandle("esm2", cfg, params, alphabet)
+    srv = InferenceServer(
+        model, max_wait_ms=30.0, truncation_seq_length=60,
+        max_batch_seqs=8, batch_bucket="max",
+    ).start()
+    try:
+        out = _post(srv, {
+            "sequences": [["a", SEQS[0]], ["b", SEQS[1]], ["c", SEQS[2]]],
+            "include": ["mean", "logits"],
+        })
+        _, _, toks = model.alphabet.get_batch_converter(60)(
+            [("a", SEQS[0]), ("b", SEQS[1]), ("c", SEQS[2])]
+        )
+        direct = model(toks, repr_layers=[2])
+        for i, (r, seq) in enumerate(zip(out["results"], SEQS)):
+            L = min(len(seq), 60)
+            np.testing.assert_allclose(
+                np.asarray(r["logits"]),
+                np.asarray(direct["logits"])[i, 1 : L + 1],
+                atol=1e-5,
+            )
+    finally:
+        srv.stop()
+
+    with pytest.raises(ValueError, match="batch_bucket"):
+        InferenceServer(model, batch_bucket="nope")
+
+
 def test_serve_cli_starts_from_checkpoint(tmp_path, monkeypatch):
     """esm-serve CLI path: load a (synthesized) checkpoint by location, apply
     --int8/--max-batch flags, serve /healthz and /embed."""
