@@ -643,3 +643,84 @@ the reference's +1000 residue-index offsets). See
 )
 
 print("done")
+
+
+nb(
+    "serving.ipynb",
+    [
+        ("md", """
+# Serving ESM models: dynamic-batching inference server
+
+The reference ships batch scripts only; `esm-serve` adds a long-lived HTTP
+server whose batcher coalesces concurrent requests into shape-bucketed device
+batches (one warm compiled program per length bucket) and reduces mean
+embeddings on device before readback. This notebook drives the same
+`InferenceServer` in-process. From a shell you would run:
+
+```bash
+esm-serve esm2_t33_650M_UR50D --port 8080 --bf16 --flash --fold-model esmfold_v1
+curl -s localhost:8080/embed -d '{"sequences": ["MKTVRQERLK"], "include": ["mean"]}'
+curl -s localhost:8080/fold  -d '{"sequences": ["MKTV:RQER"], "num_recycles": 3}'
+```
+"""),
+        ("code", LM_FALLBACK),
+        ("code", '''
+import json, urllib.request
+
+from esm_tpu.runtime.server import InferenceServer
+
+server = InferenceServer(model, max_wait_ms=25.0, port=0).start()  # port 0 = auto
+print("serving on", server.url)
+
+
+def post(path, payload):
+    req = urllib.request.Request(
+        server.url + path, data=json.dumps(payload).encode())
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return json.loads(r.read())
+
+
+out = post("/embed", {
+    "sequences": [["my_protein", "MKTVRQERLKSIVRILERSKEPVSGAQLAEELSVSRQVIVQDIAYLRSLGYNIVAT"]],
+    "repr_layers": [-1],
+    "include": ["mean", "logits"],
+})
+r = out["results"][0]
+print("label:", r["label"], "| length:", r["length"])
+print("mean embedding dim:", {k: len(v) for k, v in r["mean_representations"].items()})
+print("logits rows:", len(r["logits"]))
+'''),
+        ("md", """
+Concurrent requests arriving within the wait window share one device batch —
+watch `mean_batch_seqs` and the latency percentiles in `/stats`:
+"""),
+        ("code", '''
+import threading
+
+seqs = ["KALTARQQEVFDLIRDHISQTGMPPTRAEIA", "QEVFDLIRD", "MKTVRQERLKSIVRILE"]
+results = [None] * 6
+barrier = threading.Barrier(6)
+
+
+def worker(j):
+    barrier.wait()
+    results[j] = post("/embed", {"sequences": [seqs[j % 3]], "include": ["mean"]})
+
+
+threads = [threading.Thread(target=worker, args=(j,)) for j in range(6)]
+for t in threads:
+    t.start()
+for t in threads:
+    t.join()
+assert all(r is not None for r in results)
+
+with urllib.request.urlopen(server.url + "/stats", timeout=30) as r:
+    stats = json.loads(r.read())
+print({k: stats[k] for k in ("requests", "batches", "mean_batch_seqs")})
+'''),
+        ("code", '''
+server.stop()
+print("stopped")
+'''),
+    ],
+)
