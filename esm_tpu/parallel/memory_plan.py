@@ -61,3 +61,54 @@ def plan_model(cfg, mesh_cfg: MeshConfig, dtype=None) -> Dict:
         jax.ShapeDtypeStruct((2,), jnp.uint32),
     )
     return plan(shapes, mesh_cfg)
+
+
+def plan_train(
+    cfg,
+    mesh_cfg: MeshConfig,
+    batch: int,
+    seqlen: int,
+    *,
+    accum_steps: int = 1,
+    mu_dtype_bytes: int = 4,
+    hbm_bytes: int = 15_750_000_000,
+) -> Dict:
+    """Estimate per-device HBM for one MLM training step (AdamW, remat +
+    flash attention assumed — the configuration training.train_step targets).
+
+    Model: params(fp32) + AdamW mu/nu + grads + remat'd activations. With
+    remat + flash the live activations are ~one layer body's saved matmul
+    outputs times depth for the scan carry: we charge per layer the bf16
+    attention/MLP GEMM outputs (qkv+out+fc1+fc2 ≈ (4·D + D + 4D) ≈ 10·D·T·B·2
+    bytes) plus the fp32 logits. Accuracy is ±20-30% — use the verdict
+    ("fits" / "close" = borderline either way / "over") rather than the raw
+    number. Calibration against BENCH_NOTES: 650M B=4/L=1024 -> fits (ran at
+    15.5 G); B=8 and B=1/L=8192 with bf16 mu -> close (both missed by ~0.3 G);
+    B=8 accum=2 -> close (fits).
+    """
+    p = plan_model(cfg, mesh_cfg)
+    per_dev_params = p["per_device_bytes"]
+    opt = per_dev_params * (mu_dtype_bytes / 4.0) + per_dev_params  # mu + nu
+    grads = per_dev_params
+    micro_b = max(1, batch // accum_steps)
+    accum_buf = per_dev_params if accum_steps > 1 else 0
+    dp = mesh_cfg.data * mesh_cfg.fsdp
+    b_local = -(-micro_b // dp)
+    d = cfg.embed_dim
+    acts = cfg.num_layers * (10 * d * seqlen * b_local * 2)
+    logits = b_local * seqlen * getattr(cfg, "alphabet_size", 33) * 4
+    total = per_dev_params + opt + grads + accum_buf + acts + logits
+    headroom = hbm_bytes - total
+    verdict = (
+        "fits" if headroom > 0.1 * hbm_bytes
+        else ("close" if headroom > -0.05 * hbm_bytes else "over")
+    )
+    return {
+        "per_device_bytes": int(total),
+        "params_bytes": int(per_dev_params),
+        "optimizer_bytes": int(opt),
+        "grads_bytes": int(grads + accum_buf),
+        "activations_bytes": int(acts + logits),
+        "hbm_bytes": hbm_bytes,
+        "verdict": verdict,
+    }

@@ -95,7 +95,8 @@ def run(args):
     from esm_tpu.parallel.sharding import batch_sharding, shard_params
 
     n_dev = len(jax.devices())
-    mesh = make_mesh(MeshConfig.for_devices(n_dev))
+    mesh_cfg = MeshConfig.for_devices(n_dev)
+    mesh = make_mesh(mesh_cfg)
     print(f"devices: {n_dev}, mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
 
     alphabet = Alphabet.from_architecture("ESM-1b")
@@ -124,6 +125,27 @@ def run(args):
         args.truncation_seq_length, pad_to_multiple=128
     )
     print(f"{len(dataset)} sequences, {len(batches)} batches/epoch")
+
+    try:
+        from esm_tpu.parallel.memory_plan import plan_train
+
+        est_b = max(
+            mesh_cfg.data * mesh_cfg.fsdp * args.accum_steps,
+            args.toks_per_batch // (args.truncation_seq_length + 2),
+        )
+        mp = plan_train(
+            cfg, mesh_cfg, est_b, args.truncation_seq_length + 2,
+            accum_steps=args.accum_steps,
+            mu_dtype_bytes=2 if args.bf16_moments else 4,
+        )
+        print(
+            f"memory plan (est. B={est_b}): {mp['per_device_bytes']/1e9:.1f} "
+            f"GB/device of {mp['hbm_bytes']/1e9:.1f} -> {mp['verdict']}"
+            + ("  (hint: --accum-steps / --bf16-moments / more devices)"
+               if mp["verdict"] != "fits" else "")
+        )
+    except Exception:  # the plan is advisory; never block training on it
+        pass
 
     warmup = min(args.warmup_steps, max(1, args.steps // 5))
     tx = training.make_optimizer(

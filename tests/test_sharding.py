@@ -286,6 +286,36 @@ def test_memory_plan():
     assert p_sh["per_device_bytes"] < 16e9 < p_un["per_device_bytes"]
 
 
+def test_memory_plan_train_calibration():
+    """plan_train reproduces the measured single-chip 650M verdicts
+    (BENCH_NOTES): B=4/L=1024 fits; B=8 and B=1/L=8192 with bf16 moments are
+    borderline (both missed the chip by ~0.3 G); 15B unsharded is hopeless."""
+    from esm_tpu.parallel.memory_plan import plan_train
+
+    cfg = esm2.ESM2Config.from_alphabet(
+        Alphabet.from_architecture("ESM-1b"), **esm2.ESM2_SIZES["esm2_t33_650M_UR50D"]
+    )
+    single = MeshConfig(1, 1, 1)
+    assert plan_train(cfg, single, 4, 1024)["verdict"] == "fits"
+    assert plan_train(cfg, single, 8, 1024, mu_dtype_bytes=2)["verdict"] in (
+        "close", "over",
+    )
+    assert plan_train(cfg, single, 1, 8192, mu_dtype_bytes=2)["verdict"] in (
+        "close", "over",
+    )
+    # accumulation keeps micro-activations at B=4
+    acc = plan_train(cfg, single, 8, 1024, accum_steps=2, mu_dtype_bytes=2)
+    assert acc["verdict"] in ("fits", "close")
+
+    cfg15 = esm2.ESM2Config.from_alphabet(
+        Alphabet.from_architecture("ESM-1b"), **esm2.ESM2_SIZES["esm2_t48_15B_UR50D"]
+    )
+    assert plan_train(cfg15, single, 1, 1024)["verdict"] == "over"
+    # ...but a (1, 8, 4) slice shards the state under the per-chip HBM
+    sliced = plan_train(cfg15, MeshConfig(1, 8, 4), 32, 1024)
+    assert sliced["per_device_bytes"] < plan_train(cfg15, single, 1, 1024)["per_device_bytes"]
+
+
 def test_sharded_int8_forward_matches_single_device():
     """Weight-only int8 params shard onto the mesh (scales follow the bias
     rules) and the sharded forward equals the single-device one."""
