@@ -29,6 +29,9 @@ scripts/extract.py:104-131 in the reference):
   POST /fold    {"sequences": [...], "num_recycles": N}    (multimers via ':')
                 -> {"results": [{"label", "length", "num_chains", "pdb",
                                  "mean_plddt", "ptm"}, ...]}
+  POST /score   {"sequence": "...", "mutations": ["P76A", ...], "offset_idx": 0}
+                -> {"results": [{"label", "scores": {"P76A": logp_mt - logp_wt}}]}
+                (zero-shot variant effect, wt-marginals — one forward per batch)
 
 Folds share the batcher thread (the chip is single-tenant) but batch
 separately, capped at ``max_fold_batch_seqs`` — pair tensors are O(L^2..L^3).
@@ -60,8 +63,9 @@ class _Request:
     seqs: List[str]
     repr_layers: Tuple[int, ...] = ()
     include: Tuple[str, ...] = ()
-    kind: str = "embed"  # "embed" | "fold"
+    kind: str = "embed"  # "embed" | "fold" | "score"
     num_recycles: Optional[int] = None
+    mutations: Optional[List[Tuple]] = None  # (raw, wt, idx0, mt); idx0 0-based
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[List[Dict[str, Any]]] = None
     error: Optional[str] = None
@@ -71,6 +75,8 @@ class _Request:
     def key(self) -> Tuple:
         if self.kind == "fold":
             return ("fold", self.num_recycles)
+        if self.kind == "score":
+            return ("score",)
         return ("embed", self.repr_layers, self.include)
 
 
@@ -237,6 +243,8 @@ class InferenceServer:
                 try:
                     if reqs[0].kind == "fold":
                         fin = self._dispatch_fold_group(reqs)
+                    elif reqs[0].kind == "score":
+                        fin = self._dispatch_score_group(reqs)
                     else:
                         fin = self._dispatch_embed_group(reqs)
                 except Exception as e:  # noqa: BLE001 — report to the client
@@ -322,6 +330,56 @@ class InferenceServer:
                     self._stats["fold_batches"] += 1
                     self._stats["batched_sequences"] += len(chunk)
             self._distribute(reqs, items)
+
+        return finalize
+
+    def _dispatch_score_group(self, reqs: List[_Request]):
+        """Variant-effect scoring (wt-marginals, reference
+        examples/variant-prediction/predict.py:107-115): ONE forward on the
+        wild-type sequences, score(mt) = logp[mt] − logp[wt] at the mutated
+        position. Each request contributes one sequence to the device batch;
+        its mutations are host-side post-processing."""
+        import numpy as np
+
+        pairs = [(r.labels[0], r.seqs[0]) for r in reqs]
+        chunks = []
+        for s in range(0, len(pairs), self.max_batch_seqs):
+            chunk = pairs[s : s + self.max_batch_seqs]
+            _, _, toks = self._converter(chunk)
+            target = (
+                self.max_batch_seqs
+                if self.batch_bucket == "max" and len(chunk) > 1
+                else None
+            )
+            toks, real_b = _pad_batch_rows(np.asarray(toks), target)
+            out = self.model(toks)
+            chunks.append(out["logits"][:real_b])
+            with self._lock:
+                self._stats["batches"] += 1
+                self._stats["batched_sequences"] += len(chunk)
+
+        prepend = int(self.alphabet.prepend_bos)
+        get_idx = self.alphabet.get_idx
+
+        def finalize():
+            # T may differ across chunks; score rows are read per chunk
+            arrays = [np.asarray(c) for c in chunks]
+            for i, r in enumerate(reqs):
+                logits = arrays[i // self.max_batch_seqs][i % self.max_batch_seqs]
+                # stable log-softmax over the vocab axis, host-side
+                m = logits.max(-1, keepdims=True)
+                logp = logits - m - np.log(np.exp(logits - m).sum(-1, keepdims=True))
+                scores = {
+                    raw: round(float(logp[prepend + idx, get_idx(mt)]
+                                     - logp[prepend + idx, get_idx(wt)]), 6)
+                    for raw, wt, idx, mt in r.mutations
+                }
+                self._finish(r, [{
+                    "label": r.labels[0],
+                    "length": len(r.seqs[0]),
+                    "strategy": "wt-marginals",
+                    "scores": scores,
+                }])
 
         return finalize
 
@@ -490,6 +548,54 @@ class InferenceServer:
             _Request(labels, seqs, kind="fold", num_recycles=num_recycles)
         )
 
+    def _submit_score(self, payload: Dict[str, Any]) -> _Request:
+        if self.model is None:
+            raise ValueError("no LM loaded (start esm-serve with a model name)")
+        seq = payload.get("sequence")
+        if not isinstance(seq, str) or not seq:
+            raise ValueError('"sequence" must be a non-empty string')
+        if len(seq) > self.truncation_seq_length:
+            raise ValueError(
+                f"sequence length {len(seq)} exceeds the server's "
+                f"truncation_seq_length {self.truncation_seq_length}; "
+                "variant scores past the truncation would be wrong"
+            )
+        bad = [c for c in seq if c not in self.alphabet.tok_to_idx]
+        if bad:
+            raise ValueError(f"unknown residue {bad[0]!r} in sequence")
+        muts_in = payload.get("mutations")
+        if not isinstance(muts_in, list) or not muts_in:
+            raise ValueError('"mutations" must be a non-empty list like ["P76A"]')
+        offset = payload.get("offset_idx", 0)
+        if not isinstance(offset, int):
+            raise ValueError("offset_idx must be an int")
+        parsed = []
+        for raw in muts_in:
+            if (
+                not isinstance(raw, str) or len(raw) < 3
+                or not raw[1:-1].isdigit()
+            ):
+                raise ValueError(f"mutation {raw!r}: expected e.g. 'P76A'")
+            wt, mt = raw[0], raw[-1]
+            idx = int(raw[1:-1]) - offset
+            if not 0 <= idx < len(seq):
+                raise ValueError(
+                    f"mutation {raw!r}: position out of range for length "
+                    f"{len(seq)} (offset_idx={offset})"
+                )
+            if seq[idx] != wt:
+                raise ValueError(
+                    f"mutation {raw!r}: the listed wildtype does not match "
+                    f"the provided sequence ({seq[idx]!r} at that position)"
+                )
+            if mt not in self.alphabet.tok_to_idx:
+                raise ValueError(f"mutation {raw!r}: unknown target residue {mt!r}")
+            parsed.append((raw, wt, idx, mt))
+        label = str(payload.get("label", "seq0"))
+        return self._enqueue(
+            _Request([label], [seq], kind="score", mutations=parsed)
+        )
+
     def _submit(self, payload: Dict[str, Any]) -> _Request:
         if self.model is None:
             raise ValueError("no LM loaded (start esm-serve with a model name)")
@@ -524,7 +630,7 @@ class InferenceServer:
                 if self.path == "/healthz":
                     h = {
                         "status": "ok",
-                        "endpoints": (["/embed"] if server.model else [])
+                        "endpoints": (["/embed", "/score"] if server.model else [])
                         + (["/fold"] if server.fold_model else []),
                         "truncation_seq_length": server.truncation_seq_length,
                     }
@@ -542,7 +648,12 @@ class InferenceServer:
                     self._send(404, {"error": f"unknown path {self.path}"})
 
             def do_POST(self):
-                if self.path not in ("/embed", "/fold"):
+                routes = {
+                    "/embed": server._submit,
+                    "/fold": server._submit_fold,
+                    "/score": server._submit_score,
+                }
+                if self.path not in routes:
                     self._send(404, {"error": f"unknown path {self.path}"})
                     return
                 try:
@@ -550,10 +661,7 @@ class InferenceServer:
                     payload = json.loads(self.rfile.read(length) or b"{}")
                     if not isinstance(payload, dict):
                         raise ValueError("request body must be a JSON object")
-                    submit = (
-                        server._submit if self.path == "/embed" else server._submit_fold
-                    )
-                    req = submit(payload)
+                    req = routes[self.path](payload)
                 except (ValueError, KeyError, json.JSONDecodeError) as e:
                     with server._lock:
                         server._stats["errors"] += 1

@@ -164,6 +164,46 @@ def test_bad_requests(server):
     assert exc_info.value.code == 404
 
 
+def test_score_endpoint_matches_wt_marginals(server):
+    """/score == the variant CLI's wt-marginals math (reference
+    predict.py:107-115): logp[mt] - logp[wt] at the mutated position from one
+    wild-type forward."""
+    srv, model = server
+    seq = SEQS[1]  # "KALTARQQEVFDLIRDHISQTGMPPTRAEIA"
+    out = _post(srv, {
+        "sequence": seq,
+        "mutations": ["K1A", "T4W", "A31G"],
+        "offset_idx": 1,
+        "label": "wt",
+    }, path="/score")
+    r = out["results"][0]
+    assert r["label"] == "wt" and r["strategy"] == "wt-marginals"
+    assert set(r["scores"]) == {"K1A", "T4W", "A31G"}
+
+    import jax
+
+    from esm_tpu.cli.predict_variants import label_row
+
+    _, _, toks = model.alphabet.get_batch_converter(60)([("wt", seq)])
+    token_probs = np.asarray(jax.nn.log_softmax(model(toks)["logits"], axis=-1))
+    for raw in ("K1A", "T4W", "A31G"):
+        expect = label_row(raw, seq, token_probs, model.alphabet, 1)
+        assert np.isclose(r["scores"][raw], expect, atol=1e-4), raw
+
+    # validation paths
+    for payload, frag in [
+        ({"sequence": seq, "mutations": ["Q1A"], "offset_idx": 1}, "does not match"),
+        ({"sequence": seq, "mutations": ["K99A"], "offset_idx": 1}, "out of range"),
+        ({"sequence": seq, "mutations": ["bogus"]}, "expected e.g."),
+        ({"sequence": seq, "mutations": []}, "non-empty list"),
+        ({"sequence": "X" * 100, "mutations": ["X1A"], "offset_idx": 1}, "truncation"),
+    ]:
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(srv, payload, path="/score")
+        assert exc_info.value.code == 400
+        assert frag in json.loads(exc_info.value.read())["error"], payload
+
+
 def test_batch_bucket_max_outputs_unchanged():
     """batch_bucket='max' (pad multi-request batches to max_batch) must not
     change any response numerics vs the default pow2 bucketing."""
