@@ -161,6 +161,35 @@ def test_resume_is_bit_exact(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_finetune_secondary_structure_example():
+    """examples/finetune_secondary_structure.py learns the synthetic
+    residue->SS mapping through a frozen random-init LM (head-only training):
+    accuracy well above the 3-class chance level."""
+    import importlib.util
+    import io
+    from contextlib import redirect_stdout
+
+    spec = importlib.util.spec_from_file_location(
+        "finetune_ssp",
+        pathlib.Path(__file__).parent.parent
+        / "examples" / "finetune_secondary_structure.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    args = mod.create_parser().parse_args(
+        ["--synthetic", "32", "--steps", "150", "--batch-size", "8",
+         "--lr", "3e-3",
+         "--num-layers", "2", "--embed-dim", "64", "--attention-heads", "4",
+         "--truncation-seq-length", "62", "--log-every", "50"]
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        trainable, classes, acc = mod.run(args)
+    assert classes == ["C", "E", "H"]
+    assert "lm" not in trainable  # frozen by default
+    assert acc > 0.8, buf.getvalue()  # 3-class chance is 0.33
+
+
 def test_example_eval_and_accum(tmp_path):
     """--accum-steps and --eval-fasta paths of the example run end-to-end and
     report a finite masked perplexity."""
