@@ -164,6 +164,47 @@ def test_bad_requests(server):
     assert exc_info.value.code == 404
 
 
+def test_npz_format_matches_json(server):
+    """format='npz' returns one binary .npz whose arrays equal the JSON
+    response's values and whose payload is much smaller."""
+    import io
+
+    srv, model = server
+    payload = {
+        "sequences": [["a", SEQS[0]], ["b", SEQS[1]]],
+        "repr_layers": [-1],
+        "include": ["mean", "per_tok", "contacts"],
+    }
+    js = _post(srv, payload)["results"]
+
+    req = urllib.request.Request(
+        srv.url + "/embed",
+        data=json.dumps({**payload, "format": "npz"}).encode(),
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.headers["Content-Type"] == "application/octet-stream"
+        body = resp.read()
+    assert len(body) < len(json.dumps(js)) / 2  # binary beats decimal text
+    # (2.6x at these toy dims; the gap grows with embed_dim/length)
+    npz = np.load(io.BytesIO(body))
+    assert list(npz["labels"]) == ["a", "b"]
+    for i, r in enumerate(js):
+        np.testing.assert_allclose(
+            npz[f"{i}/mean/2"], np.asarray(r["mean_representations"]["2"]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            npz[f"{i}/per_tok/2"], np.asarray(r["representations"]["2"]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            npz[f"{i}/contacts"], np.asarray(r["contacts"]), atol=1e-6
+        )
+        assert npz["lengths"][i] == r["length"]
+
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(srv, {**payload, "format": "parquet"})
+    assert exc_info.value.code == 400
+
+
 def test_score_endpoint_matches_wt_marginals(server):
     """/score == the variant CLI's wt-marginals math (reference
     predict.py:107-115): logp[mt] - logp[wt] at the mutated position from one
