@@ -47,12 +47,24 @@ def create_parser():
     return parser
 
 
+def wt_marginal_score(token_probs, idx, wt_enc, mt_enc, prepend_bos=1):
+    """score = logp[mt] - logp[wt] at 0-based residue ``idx`` of one
+    sequence's (T, V) log-probs (reference predict.py:107-115). The single
+    source of this arithmetic — the esm-serve /score endpoint uses it too."""
+    return float(
+        token_probs[prepend_bos + idx, mt_enc]
+        - token_probs[prepend_bos + idx, wt_enc]
+    )
+
+
 def label_row(row, sequence, token_probs, alphabet, offset_idx):
     """(reference predict.py:107-115)"""
     wt, idx, mt = row[0], int(row[1:-1]) - offset_idx, row[-1]
     assert sequence[idx] == wt, "The listed wildtype does not match the provided sequence"
-    wt_enc, mt_enc = alphabet.get_idx(wt), alphabet.get_idx(mt)
-    return float(token_probs[0, 1 + idx, mt_enc] - token_probs[0, 1 + idx, wt_enc])
+    return wt_marginal_score(
+        token_probs[0], idx, alphabet.get_idx(wt), alphabet.get_idx(mt),
+        prepend_bos=1,
+    )
 
 
 def masked_marginals(model, alphabet, tokens, mask_batch: int = 64):

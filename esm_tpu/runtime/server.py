@@ -81,7 +81,9 @@ class _Request:
             return ("fold", self.num_recycles)
         if self.kind == "score":
             return ("score",)
-        return ("embed", self.repr_layers, self.include, self.fmt)
+        # fmt is host-side serialization only — compute-identical requests
+        # must share a device batch regardless of json/npz
+        return ("embed", self.repr_layers, self.include)
 
 
 class InferenceServer:
@@ -175,8 +177,19 @@ class InferenceServer:
         self._httpd.shutdown()
         self._httpd.server_close()
         self._batch_thread.join(timeout=30)
-        # let the finalizer drain already-dispatched batches, then exit
-        self._pending.put(None)
+        # let the finalizer drain already-dispatched batches, then exit; if
+        # it is wedged (hung device readback) don't block shutdown — abandon
+        # it and fail whatever it will never process
+        try:
+            self._pending.put(None, timeout=5)
+        except queue.Full:
+            while True:
+                try:
+                    item = self._pending.get_nowait()
+                except queue.Empty:
+                    break
+                if item is not None:
+                    self._fail(item[0], RuntimeError("server shutting down"))
         self._finalize_thread.join(timeout=60)
         # fail anything still queued so no handler thread waits forever
         while True:
@@ -357,25 +370,25 @@ class InferenceServer:
             )
             toks, real_b = _pad_batch_rows(np.asarray(toks), target)
             out = self.model(toks)
-            chunks.append(out["logits"][:real_b])
-            with self._lock:
-                self._stats["batches"] += 1
-                self._stats["batched_sequences"] += len(chunk)
+            chunks.append((out["logits"][:real_b], len(chunk)))
 
         prepend = int(self.alphabet.prepend_bos)
         get_idx = self.alphabet.get_idx
 
         def finalize():
+            from ..cli.predict_variants import wt_marginal_score
+
             # T may differ across chunks; score rows are read per chunk
-            arrays = [np.asarray(c) for c in chunks]
+            arrays = [np.asarray(c) for c, _ in chunks]
             for i, r in enumerate(reqs):
                 logits = arrays[i // self.max_batch_seqs][i % self.max_batch_seqs]
                 # stable log-softmax over the vocab axis, host-side
                 m = logits.max(-1, keepdims=True)
                 logp = logits - m - np.log(np.exp(logits - m).sum(-1, keepdims=True))
                 scores = {
-                    raw: round(float(logp[prepend + idx, get_idx(mt)]
-                                     - logp[prepend + idx, get_idx(wt)]), 6)
+                    raw: round(wt_marginal_score(
+                        logp, idx, get_idx(wt), get_idx(mt), prepend_bos=prepend
+                    ), 6)
                     for raw, wt, idx, mt in r.mutations
                 }
                 self._finish(r, [{
@@ -384,6 +397,12 @@ class InferenceServer:
                     "strategy": "wt-marginals",
                     "scores": scores,
                 }])
+            # stats count in finalize (like embed/fold) so failed device
+            # work never reports as processed
+            with self._lock:
+                for _, n in chunks:
+                    self._stats["batches"] += 1
+                    self._stats["batched_sequences"] += n
 
         return finalize
 
@@ -400,8 +419,7 @@ class InferenceServer:
         )
         finalizers = [
             self._dispatch_embed_chunk(
-                pairs[s : s + self.max_batch_seqs], layers, include,
-                as_arrays=reqs[0].fmt == "npz",
+                pairs[s : s + self.max_batch_seqs], layers, include
             )
             for s in range(0, len(pairs), self.max_batch_seqs)
         ]
@@ -414,10 +432,12 @@ class InferenceServer:
 
         return finalize
 
-    def _dispatch_embed_chunk(self, pairs, layers, include, *, as_arrays=False):
+    def _dispatch_embed_chunk(self, pairs, layers, include):
         import numpy as np
 
-        tolist = (lambda a: a) if as_arrays else (lambda a: a.tolist())
+        # items hold numpy arrays; serialization (json tolist / npz bytes)
+        # happens per-request at response time, so json and npz requests
+        # share device batches
 
         # the converter pads T to 128-multiples; the batch dim pads to the
         # next power of two ("pow2") or straight to max_batch_seqs for any
@@ -468,17 +488,17 @@ class InferenceServer:
                 }
                 if means:
                     item["mean_representations"] = {
-                        str(k): tolist(means[k][i]) for k in layers
+                        str(k): means[k][i] for k in layers
                     }
                 if per_tok:
                     item["representations"] = {
-                        str(k): tolist(per_tok[k][i, prepend : prepend + L])
+                        str(k): per_tok[k][i, prepend : prepend + L]
                         for k in layers
                     }
                 if logits is not None:
-                    item["logits"] = tolist(logits[i, prepend : prepend + L])
+                    item["logits"] = logits[i, prepend : prepend + L]
                 if contacts is not None:
-                    item["contacts"] = tolist(contacts[i, :L, :L])
+                    item["contacts"] = contacts[i, :L, :L]
                 items.append(item)
             with self._lock:
                 self._stats["batches"] += 1
@@ -694,9 +714,37 @@ class InferenceServer:
                     self.end_headers()
                     self.wfile.write(body)
                 else:
-                    self._send(200, {"results": req.result})
+                    self._send(200, {"results": _jsonify(req.result)})
 
         return Handler
+
+
+def _np_safe(a):
+    """Cast non-native dtypes (bfloat16 etc.) to float32 — np.savez writes
+    them as void bytes ('|V2') that clients cannot read, and .tolist() on
+    them yields non-JSON-serializable scalars."""
+    import numpy as np
+
+    a = np.asarray(a)
+    if a.dtype.kind not in "fiub" or a.dtype.name == "bfloat16":
+        a = a.astype(np.float32)
+    return a
+
+
+def _jsonify(obj):
+    """Convert numpy arrays/scalars inside a response tree to JSON-able
+    Python values (done per request at response time, not in the batcher)."""
+    import numpy as np
+
+    if isinstance(obj, dict):
+        return {k: _jsonify(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_jsonify(v) for v in obj]
+    if isinstance(obj, np.ndarray):
+        return _np_safe(obj).tolist()
+    if isinstance(obj, np.generic):
+        return obj.item()
+    return obj
 
 
 def _results_to_npz(results: List[Dict[str, Any]]) -> bytes:
@@ -717,10 +765,10 @@ def _results_to_npz(results: List[Dict[str, Any]]) -> bytes:
     for i, r in enumerate(results):
         for field_ in ("logits", "contacts"):
             if field_ in r:
-                arrays[f"{i}/{field_}"] = np.asarray(r[field_])
+                arrays[f"{i}/{field_}"] = _np_safe(r[field_])
         for name, key in (("mean_representations", "mean"), ("representations", "per_tok")):
             for layer, v in r.get(name, {}).items():
-                arrays[f"{i}/{key}/{layer}"] = np.asarray(v)
+                arrays[f"{i}/{key}/{layer}"] = _np_safe(v)
     buf = _io.BytesIO()
     np.savez(buf, **arrays)
     return buf.getvalue()

@@ -149,10 +149,16 @@ def run(args):
         trainable["lm"] = lm_params
     opt_state = tx.init(trainable)
 
+    # frozen LM passed as an explicit (non-donated) argument — closing over it
+    # would bake a SECOND full copy of the params into the executable as a
+    # constant; with --train-lm the frozen tree is unused, so pass an empty
+    # placeholder rather than aliasing the donated trainable["lm"] buffers
+    frozen_lm = {} if args.train_lm else lm_params
+
     @partial(jax.jit, donate_argnums=(0, 1))
-    def step(trainable, opt_state, tokens, labels):
+    def step(trainable, opt_state, frozen_lm, tokens, labels):
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable, lm_params, tokens, labels
+            trainable, frozen_lm, tokens, labels
         )
         updates, opt_state = tx.update(grads, opt_state, trainable)
         return optax.apply_updates(trainable, updates), opt_state, loss, acc
@@ -161,7 +167,9 @@ def run(args):
     for i in range(args.steps):
         idx = rng.integers(0, len(items), args.batch_size)
         tokens, labels = make_batch([items[j] for j in idx])
-        trainable, opt_state, loss, acc = step(trainable, opt_state, tokens, labels)
+        trainable, opt_state, loss, acc = step(
+            trainable, opt_state, frozen_lm, tokens, labels
+        )
         if (i + 1) % args.log_every == 0 or i + 1 == args.steps:
             print(f"step {i + 1:5d}  loss {float(loss):.4f}  Q{n_cls}-acc {float(acc):.3f}")
     return trainable, classes, float(acc)

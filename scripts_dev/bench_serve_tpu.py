@@ -23,9 +23,14 @@ from esm_tpu.runtime.server import InferenceServer
 
 def main():
     argv = sys.argv[1:]
+    flag_vals = {}
     for flag in ("--wait", "--open-loop"):
         if flag in argv:
-            i = argv.index(flag); argv = argv[:i] + argv[i+2:]
+            i = argv.index(flag)
+            if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+                sys.exit(f"usage: {flag} <number>")
+            flag_vals[flag] = float(argv[i + 1])  # validate BEFORE chip time
+            argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if not a.startswith("--")]
     n_req = int(args[0]) if len(args) > 0 else 64
     n_cli = int(args[1]) if len(args) > 1 else 8
@@ -40,9 +45,7 @@ def main():
     jax.block_until_ready(params)
     model = LMHandle("esm2", cfg, params, alphabet)
     bucket = "max" if "--pow2" not in sys.argv else "pow2"
-    wait_ms = 20.0
-    if "--wait" in sys.argv:
-        wait_ms = float(sys.argv[sys.argv.index("--wait") + 1])
+    wait_ms = flag_vals.get("--wait", 20.0)
     srv = InferenceServer(model, max_batch_seqs=16, max_wait_ms=wait_ms, batch_bucket=bucket).start()
     print(f"init {time.perf_counter()-t0:.1f}s  url {srv.url}  bucket={bucket}")
 
@@ -112,8 +115,8 @@ def main():
               f"p50 {stats['latency_p50_ms']:.0f} ms  p95 {stats['latency_p95_ms']:.0f} ms")
 
     load_pass("pass1 (cold traces)")
-    if "--open-loop" in sys.argv:
-        open_loop_pass(float(sys.argv[sys.argv.index("--open-loop") + 1]))
+    if "--open-loop" in flag_vals:
+        open_loop_pass(flag_vals["--open-loop"])
     else:
         load_pass("pass2 (steady)")
     srv.stop()

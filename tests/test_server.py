@@ -205,6 +205,44 @@ def test_npz_format_matches_json(server):
     assert exc_info.value.code == 400
 
 
+def test_npz_and_json_with_bf16_model():
+    """With bf16 compute (the documented TPU serving default) npz arrays must
+    come back as readable float32 — np.savez writes raw bfloat16 as opaque
+    void bytes — and the JSON path must emit plain floats."""
+    import io
+
+    import jax.numpy as jnp
+
+    alphabet = Alphabet.from_architecture("ESM-1b")
+    cfg = esm2.ESM2Config.from_alphabet(
+        alphabet, num_layers=2, embed_dim=32, attention_heads=2,
+        compute_dtype=jnp.bfloat16,
+    )
+    params = esm2.init(jax.random.PRNGKey(0), cfg)
+    model = LMHandle("esm2", cfg, params, alphabet)
+    srv = InferenceServer(model, max_wait_ms=30.0, truncation_seq_length=60).start()
+    try:
+        payload = {
+            "sequences": [SEQS[2]],
+            "include": ["mean", "per_tok"],
+            "format": "npz",
+        }
+        req = urllib.request.Request(
+            srv.url + "/embed", data=json.dumps(payload).encode()
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            npz = np.load(io.BytesIO(resp.read()))
+        assert npz["0/per_tok/2"].dtype == np.float32
+        assert npz["0/mean/2"].dtype == np.float32
+        assert np.isfinite(npz["0/per_tok/2"]).all()
+
+        js = _post(srv, {**payload, "format": "json"})["results"][0]
+        per_tok = np.asarray(js["representations"]["2"], np.float32)
+        np.testing.assert_allclose(per_tok, npz["0/per_tok/2"], atol=1e-6)
+    finally:
+        srv.stop()
+
+
 def test_score_endpoint_matches_wt_marginals(server):
     """/score == the variant CLI's wt-marginals math (reference
     predict.py:107-115): logp[mt] - logp[wt] at the mutated position from one
