@@ -316,33 +316,39 @@ class InferenceServer:
         max_request_seqs — the cap bounds the device batch, not the request).
         Returns the finalize thunk that reads back and distributes."""
         pairs = [(lab, seq) for r in reqs for lab, seq in zip(r.labels, r.seqs)]
+        # fold in length-sorted chunks: every batch pads to its longest member
+        # and the trunk is O(L^2..L^3), so one short chain batched with one
+        # long one would cost the long one's pad twice; results are placed
+        # back in request order below
+        order = sorted(range(len(pairs)), key=lambda i: len(pairs[i][1]))
         chunks = []
-        for s in range(0, len(pairs), self.max_fold_batch_seqs):
-            chunk = pairs[s : s + self.max_fold_batch_seqs]
+        for s in range(0, len(order), self.max_fold_batch_seqs):
+            idxs = order[s : s + self.max_fold_batch_seqs]
+            chunk = [pairs[i] for i in idxs]
             out = self.fold_model.infer(
                 [seq for _, seq in chunk],
                 num_recycles=reqs[0].num_recycles,
                 frugal=True,
             )
-            chunks.append((chunk, out))
+            chunks.append((idxs, chunk, out))
 
         def finalize():
             import numpy as np
 
-            items: List[Dict[str, Any]] = []
-            for chunk, out in chunks:
+            items: List[Optional[Dict[str, Any]]] = [None] * len(pairs)
+            for idxs, chunk, out in chunks:
                 pdbs = self.fold_model.output_to_pdb(out)  # readback
                 mean_plddt = np.asarray(out["mean_plddt"], np.float64)
                 ptm = np.asarray(out["ptm"], np.float64)
-                for i, (lab, seq) in enumerate(chunk):
-                    items.append({
+                for i, (orig, (lab, seq)) in enumerate(zip(idxs, chunk)):
+                    items[orig] = {
                         "label": lab,
                         "length": len(seq) - seq.count(":"),
                         "num_chains": seq.count(":") + 1,
                         "pdb": pdbs[i],
                         "mean_plddt": round(float(mean_plddt[i]), 4),
                         "ptm": round(float(ptm[i]), 4),
-                    })
+                    }
                 with self._lock:
                     self._stats["fold_batches"] += 1
                     self._stats["batched_sequences"] += len(chunk)

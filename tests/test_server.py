@@ -380,6 +380,21 @@ def monkeypatch_module():
     mp.undo()
 
 
+def test_fold_length_sorted_chunks_preserve_order(fold_server):
+    """Mixed-length fold requests are computed in length-sorted chunks (pad
+    efficiency) but returned in request order with the right labels."""
+    srv, handle = fold_server
+    seqs = [("long", "MKTVRQERLKSIVRILERSK"), ("short", "MKTV"),
+            ("mid", "MKTVRQERLK"), ("tiny", "MKT"), ("l2", "KALTARQQEVFDLIRDH")]
+    out = _post(srv, {"sequences": [[l, s] for l, s in seqs], "num_recycles": 0},
+                path="/fold")
+    results = out["results"]
+    assert [r["label"] for r in results] == [l for l, _ in seqs]
+    for r, (_, s) in zip(results, seqs):
+        assert r["length"] == len(s)
+        assert r["pdb"].count(" CA ") == len(s), r["label"]
+
+
 def test_fold_endpoint(fold_server):
     srv, handle = fold_server
     h = _get(srv, "/healthz")
