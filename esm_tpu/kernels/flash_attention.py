@@ -534,6 +534,57 @@ def _flash_core(
     return core
 
 
+def flash_attention_with_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    key_padding_mask: Optional[jax.Array] = None,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    interpret: Optional[bool] = None,
+):
+    """flash_attention that ALSO returns the per-row log-sum-exp (B, H, T)
+    fp32 — the residual that lets partial attention over key shards combine
+    exactly (parallel/ring_attention.py's cross-chip online softmax).
+    Inference-only (no custom backward on this entry point). Rows whose keys
+    are all masked return lse ~ NEG_INF; callers zero them on combine."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    b, h, t, d = q.shape
+    s = k.shape[2]
+    block_q = min(block_q, _round_up(t, 128))
+    block_k = min(block_k, _round_up(s, 128))
+    tp = _round_up(t, block_q)
+    sp = _round_up(s, block_k)
+
+    qf = q.reshape(b * h, t, d)
+    kf = k.reshape(b * h, s, d)
+    vf = v.reshape(b * h, s, d)
+    if key_padding_mask is not None:
+        bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
+    else:
+        bias = jnp.zeros((b, s), jnp.float32)
+    bias = bias[:, None, :]
+    if tp != t:
+        qf = jnp.pad(qf, ((0, 0), (0, tp - t), (0, 0)))
+    if sp != s:
+        kf = jnp.pad(kf, ((0, 0), (0, sp - s), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, sp - s), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, sp - s)), constant_values=NEG_INF)
+
+    out, lse = _flash_padded(
+        qf, kf, vf, bias, None, None,
+        num_heads=h, block_q=block_q, block_k=block_k,
+        interpret=interpret, use_rotary=False, with_lse=True,
+    )
+    return (
+        out[:, :t].reshape(b, h, t, d),
+        lse[:, 0, :t].reshape(b, h, t),
+    )
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,

@@ -108,8 +108,12 @@ def multihead_attention(
         from ..parallel.ring_attention import ring_attention
 
         mesh, axis_name = ring
+        # use_flash here selects the Pallas flash kernel INSIDE each ring
+        # step (inference only — training configs must keep use_flash=False
+        # on the ring path; training.train_step_seq guards this)
         out = ring_attention(
-            q, k, v, mesh, axis_name=axis_name, key_padding_mask=key_padding_mask
+            q, k, v, mesh, axis_name=axis_name,
+            key_padding_mask=key_padding_mask, use_flash=use_flash,
         )
         out = _merge_heads(out)
         out = linear(params["out_proj"], out)

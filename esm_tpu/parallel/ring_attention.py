@@ -46,6 +46,48 @@ def _local_attend(q, k, v, bias):
     return acc, m, l
 
 
+def _ring_flash_body(q, k, v, bias, axis_name: str):
+    """Flash-kernel ring body: each step runs the Pallas flash kernel on the
+    resident KV block and combines the normalized partials exactly via their
+    log-sum-exp: out = Σ_i out_i · exp(lse_i − lse*) / Σ_i exp(lse_i − lse*).
+    Inference path (the kernel's lse entry point has no custom backward)."""
+    from ..kernels.flash_attention import flash_attention_with_lse
+
+    n = jax.lax.psum(1, axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def step(carry, step_idx):
+        k_blk, v_blk, b_blk, out, lse = carry
+        blk_out, blk_lse = flash_attention_with_lse(
+            q, k_blk, v_blk, key_padding_mask=b_blk < 0.5 * NEG_INF
+        )
+        new_lse = jnp.logaddexp(lse, blk_lse)
+        w_old = jnp.exp(lse - new_lse)
+        w_new = jnp.exp(blk_lse - new_lse)
+        out = out * w_old[..., None] + blk_out.astype(jnp.float32) * w_new[..., None]
+
+        def rotate(blks):
+            return tuple(jax.lax.ppermute(x, axis_name, perm) for x in blks)
+
+        k_blk, v_blk, b_blk = jax.lax.cond(
+            step_idx < n - 1, rotate, lambda blks: blks, (k_blk, v_blk, b_blk)
+        )
+        return (k_blk, v_blk, b_blk, out, new_lse), None
+
+    b_, h_, tq, d = q.shape
+    lse0 = jnp.full((b_, h_, tq), NEG_INF, jnp.float32)
+    out0 = jnp.zeros((b_, h_, tq, d), jnp.float32)
+    # (this body runs under check_vma=False — pallas_call outputs carry no
+    # varying-axis typing — so no pcast is needed on the carries)
+    (k, v, bias, out, lse), _ = jax.lax.scan(
+        step, (k, v, bias, out0, lse0), jnp.arange(n)
+    )
+    # fully-padded rows: every block's lse is ~NEG_INF, so the combine passed
+    # kernel garbage through with weight 1 — zero them explicitly
+    out = jnp.where((lse <= 0.5 * NEG_INF)[..., None], 0.0, out)
+    return out.astype(q.dtype)
+
+
 def _ring_body(q, k, v, bias, axis_name: str):
     """shard_map body: q/k/v (B, H, T/N, d) local shards; bias (B, T/N)."""
     n = jax.lax.psum(1, axis_name)
@@ -93,9 +135,13 @@ def ring_attention(
     *,
     axis_name: str = "tp",
     key_padding_mask: Optional[jax.Array] = None,
+    use_flash: bool = False,
 ) -> jax.Array:
     """Sequence-sharded attention. q/k/v: (B, H, T, d) with T divisible by the
-    ring size; key_padding_mask: (B, T) bool True=pad. q must be pre-scaled."""
+    ring size; key_padding_mask: (B, T) bool True=pad. q must be pre-scaled.
+    ``use_flash`` runs each ring step's block attention through the Pallas
+    flash kernel (O(block) memory, MXU-pipelined) and combines partials via
+    log-sum-exp — inference only (no backward on the lse kernel entry)."""
     b, h, t, d = q.shape
     if key_padding_mask is not None:
         bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
@@ -105,10 +151,13 @@ def ring_attention(
     seq_spec = PS(None, None, axis_name, None)
     bias_spec = PS(None, axis_name)
 
+    body = _ring_flash_body if use_flash else _ring_body
     fn = jax.shard_map(
-        functools.partial(_ring_body, axis_name=axis_name),
+        functools.partial(body, axis_name=axis_name),
         mesh=mesh,
         in_specs=(seq_spec, seq_spec, seq_spec, bias_spec),
         out_specs=seq_spec,
+        # pallas_call outputs carry no varying-axis (vma) typing
+        check_vma=not use_flash,
     )
     return fn(q, k, v, bias)

@@ -168,6 +168,13 @@ def test_ring_attention_matches_exact():
     )
     np.testing.assert_allclose(np.asarray(out[1]), np.asarray(exact[1]), atol=2e-5)
 
+    # flash-kernel ring body: per-block Pallas flash + lse combine
+    out_f = ring_attention(q, k, v, mesh, key_padding_mask=mask, use_flash=True)
+    np.testing.assert_allclose(
+        np.asarray(out_f[0, :, :50]), np.asarray(exact[0, :, :50]), atol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(out_f[1]), np.asarray(exact[1]), atol=2e-5)
+
 
 def test_ring_attention_fully_masked_row_returns_zeros():
     """A batch row whose keys are ALL padded (ragged-batch filler) must come
@@ -185,10 +192,13 @@ def test_ring_attention_fully_masked_row_returns_zeros():
     mask = np.zeros((b, t), bool)
     mask[1, :] = True  # entire row padded
     mesh = make_mesh(MeshConfig(data=1, fsdp=1, tp=8))
-    out = ring_attention(q, k, v, mesh, key_padding_mask=jnp.asarray(mask))
-    assert np.isfinite(np.asarray(out)).all()
-    np.testing.assert_array_equal(np.asarray(out[1]), 0.0)
-    assert np.abs(np.asarray(out[0])).max() > 0  # valid row unaffected
+    for use_flash in (False, True):
+        out = ring_attention(
+            q, k, v, mesh, key_padding_mask=jnp.asarray(mask), use_flash=use_flash
+        )
+        assert np.isfinite(np.asarray(out)).all(), use_flash
+        np.testing.assert_array_equal(np.asarray(out[1]), 0.0)
+        assert np.abs(np.asarray(out[0])).max() > 0  # valid row unaffected
 
 
 def test_seq_sharded_forward_matches_single_device():
@@ -211,6 +221,15 @@ def test_seq_sharded_forward_matches_single_device():
             np.asarray(ref["representations"][k]),
             atol=2e-5,
         )
+
+    # flash kernel inside each ring step (inference path) — same numerics
+    import dataclasses
+
+    cfg_f = dataclasses.replace(cfg, use_flash=True)
+    out_f = esm2.apply_seq_sharded(params, cfg_f, toks, mesh=mesh, seq_axis="tp")
+    np.testing.assert_allclose(
+        np.asarray(out_f["logits"]), np.asarray(ref["logits"]), atol=2e-5, rtol=1e-5
+    )
 
     # T×T outputs are structurally unavailable on this path
     import pytest
