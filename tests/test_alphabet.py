@@ -115,3 +115,40 @@ def test_encode_fast_path_matches_slow():
             assert a.encode(s) == slow(s), (arch, s)
         with pytest.raises(KeyError):
             a.encode("LAJGV")  # unknown residue: reference-faithful KeyError
+
+
+def test_tokenizer_fuzz_vs_reference():
+    """Randomized differential test: for every architecture, random residue
+    strings (with interleaved special tokens and spaces for the HF-style
+    tokenizer) must encode identically to the reference esm.data.Alphabet."""
+    import random
+
+    import numpy as np
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from esm.data import Alphabet as RefAlphabet
+
+    from esm_tpu.data import Alphabet
+
+    rng = random.Random(0)
+    residues = "LAGVSERTIDPKQNFYMHWCXBUZO"
+    for arch in ("ESM-1", "ESM-1b", "msa_transformer", "invariant_gvp"):
+        ours, ref = Alphabet.from_architecture(arch), RefAlphabet.from_architecture(arch)
+        assert ours.tok_to_idx == ref.tok_to_idx, arch
+        for _ in range(50):
+            n = rng.randint(1, 40)
+            parts = []
+            for _ in range(n):
+                r = rng.random()
+                if r < 0.08:
+                    parts.append("<mask>")
+                elif r < 0.12:
+                    parts.append("<unk>")
+                else:
+                    parts.append(rng.choice(residues))
+            s = "".join(parts)
+            assert ours.tokenize(s) == ref.tokenize(s), (arch, s)
+            np.testing.assert_array_equal(
+                np.asarray(ours.encode(s)), np.asarray(ref.encode(s)), err_msg=f"{arch} {s}"
+            )
