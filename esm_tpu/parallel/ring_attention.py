@@ -113,6 +113,11 @@ def _ring_body(q, k, v, bias, axis_name: str):
         )
         return (k_blk, v_blk, b_blk, m, l, acc), None
 
+    # recompute each block's attention in the backward pass instead of saving
+    # the (B, H, Tq/N, Tk/N) probabilities of every ring step — training at
+    # sequence-sharded lengths keeps activations O(T/N · d), flash-style
+    step = jax.checkpoint(step)
+
     b_, h_, tq, d = q.shape
     m0 = jnp.full((b_, h_, tq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((b_, h_, tq, 1), jnp.float32)
