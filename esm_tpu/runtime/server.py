@@ -35,6 +35,10 @@ scripts/extract.py:104-131 in the reference):
   POST /score   {"sequence": "...", "mutations": ["P76A", ...], "offset_idx": 0}
                 -> {"results": [{"label", "scores": {"P76A": logp_mt - logp_wt}}]}
                 (zero-shot variant effect, wt-marginals — one forward per batch)
+  POST /profile {"seconds": 3, "dir": "/tmp/esm_serve_trace"}
+                -> captures a jax.profiler trace of whatever the batcher runs
+                   during the window (view with xprof/tensorboard); 409 if a
+                   capture is already running
 
 Folds share the batcher thread (the chip is single-tenant) but batch
 separately, capped at ``max_fold_batch_seqs`` — pair tensors are O(L^2..L^3).
@@ -48,7 +52,7 @@ import threading
 import time
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 _INCLUDE = ("mean", "per_tok", "logits", "contacts")
 
@@ -143,6 +147,7 @@ class InferenceServer:
             "batched_sequences": 0, "errors": 0,
         }
         self._latencies: List[float] = []
+        self._profiling = threading.Lock()  # one jax.profiler capture at a time
         self._started = time.time()
         self._httpd = _HTTPServer((host, port), self._make_handler())
         self._http_thread = threading.Thread(
@@ -684,6 +689,35 @@ class InferenceServer:
                     self._send(404, {"error": f"unknown path {self.path}"})
 
             def do_POST(self):
+                if self.path == "/profile":
+                    try:
+                        length = int(self.headers.get("Content-Length", 0))
+                        payload = json.loads(self.rfile.read(length) or b"{}")
+                        seconds = float(payload.get("seconds", 3.0))
+                        if not 0 < seconds <= 120:
+                            raise ValueError("seconds must be in (0, 120]")
+                        trace_dir = str(
+                            payload.get("dir", f"/tmp/esm_serve_trace_{int(time.time())}")
+                        )
+                    except (ValueError, json.JSONDecodeError) as e:
+                        self._send(400, {"error": str(e)})
+                        return
+                    if not server._profiling.acquire(blocking=False):
+                        self._send(409, {"error": "a profile capture is already running"})
+                        return
+                    try:
+                        import jax
+
+                        jax.profiler.start_trace(trace_dir)
+                        time.sleep(seconds)
+                        jax.profiler.stop_trace()
+                    except Exception as e:  # noqa: BLE001
+                        self._send(500, {"error": f"{type(e).__name__}: {e}"})
+                        return
+                    finally:
+                        server._profiling.release()
+                    self._send(200, {"trace_dir": trace_dir, "seconds": seconds})
+                    return
                 routes = {
                     "/embed": server._submit,
                     "/fold": server._submit_fold,

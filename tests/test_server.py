@@ -205,6 +205,26 @@ def test_npz_format_matches_json(server):
     assert exc_info.value.code == 400
 
 
+def test_profile_endpoint(server, tmp_path):
+    """/profile captures a jax.profiler trace of concurrent batcher work."""
+    srv, _ = server
+    trace_dir = str(tmp_path / "trace")
+    worker = threading.Thread(
+        target=lambda: _post(srv, {"sequences": [SEQS[0]], "include": ["mean"]})
+    )
+    worker.start()
+    out = _post(srv, {"seconds": 0.5, "dir": trace_dir}, path="/profile")
+    worker.join()
+    assert out["trace_dir"] == trace_dir
+    import pathlib as _pl
+
+    assert any(_pl.Path(trace_dir).rglob("*")), "empty trace dir"
+
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(srv, {"seconds": 0}, path="/profile")
+    assert exc_info.value.code == 400
+
+
 def test_npz_and_json_with_bf16_model():
     """With bf16 compute (the documented TPU serving default) npz arrays must
     come back as readable float32 — np.savez writes raw bfloat16 as opaque
