@@ -23,7 +23,7 @@ def _code(nb_path):
 
 
 def test_notebooks_exist():
-    assert len(NOTEBOOKS) == 9, [p.name for p in NOTEBOOKS]
+    assert len(NOTEBOOKS) == 10, [p.name for p in NOTEBOOKS]
 
 
 @pytest.mark.parametrize("nb_path", NOTEBOOKS, ids=lambda p: p.stem)
