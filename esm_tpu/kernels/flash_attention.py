@@ -585,6 +585,71 @@ def flash_attention_with_lse(
     )
 
 
+def flash_attention_block_bwd(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    out: jax.Array,
+    lse: jax.Array,
+    do: jax.Array,
+    *,
+    key_padding_mask: Optional[jax.Array] = None,
+    block_q: int = 1024,
+    block_k: int = 1024,
+    interpret: Optional[bool] = None,
+):
+    """Exact (dq, dk, dv) of attention against a KEY BLOCK (k/v may hold only
+    a slice of the keys) given the GLOBAL normalized ``out`` and per-row
+    ``lse`` from :func:`flash_attention_with_lse`: P_ij = exp(q_i·k_j − lse_i)
+    makes per-block backwards exact partials that sum over blocks — the
+    ring-attention backward primitive (each chip computes its q's
+    contribution to the visiting block's dk/dv, plus its own partial dq).
+    q/out/do: (B, H, Tq, d); k/v: (B, H, S, d); lse: (B, H, Tq) fp32."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    b, h, t, d = q.shape
+    s = k.shape[2]
+    block_q = min(block_q, _round_up(t, 128))
+    block_k = min(block_k, _round_up(s, 128))
+    tp = _round_up(t, block_q)
+    sp = _round_up(s, block_k)
+
+    qf = q.reshape(b * h, t, d)
+    kf = k.reshape(b * h, s, d)
+    vf = v.reshape(b * h, s, d)
+    outf = out.reshape(b * h, t, d)
+    dof = do.reshape(b * h, t, d)
+    lsef = lse.reshape(b * h, t)
+    if key_padding_mask is not None:
+        bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
+    else:
+        bias = jnp.zeros((b, s), jnp.float32)
+    bias = bias[:, None, :]
+    if tp != t:
+        pad_rows = ((0, 0), (0, tp - t), (0, 0))
+        qf = jnp.pad(qf, pad_rows)
+        outf = jnp.pad(outf, pad_rows)
+        dof = jnp.pad(dof, pad_rows)  # zero do rows: padded-q grads vanish
+        lsef = jnp.pad(lsef, ((0, 0), (0, tp - t)))
+    if sp != s:
+        kf = jnp.pad(kf, ((0, 0), (0, sp - s), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, sp - s), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, sp - s)), constant_values=NEG_INF)
+
+    lse8 = jnp.broadcast_to(lsef[:, None, :], (b * h, 8, tp))
+    dq, dk, dv = _flash_bwd_padded(
+        qf, kf, vf, bias, None, None, outf, lse8, dof,
+        num_heads=h, block_q=block_q, block_k=block_k,
+        interpret=interpret, use_rotary=False,
+    )
+    return (
+        dq[:, :t].reshape(b, h, t, d),
+        dk[:, :s].reshape(b, h, s, d),
+        dv[:, :s].reshape(b, h, s, d),
+    )
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,

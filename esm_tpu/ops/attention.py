@@ -108,9 +108,9 @@ def multihead_attention(
         from ..parallel.ring_attention import ring_attention
 
         mesh, axis_name = ring
-        # use_flash here selects the Pallas flash kernel INSIDE each ring
-        # step (inference only — training configs must keep use_flash=False
-        # on the ring path; training.train_step_seq guards this)
+        # use_flash selects the Pallas flash kernel INSIDE each ring step
+        # (differentiable: the ring body's custom_vjp runs the flash backward
+        # kernels per block in a second ring)
         out = ring_attention(
             q, k, v, mesh, axis_name=axis_name,
             key_padding_mask=key_padding_mask, use_flash=use_flash,

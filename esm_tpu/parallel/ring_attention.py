@@ -46,11 +46,11 @@ def _local_attend(q, k, v, bias):
     return acc, m, l
 
 
-def _ring_flash_body(q, k, v, bias, axis_name: str):
-    """Flash-kernel ring body: each step runs the Pallas flash kernel on the
+def _ring_flash_scan(q, k, v, bias, axis_name: str):
+    """Forward flash ring: each step runs the Pallas flash kernel on the
     resident KV block and combines the normalized partials exactly via their
     log-sum-exp: out = Σ_i out_i · exp(lse_i − lse*) / Σ_i exp(lse_i − lse*).
-    Inference path (the kernel's lse entry point has no custom backward)."""
+    Returns (out in q's dtype, global lse)."""
     from ..kernels.flash_attention import flash_attention_with_lse
 
     n = jax.lax.psum(1, axis_name)
@@ -85,7 +85,67 @@ def _ring_flash_body(q, k, v, bias, axis_name: str):
     # fully-padded rows: every block's lse is ~NEG_INF, so the combine passed
     # kernel garbage through with weight 1 — zero them explicitly
     out = jnp.where((lse <= 0.5 * NEG_INF)[..., None], 0.0, out)
-    return out.astype(q.dtype)
+    return out.astype(q.dtype), lse
+
+
+def _ring_flash_bwd_scan(q, k, v, bias, out, lse, do, axis_name: str):
+    """Backward flash ring: P_ij = exp(q_i·k_j − lse_i) with the GLOBAL lse
+    makes each chip's per-block (dq, dk, dv) exact partials. dq accumulates
+    locally; each KV block's dk/dv travel WITH the block around the ring
+    (n rotations → home chip) while every chip adds its q's contribution."""
+    from ..kernels.flash_attention import flash_attention_block_bwd
+
+    n = jax.lax.psum(1, axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def step(carry, _):
+        k_blk, v_blk, b_blk, dk_blk, dv_blk, dq = carry
+        dq_p, dk_p, dv_p = flash_attention_block_bwd(
+            q, k_blk, v_blk, out, lse, do,
+            key_padding_mask=b_blk < 0.5 * NEG_INF,
+        )
+        dq = dq + dq_p.astype(jnp.float32)
+        dk_blk = dk_blk + dk_p.astype(jnp.float32)
+        dv_blk = dv_blk + dv_p.astype(jnp.float32)
+        # rotate the block AND its accumulated grads every step: after n
+        # rotations each (k, dk, dv) is back on its home chip
+        k_blk, v_blk, b_blk, dk_blk, dv_blk = (
+            jax.lax.ppermute(x, axis_name, perm)
+            for x in (k_blk, v_blk, b_blk, dk_blk, dv_blk)
+        )
+        return (k_blk, v_blk, b_blk, dk_blk, dv_blk, dq), None
+
+    (k_h, v_h, _, dk, dv, dq), _ = jax.lax.scan(
+        step,
+        (k, v, bias, jnp.zeros(k.shape, jnp.float32),
+         jnp.zeros(v.shape, jnp.float32), jnp.zeros(q.shape, jnp.float32)),
+        None,
+        length=n,
+    )
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _ring_flash_body(q, k, v, bias, axis_name: str):
+    """Differentiable flash ring (custom_vjp): forward = flash kernel per
+    ring step with exact lse combination; backward = a second ring where the
+    flash backward kernels run per block against the saved (out, lse)."""
+
+    @jax.custom_vjp
+    def core(q, k, v, bias):
+        out, _ = _ring_flash_scan(q, k, v, bias, axis_name)
+        return out
+
+    def fwd(q, k, v, bias):
+        out, lse = _ring_flash_scan(q, k, v, bias, axis_name)
+        return out, (q, k, v, bias, out, lse)
+
+    def bwd(res, do):
+        q, k, v, bias, out, lse = res
+        dq, dk, dv = _ring_flash_bwd_scan(q, k, v, bias, out, lse, do, axis_name)
+        return dq, dk, dv, jnp.zeros_like(bias)
+
+    core.defvjp(fwd, bwd)
+    return core(q, k, v, bias)
 
 
 def _ring_body(q, k, v, bias, axis_name: str):

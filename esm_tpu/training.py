@@ -269,12 +269,6 @@ def train_step_seq(
     per-chip activation memory is O(T/N) — the training path for context
     lengths one chip cannot hold (650M L=8192 OOMs single-chip, BENCH_NOTES).
     Same objective and grads as ``train_step`` (tests/test_sharding.py)."""
-    if cfg.use_flash:
-        raise ValueError(
-            "train_step_seq needs use_flash=False: the ring path's flash "
-            "kernel entry (flash_attention_with_lse) has no backward yet — "
-            "the exact ring body is fully differentiable"
-        )
     apply_fn = partial(esm2.apply, ring=(mesh, seq_axis))
     return _mlm_step(state, cfg, tx, rng, tokens, apply_fn)
 

@@ -201,6 +201,70 @@ def test_ring_attention_fully_masked_row_returns_zeros():
         assert np.abs(np.asarray(out[0])).max() > 0  # valid row unaffected
 
 
+def test_ring_flash_grads_match_exact():
+    """Gradients through the flash ring (custom_vjp: backward kernels run per
+    block in a second ring) == gradients through dense attention."""
+    from esm_tpu.ops.common import softmax_fp32
+    from esm_tpu.parallel.ring_attention import ring_attention
+
+    key = jax.random.PRNGKey(13)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, h, t, d = 2, 2, 64, 16
+    q = jax.random.normal(kq, (b, h, t, d)) * 0.3
+    k = jax.random.normal(kk, (b, h, t, d))
+    v = jax.random.normal(kv, (b, h, t, d))
+    mask = np.zeros((b, t), bool)
+    mask[0, 50:] = True
+    mask = jnp.asarray(mask)
+    w = jax.random.normal(jax.random.PRNGKey(14), (b, h, t, d))
+
+    def dense_loss(q, k, v):
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        logits = jnp.where(mask[:, None, None, :], -jnp.inf, logits)
+        out = jnp.einsum("bhqk,bhkd->bhqd", softmax_fp32(logits), v)
+        # exclude padded-query rows (dense gives NaN-free garbage there too)
+        keep = (~mask)[:, None, :, None]
+        return jnp.sum(out * w * keep)
+
+    mesh = make_mesh(MeshConfig(data=1, fsdp=1, tp=8))
+
+    def ring_loss(q, k, v):
+        out = ring_attention(q, k, v, mesh, key_padding_mask=mask, use_flash=True)
+        keep = (~mask)[:, None, :, None]
+        return jnp.sum(out * w * keep)
+
+    g_ref = jax.grad(dense_loss, argnums=(0, 1, 2))(q, k, v)
+    g_ring = jax.grad(ring_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ring, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5)
+
+
+def test_train_step_seq_flash_matches_exact():
+    """Full sequence-parallel MLM step with the flash ring == the plain
+    single-device step (loss and updated params)."""
+    import dataclasses
+
+    from esm_tpu import training
+
+    cfg, params, toks = _setup()
+    cfg_f = dataclasses.replace(cfg, use_flash=True)
+    tx = training.make_optimizer(1e-3, warmup_steps=0, total_steps=10)
+    rng = jax.random.PRNGKey(5)
+    copy = lambda tree: jax.tree.map(lambda x: jnp.array(x), tree)
+
+    s_ref = training.init_state(copy(params), tx)
+    s_ref, m_ref = training.train_step(s_ref, cfg, tx, rng, jnp.asarray(toks))
+
+    mesh = make_mesh(MeshConfig(data=1, fsdp=2, tp=4))
+    s_seq = training.init_state(copy(params), tx)
+    s_seq, m_seq = training.train_step_seq(
+        s_seq, cfg_f, tx, rng, jnp.asarray(toks), mesh=mesh, seq_axis="tp"
+    )
+    assert np.isclose(float(m_seq["loss"]), float(m_ref["loss"]), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_seq.params), jax.tree.leaves(s_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_seq_sharded_forward_matches_single_device():
     """esm2.apply_seq_sharded (T sharded over the ring axis, ring attention in
     every layer) == plain single-device apply: logits and representations."""
