@@ -208,6 +208,14 @@ def ring_attention(
     flash kernel (O(block) memory, MXU-pipelined) and combines partials via
     log-sum-exp — inference only (no backward on the lse kernel entry)."""
     b, h, t, d = q.shape
+    ring_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis_name)
+    if ring_size is None:
+        raise ValueError(f"mesh has no axis {axis_name!r}: {mesh.axis_names}")
+    if t % ring_size:
+        raise ValueError(
+            f"ring attention: T={t} must divide the {axis_name!r} axis size "
+            f"{ring_size} (pad the sequence, e.g. pad_to_multiple)"
+        )
     if key_padding_mask is not None:
         bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
     else:
