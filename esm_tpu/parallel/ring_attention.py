@@ -98,6 +98,13 @@ def _ring_flash_bwd_scan(q, k, v, bias, out, lse, do, axis_name: str):
     n = jax.lax.psum(1, axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
 
+    # the forward zeroes fully-masked rows (lse ~ NEG_INF) with a `where`,
+    # whose true gradient blocks their cotangent — mirror that here, or those
+    # rows' upstream do would leak spurious softmax(s)-weighted grads into
+    # q/k/v (p = exp(s + bias - lse) degenerates to softmax(s) when bias and
+    # lse are both ~NEG_INF)
+    do = jnp.where((lse <= 0.5 * NEG_INF)[..., None], 0.0, do)
+
     def step(carry, _):
         k_blk, v_blk, b_blk, dk_blk, dv_blk, dq = carry
         dq_p, dk_p, dv_p = flash_attention_block_bwd(

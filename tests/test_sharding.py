@@ -238,6 +238,26 @@ def test_ring_flash_grads_match_exact():
     for a, b_ in zip(g_ring, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5)
 
+    # a batch row whose keys are ALL masked: the forward zeroes it, so even a
+    # NONZERO upstream cotangent there must produce zero grads (the custom
+    # backward mirrors the forward where's gradient)
+    mask_full = np.zeros((b, t), bool)
+    mask_full[1, :] = True
+    mask_full = jnp.asarray(mask_full)
+
+    def ring_loss_full(q, k, v):
+        out = ring_attention(
+            q, k, v, mesh, key_padding_mask=mask_full, use_flash=True
+        )
+        return jnp.sum(out * w)  # w nonzero everywhere, incl. the dead row
+
+    g = jax.grad(ring_loss_full, argnums=(0, 1, 2))(q, k, v)
+    for a in g:
+        assert np.isfinite(np.asarray(a)).all()
+    np.testing.assert_array_equal(np.asarray(g[0][1]), 0.0)  # dq of dead row
+    np.testing.assert_array_equal(np.asarray(g[1][1]), 0.0)  # dk of dead row
+    np.testing.assert_array_equal(np.asarray(g[2][1]), 0.0)  # dv of dead row
+
 
 def test_train_step_seq_flash_matches_exact():
     """Full sequence-parallel MLM step with the flash ring == the plain
