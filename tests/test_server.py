@@ -205,6 +205,66 @@ def test_npz_format_matches_json(server):
     assert exc_info.value.code == 400
 
 
+def test_mixed_endpoint_soak(server):
+    """Randomized concurrent mix of /embed (json+npz), /score, bad requests,
+    and /stats polls: every well-formed request succeeds, every malformed one
+    fails with 400, and the server stays consistent (no 500s, no hangs)."""
+    import io
+    import random
+
+    srv, _ = server
+    errors = []
+
+    def client(j):
+        rng = random.Random(j)
+        for _ in range(6):
+            kind = rng.random()
+            try:
+                if kind < 0.4:
+                    out = _post(srv, {
+                        "sequences": [SEQS[rng.randrange(3)]],
+                        "include": rng.choice([["mean"], ["mean", "logits"]]),
+                    })
+                    assert out["results"][0]["length"] > 0
+                elif kind < 0.55:
+                    req = urllib.request.Request(
+                        srv.url + "/embed",
+                        data=json.dumps({
+                            "sequences": [SEQS[rng.randrange(3)]],
+                            "include": ["mean"], "format": "npz",
+                        }).encode(),
+                    )
+                    with urllib.request.urlopen(req, timeout=120) as resp:
+                        npz = np.load(io.BytesIO(resp.read()))
+                    assert npz["lengths"][0] > 0
+                elif kind < 0.7:
+                    out = _post(srv, {
+                        "sequence": SEQS[1], "mutations": ["K1A"], "offset_idx": 1,
+                    }, path="/score")
+                    assert "K1A" in out["results"][0]["scores"]
+                elif kind < 0.85:
+                    try:
+                        _post(srv, {"sequences": ["MK1"]})
+                        errors.append("bad request did not 400")
+                    except urllib.error.HTTPError as e:
+                        assert e.code == 400
+                        e.read()
+                else:
+                    _get(srv, "/stats")
+            except Exception as e:  # noqa: BLE001
+                errors.append(f"client {j}: {type(e).__name__}: {e}")
+
+    threads = [threading.Thread(target=client, args=(j,)) for j in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    stats = _get(srv, "/stats")
+    assert stats["errors"] >= 1  # the 400s were counted
+    assert stats["requests"] >= 20
+
+
 def test_profile_endpoint(server, tmp_path):
     """/profile captures a jax.profiler trace of concurrent batcher work."""
     srv, _ = server
