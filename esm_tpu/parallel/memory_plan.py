@@ -71,6 +71,7 @@ def plan_train(
     *,
     accum_steps: int = 1,
     mu_dtype_bytes: int = 4,
+    seq_shards: int = 1,
     hbm_bytes: int = 15_750_000_000,
 ) -> Dict:
     """Estimate per-device HBM for one MLM training step (AdamW, remat +
@@ -95,8 +96,11 @@ def plan_train(
     dp = mesh_cfg.data * mesh_cfg.fsdp
     b_local = -(-micro_b // dp)
     d = cfg.embed_dim
-    acts = cfg.num_layers * (10 * d * seqlen * b_local * 2)
-    logits = b_local * seqlen * getattr(cfg, "alphabet_size", 33) * 4
+    # seq_shards: sequence parallelism (train_step_seq) keeps activations at
+    # T/N per chip — the lever when L itself is what overflows HBM
+    t_local = -(-seqlen // max(seq_shards, 1))
+    acts = cfg.num_layers * (10 * d * t_local * b_local * 2)
+    logits = b_local * t_local * getattr(cfg, "alphabet_size", 33) * 4
     total = per_dev_params + opt + grads + accum_buf + acts + logits
     headroom = hbm_bytes - total
     verdict = (

@@ -425,6 +425,23 @@ def test_serve_cli_starts_from_checkpoint(tmp_path, monkeypatch):
     finally:
         srv.stop()
 
+    # LM + fold model via CLI flags
+    args = serve.create_parser().parse_args(
+        [str(cache / "esm2_t6_8M_UR50D_500K.pt"), "--port", "0",
+         "--fold-model", str(cache / "esmfold_tiny.pt"),
+         "--fold-chunk-size", "32", "--max-fold-batch", "2",
+         "--truncation-seq-length", "60"]
+    )
+    srv = serve.start_server(args)
+    try:
+        h = _get(srv, "/healthz")
+        assert h["endpoints"] == ["/embed", "/score", "/fold"]
+        assert srv.fold_model.cfg.trunk.chunk_size == 32
+        out = _post(srv, {"sequences": ["MKTVRQ"], "num_recycles": 0}, path="/fold")
+        assert out["results"][0]["pdb"].startswith("ATOM")
+    finally:
+        srv.stop()
+
 
 def test_msa_model_rejected():
     alphabet = Alphabet.from_architecture("msa_transformer")

@@ -410,6 +410,13 @@ def test_memory_plan_train_calibration():
     acc = plan_train(cfg, single, 8, 1024, accum_steps=2, mu_dtype_bytes=2)
     assert acc["verdict"] in ("fits", "close")
 
+    # sequence sharding divides the activation term: the L=8192 config that
+    # misses one chip fits when T shards over 4 chips (params replicated here;
+    # combine with fsdp in practice)
+    over = plan_train(cfg, single, 1, 8192, mu_dtype_bytes=2)
+    seq4 = plan_train(cfg, single, 1, 8192, mu_dtype_bytes=2, seq_shards=4)
+    assert seq4["activations_bytes"] < over["activations_bytes"] / 3
+
     cfg15 = esm2.ESM2Config.from_alphabet(
         Alphabet.from_architecture("ESM-1b"), **esm2.ESM2_SIZES["esm2_t48_15B_UR50D"]
     )
