@@ -225,3 +225,35 @@ def test_flash_cross_attention_rotary_t_ne_s(t, s):
     )
     out = flash_attention(q, k, v, rotary=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=2e-5)
+
+
+def test_flash_attention_with_lse_direct():
+    """flash_attention_with_lse: out matches flash_attention, lse matches the
+    dense logsumexp of the masked logits (the ring-combine residual)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from esm_tpu.kernels.flash_attention import (
+        flash_attention,
+        flash_attention_with_lse,
+    )
+
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv = jax.random.split(key, 3)
+    b, h, t, d = 2, 3, 192, 16
+    q = jax.random.normal(kq, (b, h, t, d)) * 0.4
+    k = jax.random.normal(kk, (b, h, t, d))
+    v = jax.random.normal(kv, (b, h, t, d))
+    mask = np.zeros((b, t), bool)
+    mask[0, 150:] = True
+    mask = jnp.asarray(mask)
+
+    out, lse = flash_attention_with_lse(q, k, v, key_padding_mask=mask)
+    ref = flash_attention(q, k, v, key_padding_mask=mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+    logits = jnp.where(mask[:, None, None, :], -1e30, logits)
+    lse_ref = jax.nn.logsumexp(logits, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref), atol=2e-4)
