@@ -46,3 +46,59 @@ def contacts_from_distance_map(dist: np.ndarray, cutoff: float = 8.0) -> np.ndar
     Matches the ESMStructuralSplitDataset ``dist`` field convention."""
     with np.errstate(invalid="ignore"):
         return (np.nan_to_num(dist, nan=np.inf) < cutoff).astype(np.float32)
+
+
+def tm_score(
+    coords_ref: np.ndarray, coords_model: np.ndarray, *, superimpose: bool = True
+) -> float:
+    """TM-score of CA traces (Zhang & Skolnick 2004): (1/L) Σ 1/(1+(d_i/d0)²)
+    with d0 = 1.24·(L−15)^(1/3) − 1.8 (floored at 0.5). The reference reports
+    TM-scores for its structure-prediction rows (README.md:674-688) but ships
+    no implementation. With ``superimpose`` the model is Kabsch-aligned to the
+    reference first — the RMSD-optimal frame, a slightly conservative stand-in
+    for TM-align's TM-optimal search (exact for good models, a lower bound
+    otherwise). coords: (L, 3)."""
+    ref = np.asarray(coords_ref, np.float64)
+    mod = np.asarray(coords_model, np.float64)
+    assert ref.shape == mod.shape and ref.ndim == 2 and ref.shape[1] == 3
+    L = ref.shape[0]
+    if superimpose:
+        from .apps.ppl.geometry import kabsch_superimpose
+
+        mod = kabsch_superimpose(ref, mod)
+    d = np.linalg.norm(ref - mod, axis=-1)
+    d0 = max(1.24 * max(L - 15, 1) ** (1.0 / 3.0) - 1.8, 0.5)
+    return float(np.mean(1.0 / (1.0 + (d / d0) ** 2)))
+
+
+def lddt(
+    coords_ref: np.ndarray,
+    coords_model: np.ndarray,
+    *,
+    cutoff: float = 15.0,
+    thresholds: tuple = (0.5, 1.0, 2.0, 4.0),
+    per_residue: bool = False,
+):
+    """Superposition-free lDDT over CA distances (Mariani et al. 2013): for
+    every pair within ``cutoff`` in the REFERENCE, the fraction of model
+    distances preserved within each threshold, averaged over thresholds.
+    This is the measured counterpart of the model's predicted pLDDT head
+    (models/esmfold/protein.py categorical_lddt). coords: (L, 3)."""
+    ref = np.asarray(coords_ref, np.float64)
+    mod = np.asarray(coords_model, np.float64)
+    assert ref.shape == mod.shape and ref.ndim == 2 and ref.shape[1] == 3
+    dref = np.linalg.norm(ref[:, None] - ref[None, :], axis=-1)
+    dmod = np.linalg.norm(mod[:, None] - mod[None, :], axis=-1)
+    L = ref.shape[0]
+    pair = (dref < cutoff) & ~np.eye(L, dtype=bool)
+    diff = np.abs(dref - dmod)
+    kept = np.zeros_like(dref)
+    for thr in thresholds:
+        kept += (diff < thr).astype(np.float64)
+    kept /= len(thresholds)
+    denom = np.maximum(pair.sum(-1), 1)
+    per_res = (kept * pair).sum(-1) / denom
+    if per_residue:
+        return per_res
+    npairs = pair.sum()
+    return float((kept * pair).sum() / max(npairs, 1))

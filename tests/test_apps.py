@@ -160,3 +160,35 @@ def _octahedron():
         [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
         np.float64,
     )
+
+
+def test_tm_score_and_lddt():
+    """Structural metrics: identity scores 1.0, rigid motions preserve them,
+    noise degrades them monotonically."""
+    import numpy as np
+
+    from esm_tpu.metrics import lddt, tm_score
+
+    rng = np.random.default_rng(0)
+    L = 80
+    # a smooth random-walk "backbone"
+    coords = np.cumsum(rng.normal(0, 1.2, (L, 3)), axis=0)
+
+    assert np.isclose(tm_score(coords, coords), 1.0)
+    assert np.isclose(lddt(coords, coords), 1.0)
+
+    # rigid motion: rotation + translation
+    a = rng.normal(size=3)
+    a /= np.linalg.norm(a)
+    c, s = np.cos(0.7), np.sin(0.7)
+    K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]], [-a[1], a[0], 0]])
+    R = np.eye(3) + s * K + (1 - c) * (K @ K)
+    moved = coords @ R.T + np.array([5.0, -3.0, 2.0])
+    assert tm_score(coords, moved) > 0.999
+    assert lddt(coords, moved) > 0.999  # superposition-free by construction
+
+    small = coords + rng.normal(0, 0.5, coords.shape)
+    big = coords + rng.normal(0, 4.0, coords.shape)
+    assert 1.0 > tm_score(coords, small) > tm_score(coords, big)
+    assert 1.0 > lddt(coords, small) > lddt(coords, big)
+    assert lddt(coords, big, per_residue=True).shape == (L,)
