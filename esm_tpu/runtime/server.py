@@ -23,15 +23,30 @@ scripts/extract.py:104-131 in the reference):
   GET  /stats   -> request/batch/latency counters
   POST /embed   {"sequences": ["MKT...", ...] | [["label","MKT..."], ...],
                  "repr_layers": [-1], "include": ["mean"|"per_tok"|"logits"|"contacts"],
-                 "format": "json" | "npz"}
+                 "format": "json" | "npz", "stream": false}
                 -> json: {"results": [{"label", "length", "truncated",
                                  "mean_representations"/"representations":{layer: ...},
                                  "logits", "contacts"}, ...]}
                 -> npz: one .npz stream ({i}/logits, {i}/mean/{layer}, ... —
                    10-50x smaller than JSON for per_tok/contacts payloads)
-  POST /fold    {"sequences": [...], "num_recycles": N}    (multimers via ':')
+  POST /fold    {"sequences": [...], "num_recycles": N, "stream": false}
+                (multimers via ':')
                 -> {"results": [{"label", "length", "num_chains", "pdb",
                                  "mean_plddt", "ptm"}, ...]}
+
+  Streaming: with "stream": true, /embed and /fold deliver results
+  incrementally as each device batch finalizes, instead of buffering the
+  whole request (per_tok/contacts JSON payloads reach 10-100 MB at L=1022;
+  a 64-sequence fold request takes minutes):
+  - format json -> application/x-ndjson: one {"index", ...result} object
+    per line (fold results arrive in completion order, not request order —
+    "index" is the position in the request), terminated by {"done": N};
+  - format npz (embed only) -> application/x-npz-stream: length-prefixed
+    frames (8-byte big-endian length + one .npz per result with keys
+    index/label/length/truncated/logits/contacts/mean/{layer}/per_tok/{layer};
+    the final frame is {"done": N}).
+  A missing terminator object means the stream was truncated. Errors after
+  the first frame arrive as a final {"error": ...} frame.
   POST /score   {"sequence": "...", "mutations": ["P76A", ...], "offset_idx": 0}
                 -> {"results": [{"label", "scores": {"P76A": logp_mt - logp_wt}}]}
                 (zero-shot variant effect, wt-marginals — one forward per batch)
@@ -74,6 +89,10 @@ class _Request:
     num_recycles: Optional[int] = None
     mutations: Optional[List[Tuple]] = None  # (raw, wt, idx0, mt); idx0 0-based
     fmt: str = "json"  # "json" | "npz" (embed only; binary arrays, no tolist)
+    # streaming requests get results pushed one-by-one as device chunks
+    # finalize: messages are ("item", index, dict) | ("end", count) |
+    # ("error", msg); stream_q is None for buffered (default) requests
+    stream_q: Optional["queue.Queue"] = None
     done: threading.Event = field(default_factory=threading.Event)
     result: Optional[List[Dict[str, Any]]] = None
     error: Optional[str] = None
@@ -203,6 +222,8 @@ class InferenceServer:
             except queue.Empty:
                 break
             req.error = "server shutting down"
+            if req.stream_q is not None:
+                req.stream_q.put(("error", req.error))
             req.done.set()
         self._drained.set()
 
@@ -288,6 +309,8 @@ class InferenceServer:
         for r in reqs:
             if not r.done.is_set():
                 r.error = msg
+                if r.stream_q is not None:
+                    r.stream_q.put(("error", msg))
                 r.done.set()
 
     def _finalize_loop(self) -> None:
@@ -309,11 +332,17 @@ class InferenceServer:
                 del self._latencies[:512]
         r.done.set()
 
-    def _distribute(self, reqs: List[_Request], items: List[Dict[str, Any]]) -> None:
-        i = 0
-        for r in reqs:
-            self._finish(r, items[i : i + len(r.seqs)])
-            i += len(r.seqs)
+    def _stream_item(self, r: _Request, idx: int, item: Dict[str, Any]) -> None:
+        r.stream_q.put(("item", idx, item))
+
+    def _finish_stream(self, r: _Request) -> None:
+        r.stream_q.put(("end", len(r.seqs)))
+        self._finish(r, [])
+
+    @staticmethod
+    def _owners(reqs: List[_Request]) -> List[Tuple[_Request, int]]:
+        """Flattened-pair index -> (owning request, index within request)."""
+        return [(r, j) for r in reqs for j in range(len(r.seqs))]
 
     def _dispatch_fold_group(self, reqs: List[_Request]):
         """Dispatch a fold group in device batches of at most
@@ -337,16 +366,20 @@ class InferenceServer:
             )
             chunks.append((idxs, chunk, out))
 
+        owners = self._owners(reqs)
+
         def finalize():
             import numpy as np
 
-            items: List[Optional[Dict[str, Any]]] = [None] * len(pairs)
+            buffers = {
+                id(r): [None] * len(r.seqs) for r in reqs if r.stream_q is None
+            }
             for idxs, chunk, out in chunks:
                 pdbs = self.fold_model.output_to_pdb(out)  # readback
                 mean_plddt = np.asarray(out["mean_plddt"], np.float64)
                 ptm = np.asarray(out["ptm"], np.float64)
                 for i, (orig, (lab, seq)) in enumerate(zip(idxs, chunk)):
-                    items[orig] = {
+                    item = {
                         "label": lab,
                         "length": len(seq) - seq.count(":"),
                         "num_chains": seq.count(":") + 1,
@@ -354,10 +387,22 @@ class InferenceServer:
                         "mean_plddt": round(float(mean_plddt[i]), 4),
                         "ptm": round(float(ptm[i]), 4),
                     }
+                    r, j = owners[orig]
+                    if r.stream_q is not None:
+                        # chunks are length-sorted, so streamed fold results
+                        # arrive in completion order; "index"=j tells the
+                        # client where each belongs in its request
+                        self._stream_item(r, j, item)
+                    else:
+                        buffers[id(r)][j] = item
                 with self._lock:
                     self._stats["fold_batches"] += 1
                     self._stats["batched_sequences"] += len(chunk)
-            self._distribute(reqs, items)
+            for r in reqs:
+                if r.stream_q is not None:
+                    self._finish_stream(r)
+                else:
+                    self._finish(r, buffers[id(r)])
 
         return finalize
 
@@ -435,11 +480,26 @@ class InferenceServer:
             for s in range(0, len(pairs), self.max_batch_seqs)
         ]
 
+        owners = self._owners(reqs)
+
         def finalize():
-            items: List[Dict[str, Any]] = []
+            buffers = {
+                id(r): [] for r in reqs if r.stream_q is None
+            }
+            g = 0
             for fin in finalizers:
-                items.extend(fin())
-            self._distribute(reqs, items)
+                for item in fin():  # one device chunk read back per fin()
+                    r, j = owners[g]
+                    g += 1
+                    if r.stream_q is not None:
+                        self._stream_item(r, j, item)
+                    else:
+                        buffers[id(r)].append(item)
+            for r in reqs:
+                if r.stream_q is not None:
+                    self._finish_stream(r)
+                else:
+                    self._finish(r, buffers[id(r)])
 
         return finalize
 
@@ -583,12 +643,17 @@ class InferenceServer:
         ):
             raise ValueError(f"num_recycles must be a non-negative int, got {num_recycles!r}")
         return self._enqueue(
-            _Request(labels, seqs, kind="fold", num_recycles=num_recycles)
+            _Request(
+                labels, seqs, kind="fold", num_recycles=num_recycles,
+                stream_q=_parse_stream(payload),
+            )
         )
 
     def _submit_score(self, payload: Dict[str, Any]) -> _Request:
         if self.model is None:
             raise ValueError("no LM loaded (start esm-serve with a model name)")
+        if payload.get("stream"):
+            raise ValueError("stream is not supported on /score (one-row responses)")
         seq = payload.get("sequence")
         if not isinstance(seq, str) or not seq:
             raise ValueError('"sequence" must be a non-empty string')
@@ -650,7 +715,12 @@ class InferenceServer:
         fmt = payload.get("format", "json")
         if fmt not in ("json", "npz"):
             raise ValueError(f'format must be "json" or "npz", got {fmt!r}')
-        return self._enqueue(_Request(labels, seqs, repr_layers, include, fmt=fmt))
+        return self._enqueue(
+            _Request(
+                labels, seqs, repr_layers, include, fmt=fmt,
+                stream_q=_parse_stream(payload),
+            )
+        )
 
     def _make_handler(self):
         server = self
@@ -666,6 +736,55 @@ class InferenceServer:
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+
+            def _stream_response(self, req: _Request) -> None:
+                """Write results as they finalize. The response has no
+                Content-Length and ends on connection close (HTTP/1.0
+                semantics); the terminator frame distinguishes a complete
+                stream from a truncated one."""
+                fmt = req.fmt
+                headers_sent = False
+
+                def frame(obj: Dict[str, Any]) -> None:
+                    if fmt == "npz":
+                        body = _item_to_npz(obj)
+                        self.wfile.write(len(body).to_bytes(8, "big") + body)
+                    else:
+                        self.wfile.write(json.dumps(_jsonify(obj)).encode() + b"\n")
+                    self.wfile.flush()
+
+                while True:
+                    try:
+                        msg = req.stream_q.get(timeout=1.0)
+                    except queue.Empty:
+                        if server._drained.is_set():
+                            msg = ("error", req.error or "server shutting down")
+                        else:
+                            continue
+                    if msg[0] == "error":
+                        if not headers_sent:
+                            self._send(500, {"error": msg[1]})
+                        else:
+                            # status already committed; an in-band error
+                            # frame (with no "done" terminator) is all we
+                            # can signal
+                            frame({"error": msg[1]})
+                        return
+                    if not headers_sent:
+                        self.send_response(200)
+                        self.send_header(
+                            "Content-Type",
+                            "application/x-npz-stream" if fmt == "npz"
+                            else "application/x-ndjson",
+                        )
+                        self.send_header("Connection", "close")
+                        self.end_headers()
+                        headers_sent = True
+                    if msg[0] == "end":
+                        frame({"done": msg[1]})
+                        return
+                    _, idx, item = msg
+                    frame({"index": idx, **item})
 
             def do_GET(self):
                 if self.path == "/healthz":
@@ -737,6 +856,9 @@ class InferenceServer:
                         server._stats["errors"] += 1
                     self._send(400, {"error": str(e)})
                     return
+                if req.stream_q is not None:
+                    self._stream_response(req)
+                    return
                 # wait for the batcher; if the server drained its queue on
                 # shutdown and this request still isn't done, it was orphaned
                 # by the enqueue/stop race — fail it rather than hang
@@ -757,6 +879,36 @@ class InferenceServer:
                     self._send(200, {"results": _jsonify(req.result)})
 
         return Handler
+
+
+def _parse_stream(payload: Dict[str, Any]) -> Optional["queue.Queue"]:
+    stream = payload.get("stream", False)
+    if not isinstance(stream, bool):
+        raise ValueError(f"stream must be a bool, got {stream!r}")
+    return queue.Queue() if stream else None
+
+
+def _item_to_npz(obj: Dict[str, Any]) -> bytes:
+    """One streamed result as a standalone .npz: nested dicts flatten to
+    ``mean/{layer}`` / ``per_tok/{layer}`` keys; scalar fields (label,
+    length, index, ...) become 0-d arrays."""
+    import io as _io
+
+    import numpy as np
+
+    arrays: Dict[str, Any] = {}
+    for k, v in obj.items():
+        if isinstance(v, dict):
+            prefix = {"mean_representations": "mean", "representations": "per_tok"}.get(k, k)
+            for kk, vv in v.items():
+                arrays[f"{prefix}/{kk}"] = _np_safe(vv)
+        elif isinstance(v, (str, bool, int, float)):
+            arrays[k] = np.asarray(v)
+        else:
+            arrays[k] = _np_safe(v)
+    buf = _io.BytesIO()
+    np.savez(buf, **arrays)
+    return buf.getvalue()
 
 
 def _np_safe(a):

@@ -531,3 +531,121 @@ def test_fold_endpoint(fold_server):
             _post(srv, payload, path="/fold")
         assert exc_info.value.code == 400
         assert frag in json.loads(exc_info.value.read())["error"], payload
+
+
+# ---------------------------------------------------------------- streaming
+
+
+def _post_raw(srv, payload, path="/embed"):
+    req = urllib.request.Request(
+        srv.url + path,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return resp.headers, resp.read()
+
+
+def _parse_npz_frames(raw):
+    import io
+
+    frames, off = [], 0
+    while off < len(raw):
+        n = int.from_bytes(raw[off : off + 8], "big")
+        off += 8
+        frames.append(np.load(io.BytesIO(raw[off : off + n])))
+        off += n
+    assert off == len(raw), "trailing bytes after the last npz frame"
+    return frames
+
+
+def test_stream_embed_ndjson_matches_buffered(server):
+    """stream=true delivers one NDJSON object per sequence plus a {"done": N}
+    terminator, numerically identical to the buffered response."""
+    srv, _ = server
+    payload = {
+        "sequences": [["a", SEQS[0]], ["b", SEQS[1]], ["c", SEQS[2]]],
+        "repr_layers": [-1],
+        "include": ["mean", "logits"],
+    }
+    buffered = _post(srv, payload)["results"]
+    headers, raw = _post_raw(srv, {**payload, "stream": True})
+    assert headers["Content-Type"] == "application/x-ndjson"
+    lines = [json.loads(line) for line in raw.splitlines()]
+    assert lines[-1] == {"done": 3}
+    items = sorted(lines[:-1], key=lambda d: d["index"])
+    assert [d["index"] for d in items] == [0, 1, 2]
+    for got, want in zip(items, buffered):
+        assert got["label"] == want["label"] and got["length"] == want["length"]
+        np.testing.assert_allclose(
+            np.asarray(got["logits"]), np.asarray(want["logits"]), atol=1e-6
+        )
+        for k, v in want["mean_representations"].items():
+            np.testing.assert_allclose(
+                np.asarray(got["mean_representations"][k]), np.asarray(v), atol=1e-6
+            )
+
+
+def test_stream_embed_npz_frames(server):
+    """Binary streaming: length-prefixed standalone .npz frames."""
+    srv, model = server
+    headers, raw = _post_raw(srv, {
+        "sequences": [["a", SEQS[0]], ["b", SEQS[1]]],
+        "repr_layers": [-1],
+        "include": ["logits", "contacts"],
+        "format": "npz",
+        "stream": True,
+    })
+    assert headers["Content-Type"] == "application/x-npz-stream"
+    frames = _parse_npz_frames(raw)
+    assert int(frames[-1]["done"]) == 2
+    items = sorted(frames[:-1], key=lambda f: int(f["index"]))
+    assert len(items) == 2
+
+    _, _, toks = model.alphabet.get_batch_converter(60)(
+        [("a", SEQS[0]), ("b", SEQS[1])]
+    )
+    direct = model(toks, return_contacts=True)
+    for i, (f, seq) in enumerate(zip(items, SEQS[:2])):
+        L = min(len(seq), 60)
+        assert str(f["label"]) == "ab"[i] and int(f["length"]) == L
+        np.testing.assert_allclose(
+            f["logits"], np.asarray(direct["logits"])[i, 1 : L + 1], atol=1e-5
+        )
+        np.testing.assert_allclose(
+            f["contacts"], np.asarray(direct["contacts"])[i, :L, :L], atol=1e-5
+        )
+
+
+def test_stream_validation(server):
+    srv, _ = server
+    with pytest.raises(urllib.error.HTTPError) as exc_info:
+        _post(srv, {"sequences": ["MKT"], "stream": "yes"})
+    assert exc_info.value.code == 400
+    assert "stream must be a bool" in json.loads(exc_info.value.read())["error"]
+
+
+def test_stream_fold_completion_order(fold_server):
+    """Streamed folds arrive in device-completion order (length-sorted
+    chunks), tagged with their request index; contents match the buffered
+    response for the same request."""
+    srv, _ = fold_server
+    seqs = [("long", "MKTVRQERLKSIVRILERSK"), ("short", "MKTV"),
+            ("mid", "MKTVRQERLK"), ("tiny", "MKT")]
+    payload = {"sequences": [[l, s] for l, s in seqs], "num_recycles": 0}
+    buffered = _post(srv, payload, path="/fold")["results"]
+    headers, raw = _post_raw(srv, {**payload, "stream": True}, path="/fold")
+    assert headers["Content-Type"] == "application/x-ndjson"
+    lines = [json.loads(line) for line in raw.splitlines()]
+    assert lines[-1] == {"done": 4}
+    items = lines[:-1]
+    # length-sorted chunks of max_fold_batch_seqs=2: (tiny, short) first
+    assert [d["label"] for d in items] == ["tiny", "short", "mid", "long"]
+    by_index = {d["index"]: d for d in items}
+    assert sorted(by_index) == [0, 1, 2, 3]
+    for j, want in enumerate(buffered):
+        got = by_index[j]
+        assert got["label"] == want["label"]
+        assert got["pdb"] == want["pdb"]
+        assert got["mean_plddt"] == want["mean_plddt"]
+        assert got["ptm"] == want["ptm"]
