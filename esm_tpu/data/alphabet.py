@@ -13,7 +13,7 @@ Design notes (vs. reference):
 
 from __future__ import annotations
 
-import itertools
+import re
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple, Union
 
@@ -104,53 +104,28 @@ class Alphabet:
             raise ValueError(f"Unknown architecture {name!r}")
         return cls(PROTEIN_TOKS, prepend, append, prepend_bos, append_eos, use_msa)
 
-    def _tokenize(self, text: str) -> List[str]:
-        return text.split()
-
     def tokenize(self, text: str) -> List[str]:
-        """HF-style tokenization splitting on special tokens then whitespace
-        (reference esm/data.py:179-247)."""
+        """Split ``text`` into tokens: special (multi-char) vocabulary tokens
+        are kept whole, everything between them is split on whitespace.
 
-        def split_on_token(tok: str, text: str) -> List[str]:
-            result = []
-            split_text = text.split(tok)
-            for i, sub_text in enumerate(split_text):
-                if i < len(split_text) - 1:
-                    sub_text = sub_text.rstrip()
-                if i > 0:
-                    sub_text = sub_text.lstrip()
-                if i == 0 and not sub_text:
-                    result.append(tok)
-                elif i == len(split_text) - 1:
-                    if sub_text:
-                        result.append(sub_text)
-                else:
-                    if sub_text:
-                        result.append(sub_text)
-                    result.append(tok)
-            return result
-
-        def split_on_tokens(tok_list: Sequence[str], text: str) -> List[str]:
-            if not text.strip():
-                return []
-            tokenized: List[str] = []
-            text_list = [text]
-            for tok in tok_list:
-                tokenized = []
-                for sub_text in text_list:
-                    if sub_text not in self.unique_no_split_tokens:
-                        tokenized.extend(split_on_token(tok, sub_text))
-                    else:
-                        tokenized.append(sub_text)
-                text_list = tokenized
-            return list(
-                itertools.chain.from_iterable(
-                    self._tokenize(tok) if tok not in self.unique_no_split_tokens else [tok]
-                    for tok in tokenized
-                )
-            )
-
-        return split_on_tokens(self.unique_no_split_tokens, text)
+        Output parity with the reference tokenizer (esm/data.py:179-247),
+        which strips whitespace around special tokens pass-by-pass; since the
+        plain-text chunks are whitespace-split anyway, one regex pass over all
+        special tokens is equivalent (no special token here is a substring of
+        another). Behavior is fuzz-tested against the reference in
+        tests/test_alphabet.py.
+        """
+        specials = set(self.unique_no_split_tokens)
+        if not specials:
+            return text.split()
+        pattern = "(" + "|".join(re.escape(t) for t in self.unique_no_split_tokens) + ")"
+        out: List[str] = []
+        for piece in re.split(pattern, text):
+            if piece in specials:
+                out.append(piece)
+            else:
+                out.extend(piece.split())
+        return out
 
     def encode(self, text: str) -> List[int]:
         fast = self._encode_fast(text)

@@ -103,56 +103,96 @@ def has_emb_layer_norm_before(model_state) -> bool:
 _has_emb_layer_norm_before = has_emb_layer_norm_before  # internal alias
 
 
+def _strip_through(key: str, marker: str, guard: str) -> str:
+    """Drop everything up to and including the first ``marker`` in ``key`` (and
+    delete any later occurrences), but only when ``guard`` appears in the key.
+
+    This reproduces the *mapping* of the reference's fairseq-era key renames
+    (reference esm/pretrained.py:91-108) — including the corner case where a
+    key contains ``guard`` but not ``marker`` (maps to the empty string) — as
+    one named helper instead of per-arch lambdas.
+    """
+    if guard not in key:
+        return key
+    _, hit, tail = key.partition(marker)
+    if not hit:
+        return ""
+    return tail.replace(marker, "")
+
+
+def _rename_v1_args(args: Dict[str, Any], stem: str) -> Dict[str, Any]:
+    """Argparse-namespace keys lose their ``{stem}_`` module prefix."""
+    return {_strip_through(k, stem + "_", stem): v for k, v in args.items()}
+
+
+def _rename_v1_state(state: Dict, stem: str) -> Dict:
+    """State-dict keys lose the ``{stem}.sentence_encoder.`` / ``{stem}.``
+    module paths (fairseq wrapped the model in an encoder/decoder shell)."""
+    out = {}
+    for k, v in state.items():
+        k = _strip_through(k, "sentence_encoder.", "sentence_encoder")
+        k = _strip_through(k, stem + ".", stem)
+        out[k] = v
+    return out
+
+
+def _swap_row_column(key: str) -> str:
+    """Early MSA checkpoints named the row/column attention modules the other
+    way around (reference esm/pretrained.py:121-125): any key mentioning
+    ``row`` becomes ``column``; otherwise ``column`` becomes ``row``."""
+    if "row" in key:
+        return key.replace("row", "column")
+    return key.replace("column", "row")
+
+
+# Inverse-folding checkpoints predate the module layout the reference (and this
+# repo) use; ordered substring renames, applied first-to-last
+# (mapping parity with reference esm/pretrained.py:128-146).
+_GVP_KEY_RENAMES: Tuple[Tuple[str, str], ...] = (
+    ("W_v", "embed_graph.embed_node"),
+    ("W_e", "embed_graph.embed_edge"),
+    ("embed_scores.0", "embed_confidence"),
+    ("embed_score.", "embed_graph.embed_confidence."),
+    ("seq_logits_projection.", ""),
+    ("embed_ingraham_features", "embed_dihedrals"),
+    ("embed_gvp_in_local_frame.0", "embed_gvp_output"),
+    ("embed_features_in_local_frame.0", "embed_gvp_input_features"),
+)
+
+
 def upgrade_state_v1(model_data) -> Tuple[Dict[str, Any], Dict, str]:
-    """Per-architecture fairseq-era upgrades. Returns (args dict, state, arch)."""
+    """Per-architecture fairseq-era upgrades. Returns (args dict, state, arch).
+
+    Mapping parity with reference esm/pretrained.py:85-161; the expression is
+    table/helper-driven rather than the reference's lambda chains.
+    """
     arch = model_data["args"].arch
     state = model_data["model"]
     args = vars(model_data["args"])
 
     if arch == "roberta_large":  # ESM-1b / ESM-1v
-        pra = lambda s: "".join(s.split("encoder_")[1:] if "encoder" in s else s)
-        prs1 = lambda s: "".join(s.split("encoder.")[1:] if "encoder" in s else s)
-        prs2 = lambda s: "".join(
-            s.split("sentence_encoder.")[1:] if "sentence_encoder" in s else s
-        )
-        args = {pra(k): v for k, v in args.items()}
-        state = {prs1(prs2(k)): v for k, v in state.items()}
+        args = _rename_v1_args(args, "encoder")
+        state = _rename_v1_state(state, "encoder")
         alphabet = Alphabet.from_architecture("ESM-1b")
         state["embed_tokens.weight"][alphabet.mask_idx].zero_()  # token-drop row
         args["emb_layer_norm_before"] = _has_emb_layer_norm_before(state)
     elif arch == "protein_bert_base":  # ESM-1
-        pra = lambda s: "".join(s.split("decoder_")[1:] if "decoder" in s else s)
-        prs = lambda s: "".join(s.split("decoder.")[1:] if "decoder" in s else s)
-        args = {pra(k): v for k, v in args.items()}
-        state = {prs(k): v for k, v in state.items()}
+        args = _rename_v1_args(args, "decoder")
+        state = _rename_v1_state(state, "decoder")
     elif arch == "msa_transformer":
-        pra = lambda s: "".join(s.split("encoder_")[1:] if "encoder" in s else s)
-        prs1 = lambda s: "".join(s.split("encoder.")[1:] if "encoder" in s else s)
-        prs2 = lambda s: "".join(
-            s.split("sentence_encoder.")[1:] if "sentence_encoder" in s else s
-        )
-        # row/column attention modules were named the other way around
-        prs3 = lambda s: (
-            s.replace("row", "column") if "row" in s else s.replace("column", "row")
-        )
-        args = {pra(k): v for k, v in args.items()}
-        state = {prs1(prs2(prs3(k))): v for k, v in state.items()}
+        args = _rename_v1_args(args, "encoder")
+        state = _rename_v1_state({_swap_row_column(k): v for k, v in state.items()}, "encoder")
         if args.get("embed_positions_msa", False):
             args["embed_positions_msa_dim"] = state["msa_position_embedding"].size(-1)
     elif "invariant_gvp" in arch:
-
-        def update_name(s):
-            s = s.replace("W_v", "embed_graph.embed_node")
-            s = s.replace("W_e", "embed_graph.embed_edge")
-            s = s.replace("embed_scores.0", "embed_confidence")
-            s = s.replace("embed_score.", "embed_graph.embed_confidence.")
-            s = s.replace("seq_logits_projection.", "")
-            s = s.replace("embed_ingraham_features", "embed_dihedrals")
-            s = s.replace("embed_gvp_in_local_frame.0", "embed_gvp_output")
-            s = s.replace("embed_features_in_local_frame.0", "embed_gvp_input_features")
-            return s
-
-        state = {update_name(k): v for k, v in state.items() if "version" not in k}
+        renamed = {}
+        for k, v in state.items():
+            if "version" in k:
+                continue
+            for old, new in _GVP_KEY_RENAMES:
+                k = k.replace(old, new)
+            renamed[k] = v
+        state = renamed
     else:
         raise ValueError(f"Unknown architecture {arch}")
     return args, state, arch
