@@ -53,6 +53,11 @@ def create_parser():
         "--max-request-seqs", type=int, default=64,
         help="reject requests with more sequences than this (413-style guard)",
     )
+    p.add_argument(
+        "--max-queued-seqs", type=int, default=256,
+        help="admission control: total admitted-but-unfinished sequences before "
+        "new requests get 429 + Retry-After (bounds p95 under saturation)",
+    )
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute (TPU serving default)")
     p.add_argument("--flash", action="store_true", help="Pallas flash attention")
     p.add_argument("--int8", action="store_true", help="weight-only int8 params")
@@ -122,6 +127,7 @@ def start_server(args):
         max_wait_ms=args.max_wait_ms,
         truncation_seq_length=args.truncation_seq_length,
         max_request_seqs=args.max_request_seqs,
+        max_queued_seqs=args.max_queued_seqs,
         batch_bucket=args.batch_bucket,
     ).start()
 

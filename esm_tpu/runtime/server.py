@@ -72,6 +72,17 @@ from typing import Any, Dict, List, Optional, Tuple
 _INCLUDE = ("mean", "per_tok", "logits", "contacts")
 
 
+class ServerSaturatedError(RuntimeError):
+    """Admission control: the in-flight sequence budget is exhausted.
+
+    Mapped to HTTP 429 + ``Retry-After`` by the handler instead of letting the
+    queue grow without bound (which turns saturation into unbounded p95)."""
+
+    def __init__(self, msg: str, retry_after_s: int):
+        super().__init__(msg)
+        self.retry_after_s = retry_after_s
+
+
 class _HTTPServer(ThreadingHTTPServer):
     # the stdlib default listen backlog of 5 resets concurrent connects the
     # moment more than a handful of clients arrive together
@@ -129,6 +140,7 @@ class InferenceServer:
         max_wait_ms: float = 10.0,
         truncation_seq_length: int = 1022,
         max_request_seqs: int = 64,
+        max_queued_seqs: int = 256,
         batch_bucket: str = "pow2",
     ):
         if batch_bucket not in ("pow2", "max"):
@@ -149,6 +161,8 @@ class InferenceServer:
         self.max_wait_s = max_wait_ms / 1e3
         self.truncation_seq_length = truncation_seq_length
         self.max_request_seqs = max_request_seqs
+        self.max_queued_seqs = max_queued_seqs
+        self._inflight_seqs = 0  # admitted but not yet finished/failed
         self._converter = (
             self.alphabet.get_batch_converter(truncation_seq_length, pad_to_multiple=128)
             if model is not None
@@ -163,7 +177,7 @@ class InferenceServer:
         self._lock = threading.Lock()
         self._stats = {
             "requests": 0, "sequences": 0, "batches": 0, "fold_batches": 0,
-            "batched_sequences": 0, "errors": 0,
+            "batched_sequences": 0, "errors": 0, "rejected": 0,
         }
         self._latencies: List[float] = []
         self._profiling = threading.Lock()  # one jax.profiler capture at a time
@@ -222,6 +236,8 @@ class InferenceServer:
             except queue.Empty:
                 break
             req.error = "server shutting down"
+            with self._lock:
+                self._inflight_seqs -= len(req.seqs)
             if req.stream_q is not None:
                 req.stream_q.put(("error", req.error))
             req.done.set()
@@ -231,6 +247,9 @@ class InferenceServer:
         with self._lock:
             s = dict(self._stats)
             lat = sorted(self._latencies)
+            s["inflight_sequences"] = self._inflight_seqs
+        s["queue_depth"] = self._queue.qsize()
+        s["max_queued_seqs"] = self.max_queued_seqs
         s["uptime_s"] = round(time.time() - self._started, 3)
         n_batches = s["batches"] + s["fold_batches"]
         s["mean_batch_seqs"] = (
@@ -303,15 +322,16 @@ class InferenceServer:
                     self._fail(reqs, RuntimeError("server shutting down"))
 
     def _fail(self, reqs: List[_Request], e: BaseException) -> None:
+        failed = [r for r in reqs if not r.done.is_set()]
         with self._lock:
             self._stats["errors"] += 1
+            self._inflight_seqs -= sum(len(r.seqs) for r in failed)
         msg = str(e) if isinstance(e, RuntimeError) else f"{type(e).__name__}: {e}"
-        for r in reqs:
-            if not r.done.is_set():
-                r.error = msg
-                if r.stream_q is not None:
-                    r.stream_q.put(("error", msg))
-                r.done.set()
+        for r in failed:
+            r.error = msg
+            if r.stream_q is not None:
+                r.stream_q.put(("error", msg))
+            r.done.set()
 
     def _finalize_loop(self) -> None:
         while True:
@@ -327,6 +347,7 @@ class InferenceServer:
     def _finish(self, r: _Request, results: List[Dict[str, Any]]) -> None:
         r.result = results
         with self._lock:
+            self._inflight_seqs -= len(r.seqs)
             self._latencies.append(time.perf_counter() - r.enqueued)
             if len(self._latencies) > 1024:
                 del self._latencies[:512]
@@ -627,9 +648,22 @@ class InferenceServer:
     def _enqueue(self, req: _Request) -> _Request:
         if self._stop.is_set():
             raise ValueError("server shutting down")
+        n = len(req.seqs)
         with self._lock:
+            if self._inflight_seqs + n > self.max_queued_seqs:
+                self._stats["rejected"] += 1
+                # drain-time estimate: recent p95 latency is roughly what the
+                # oldest queued work is taking end-to-end right now
+                lat = sorted(self._latencies)
+                p95 = lat[min(len(lat) - 1, int(0.95 * len(lat)))] if lat else 1.0
+                raise ServerSaturatedError(
+                    f"server saturated: {self._inflight_seqs} sequences in "
+                    f"flight (limit {self.max_queued_seqs}); retry later",
+                    retry_after_s=max(1, round(p95)),
+                )
+            self._inflight_seqs += n
             self._stats["requests"] += 1
-            self._stats["sequences"] += len(req.seqs)
+            self._stats["sequences"] += n
         self._queue.put(req)
         return req
 
@@ -729,11 +763,18 @@ class InferenceServer:
             def log_message(self, fmt, *args):  # quiet by default
                 pass
 
-            def _send(self, code: int, obj: Dict[str, Any]) -> None:
+            def _send(
+                self,
+                code: int,
+                obj: Dict[str, Any],
+                extra_headers: Optional[Dict[str, str]] = None,
+            ) -> None:
                 body = json.dumps(obj).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
+                for k, v in (extra_headers or {}).items():
+                    self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -851,6 +892,14 @@ class InferenceServer:
                     if not isinstance(payload, dict):
                         raise ValueError("request body must be a JSON object")
                     req = routes[self.path](payload)
+                except ServerSaturatedError as e:
+                    # rejected counter already bumped in _enqueue
+                    self._send(
+                        429,
+                        {"error": str(e), "retry_after_s": e.retry_after_s},
+                        extra_headers={"Retry-After": str(e.retry_after_s)},
+                    )
+                    return
                 except (ValueError, KeyError, json.JSONDecodeError) as e:
                     with server._lock:
                         server._stats["errors"] += 1

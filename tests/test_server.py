@@ -164,6 +164,56 @@ def test_bad_requests(server):
     assert exc_info.value.code == 404
 
 
+def test_admission_control_429(server):
+    """Past max_queued_seqs the server rejects with 429 + Retry-After instead
+    of queueing without bound; once the backlog drains, requests are admitted
+    again and stats expose the rejection."""
+    _, model = server
+    srv = InferenceServer(
+        model,
+        max_wait_ms=2000.0,  # hold the first request in the batch window
+        truncation_seq_length=60,
+        max_queued_seqs=2,
+    ).start()
+    try:
+        results = {}
+
+        def post_a():
+            results["a"] = _post(srv, {"sequences": SEQS[:2]})
+
+        t = threading.Thread(target=post_a)
+        t.start()
+        # wait until request A is admitted (occupies the whole budget)
+        for _ in range(100):
+            if _get(srv, "/stats")["inflight_sequences"] == 2:
+                break
+            import time
+
+            time.sleep(0.02)
+        else:
+            pytest.fail("request A never became in-flight")
+
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(srv, {"sequences": SEQS[2:3]})
+        assert exc_info.value.code == 429
+        assert int(exc_info.value.headers["Retry-After"]) >= 1
+        body = json.loads(exc_info.value.read())
+        assert "saturated" in body["error"]
+
+        t.join(timeout=120)
+        assert "results" in results["a"]
+        # backlog drained -> admitted again
+        ok = _post(srv, {"sequences": SEQS[2:3]})
+        assert "results" in ok
+
+        stats = _get(srv, "/stats")
+        assert stats["rejected"] >= 1
+        assert stats["inflight_sequences"] == 0
+        assert stats["max_queued_seqs"] == 2
+    finally:
+        srv.stop()
+
+
 def test_npz_format_matches_json(server):
     """format='npz' returns one binary .npz whose arrays equal the JSON
     response's values and whose payload is much smaller."""
