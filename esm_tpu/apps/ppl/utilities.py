@@ -10,15 +10,15 @@ from __future__ import annotations
 
 import numpy as np
 
-from ...data.pdb import read_pdb
+from ...data.pdb import read_structure
 from .folding import AtomView
 
 
 def pdb_file_to_atomview(pdb_path_or_text: str, chain: str | None = None) -> AtomView:
-    """Load model 1 ATOM records of a PDB file (or raw PDB text) as the
+    """Load model 1 ATOM records of a PDB/mmCIF file (or raw text) as the
     AtomView consumed by the template energies
     (reference utilities.py:14-15)."""
-    atoms = read_pdb(pdb_path_or_text)
+    atoms = read_structure(pdb_path_or_text)
     if chain is not None:
         atoms = atoms[atoms.chain_id == chain]
     return AtomView(

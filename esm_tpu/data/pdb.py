@@ -90,6 +90,136 @@ def read_pdb(path_or_text: str, keep_hetero: bool = False) -> PDBAtoms:
     )
 
 
+def _cif_tokens(line: str) -> list:
+    """Split one mmCIF data row into values ('...'/"..." quoting honored)."""
+    toks, i, n = [], 0, len(line)
+    while i < n:
+        c = line[i]
+        if c in " \t":
+            i += 1
+            continue
+        if c in "'\"":
+            j = line.find(c, i + 1)
+            if j < 0:  # unterminated quote: take the rest
+                j = n
+            toks.append(line[i + 1 : j])
+            i = j + 1
+        else:
+            j = i
+            while j < n and line[j] not in " \t":
+                j += 1
+            toks.append(line[i:j])
+            i = j
+    return toks
+
+
+def read_cif(path_or_text: str, keep_hetero: bool = False) -> PDBAtoms:
+    """Parse the ``_atom_site`` loop of an mmCIF file (model 1 only).
+
+    Dependency-free counterpart of the reference's biotite cif path
+    (esm/inverse_folding/util.py:27-43): auth_* identifiers preferred over
+    label_* (biotite's default), altloc '.'/'?'/'A' kept.
+    """
+    if "\n" in path_or_text:
+        lines = path_or_text.splitlines()
+    else:
+        with open(path_or_text) as f:
+            lines = f.read().splitlines()
+
+    # locate the _atom_site loop header
+    tags: list = []
+    row_start = None
+    i = 0
+    while i < len(lines):
+        if lines[i].strip() == "loop_":
+            j = i + 1
+            hdr = []
+            while j < len(lines) and lines[j].strip().startswith("_"):
+                hdr.append(lines[j].strip().split()[0])
+                j += 1
+            if hdr and all(h.startswith("_atom_site.") for h in hdr):
+                tags = [h[len("_atom_site.") :] for h in hdr]
+                row_start = j
+                break
+            i = j
+        else:
+            i += 1
+    if row_start is None:
+        raise ValueError("no _atom_site loop found in mmCIF input")
+
+    col = {t: k for k, t in enumerate(tags)}
+
+    def pick(row, *names, default=None):
+        for name in names:
+            k = col.get(name)
+            if k is not None and row[k] not in (".", "?"):
+                return row[k]
+        return default
+
+    coords, names, resn, resi, chains, elems, het = [], [], [], [], [], [], []
+    first_model = None
+    for ln in lines[row_start:]:
+        s = ln.strip()
+        if not s or s.startswith("#"):
+            break
+        if s.startswith("_") or s.startswith("loop_") or s.startswith("data_"):
+            break
+        row = _cif_tokens(s)
+        if len(row) < len(tags):
+            continue
+        group = pick(row, "group_PDB", default="ATOM")
+        if group not in ("ATOM", "HETATM"):
+            continue
+        model = pick(row, "pdbx_PDB_model_num")
+        if first_model is None:
+            first_model = model
+        elif model != first_model:
+            break  # later models
+        is_het = group == "HETATM"
+        if is_het and not keep_hetero:
+            continue
+        alt = pick(row, "label_alt_id", default=".")
+        if alt not in (".", "?", "A"):
+            continue
+        try:
+            xyz = (
+                float(pick(row, "Cartn_x")),
+                float(pick(row, "Cartn_y")),
+                float(pick(row, "Cartn_z")),
+            )
+        except (TypeError, ValueError):
+            continue
+        coords.append(xyz)
+        names.append(pick(row, "auth_atom_id", "label_atom_id", default=""))
+        resn.append(pick(row, "auth_comp_id", "label_comp_id", default=""))
+        resi.append(int(pick(row, "auth_seq_id", "label_seq_id", default="0")))
+        chains.append(pick(row, "auth_asym_id", "label_asym_id", default=""))
+        elems.append(pick(row, "type_symbol", default=""))
+        het.append(is_het)
+
+    return PDBAtoms(
+        np.asarray(coords, np.float32).reshape(-1, 3),
+        np.asarray(names, object),
+        np.asarray(resn, object),
+        np.asarray(resi, np.int64),
+        np.asarray(chains, object),
+        np.asarray(elems, object),
+        np.asarray(het, bool),
+    )
+
+
+def read_structure(path_or_text: str, keep_hetero: bool = False) -> PDBAtoms:
+    """Dispatch on file extension (.cif/.mmcif -> mmCIF, else fixed-column
+    PDB); raw text is sniffed for an ``_atom_site`` loop."""
+    if "\n" in path_or_text:
+        if "_atom_site." in path_or_text:
+            return read_cif(path_or_text, keep_hetero=keep_hetero)
+        return read_pdb(path_or_text, keep_hetero=keep_hetero)
+    if path_or_text.endswith((".cif", ".mmcif")):
+        return read_cif(path_or_text, keep_hetero=keep_hetero)
+    return read_pdb(path_or_text, keep_hetero=keep_hetero)
+
+
 def backbone_coords(
     atoms: PDBAtoms, chain: Optional[str] = None
 ) -> Tuple[np.ndarray, str]:

@@ -178,16 +178,14 @@ def load_coords(fpath, chain):
         structure = load_structure(fpath, chain)
     except (ImportError, AttributeError):
         # biotite absent (or a partial/stub install): plain-python fallback
-        # for .pdb files (esm_tpu.data.pdb; cif still needs biotite)
-        if not fpath.endswith("pdb"):
-            raise
-        from ...data.pdb import backbone_coords, read_pdb
+        # for .pdb and .cif/.mmcif files (esm_tpu.data.pdb)
+        from ...data.pdb import backbone_coords, read_structure
 
         if isinstance(chain, list):
-            atoms = read_pdb(fpath)
+            atoms = read_structure(fpath)
             import numpy as _np
 
             atoms = atoms[_np.isin(atoms.chain_id, _np.asarray(chain, object))]
             return backbone_coords(atoms)
-        return backbone_coords(read_pdb(fpath), chain=chain)
+        return backbone_coords(read_structure(fpath), chain=chain)
     return extract_coords_from_structure(structure)

@@ -73,6 +73,76 @@ def test_backbone_coords_and_fallback(pdb_text, tmp_path):
     np.testing.assert_allclose(c2, coords)
 
 
+CIF_TEXT = """data_test
+#
+_entry.id TEST
+#
+loop_
+_atom_site.group_PDB
+_atom_site.id
+_atom_site.type_symbol
+_atom_site.label_atom_id
+_atom_site.label_alt_id
+_atom_site.label_comp_id
+_atom_site.label_asym_id
+_atom_site.label_seq_id
+_atom_site.Cartn_x
+_atom_site.Cartn_y
+_atom_site.Cartn_z
+_atom_site.auth_seq_id
+_atom_site.auth_comp_id
+_atom_site.auth_asym_id
+_atom_site.auth_atom_id
+_atom_site.pdbx_PDB_model_num
+ATOM   1 N N  . MET X 1 1.000 2.000 3.000 5 MET A N  1
+ATOM   2 C CA . MET X 1 2.000 2.500 3.500 5 MET A CA 1
+ATOM   3 C C  . MET X 1 3.000 3.000 4.000 5 MET A C  1
+ATOM   4 N N  . LYS X 2 4.000 4.500 5.000 6 LYS A N  1
+ATOM   5 C CA A LYS X 2 5.000 5.500 6.000 6 LYS A CA 1
+ATOM   6 C CA B LYS X 2 9.000 9.500 9.000 6 LYS A CA 1
+ATOM   7 C C  . LYS X 2 6.000 6.500 7.000 6 LYS A C  1
+ATOM   8 N N  . GLY Y 1 7.000 7.500 8.000 1 GLY B N  1
+ATOM   9 C CA . GLY Y 1 8.000 8.500 9.000 1 GLY B CA 1
+HETATM 10 O O  . HOH Z . 0.000 0.000 0.000 99 HOH A O 1
+ATOM   11 N N  . ALA X 1 0.000 0.000 0.000 5 ALA A N  2
+#
+"""
+
+
+def test_read_cif(tmp_path):
+    from esm_tpu.data.pdb import backbone_coords, read_cif, read_structure
+
+    atoms = read_cif(CIF_TEXT)
+    # altloc B, HETATM, and model-2 rows dropped
+    assert len(atoms) == 8
+    assert not atoms.hetero.any()
+    # auth_* identifiers win over label_* (biotite default)
+    assert set(atoms.chain_id) == {"A", "B"}
+    assert list(atoms.res_id[atoms.chain_id == "A"]) == [5, 5, 5, 6, 6, 6]
+    assert read_cif(CIF_TEXT, keep_hetero=True).hetero.sum() == 1
+
+    coords, seq = backbone_coords(atoms, chain="A")
+    assert seq == "MK" and coords.shape == (2, 3, 3)
+    np.testing.assert_allclose(coords[0, 1], [2.0, 2.5, 3.5])
+    np.testing.assert_allclose(coords[1, 1], [5.0, 5.5, 6.0])  # altloc A kept
+    coords_b, seq_b = backbone_coords(atoms, chain="B")
+    assert seq_b == "G"
+    assert np.isnan(coords_b[0, 2]).all()  # missing C atom -> NaN row
+
+    # extension dispatch + raw-text sniffing
+    fp = tmp_path / "t.cif"
+    fp.write_text(CIF_TEXT)
+    assert len(read_structure(str(fp))) == 8
+    assert len(read_structure(CIF_TEXT)) == 8
+
+    # inverse-folding load_coords accepts .cif without biotite
+    from esm_tpu.models.inverse_folding.util import load_coords
+
+    c2, s2 = load_coords(str(fp), "A")
+    assert s2 == "MK"
+    np.testing.assert_allclose(c2, coords)
+
+
 def test_ppl_template_energies(pdb_text):
     from esm_tpu.apps.ppl import (
         MinimizeCRmsd,
