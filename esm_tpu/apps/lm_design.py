@@ -28,6 +28,7 @@ import numpy as np
 
 from ..data.alphabet import Alphabet
 from ..models import esm2
+from .schedules import Schedule, to_schedule
 
 # Standard amino acids (design proposal support), in ESM vocab order 4..23
 NUM_STANDARD_AA = 20
@@ -37,7 +38,10 @@ AA_OFFSET = 4
 @dataclass(frozen=True)
 class DesignConfig:
     num_iter: int = 1000
-    temperature: float = 1.0       # MH acceptance temperature
+    # MH acceptance temperature: a float, or an annealing schedule from
+    # esm_tpu.apps.schedules (the reference default anneals StepLR
+    # initial=8 step_size=10000 gamma=0.5, conf/config.yaml:31-39)
+    temperature: "float | Schedule" = 1.0
     lm_weight: float = 1.0
     ngram_weight: float = 0.0
     ngram_orders: Tuple[int, ...] = (1, 2, 3)
@@ -173,8 +177,9 @@ def _run_chain(lm_params, lm_cfg, ngram_tables, cfg: DesignConfig, tokens0, rng)
     loop, utils/fixedbb.py:17-56)."""
     b, t = tokens0.shape
     L = t - 2  # designable positions exclude bos/eos
+    temp_at = to_schedule(cfg.temperature)
 
-    def step(carry, _):
+    def step(carry, it):
         tokens, rng = carry
         rng, r_pos, r_prop, r_acc = jax.random.split(rng, 4)
         pos = 1 + jax.random.randint(r_pos, (b,), 0, L)
@@ -186,13 +191,13 @@ def _run_chain(lm_params, lm_cfg, ngram_tables, cfg: DesignConfig, tokens0, rng)
             lm_params, lm_cfg, ngram_tables, cfg, stacked, jnp.concatenate([pos, pos])
         )
         e_cur, e_prop = e[:b], e[b:]
-        log_a = (e_cur - e_prop) / cfg.temperature
+        log_a = (e_cur - e_prop) / temp_at(it)
         accept = jnp.log(jax.random.uniform(r_acc, (b,), minval=1e-20)) < log_a
         tokens = jnp.where(accept[:, None], proposal, tokens)
         return (tokens, rng), (e_cur, accept)
 
     (tokens, _), (energies, accepts) = jax.lax.scan(
-        step, (tokens0, rng), None, length=cfg.num_iter
+        step, (tokens0, rng), jnp.arange(cfg.num_iter)
     )
     return tokens, energies, accepts
 
@@ -265,7 +270,9 @@ def distogram_cross_entropy(logits, target_bins, mask=None):
 
 @partial(
     jax.jit,
-    static_argnames=("lm_cfg", "num_iter", "resample_y_every"),
+    static_argnames=(
+        "lm_cfg", "num_iter", "resample_y_every", "resample_y_temp", "mh_temperature",
+    ),
 )
 def free_generation(
     lm_params,
@@ -276,8 +283,8 @@ def free_generation(
     *,
     num_iter: int,
     resample_y_every: int,
-    resample_y_temp: float = 1.0,
-    mh_temperature: float = 1.0,
+    resample_y_temp: "float | Schedule" = 1.0,
+    mh_temperature: "float | Schedule" = 1.0,
     lm_weight: float = 1.0,
     struct_weight: float = 1.0,
 ):
@@ -296,6 +303,11 @@ def free_generation(
     b, t = tokens0.shape
     L = t - 2
     rounds = num_iter // resample_y_every
+    # schedules advance with the GLOBAL iteration index, matching the
+    # reference's shared scheduler state across rounds (resuming_stage,
+    # utils/free_generation.py:66-72)
+    mh_temp_at = to_schedule(mh_temperature)
+    resample_temp_at = to_schedule(resample_y_temp)
 
     def struct_energy(tokens, targets):
         preds = distogram_projection_apply(proj_params, lm_params, lm_cfg, tokens)
@@ -304,7 +316,7 @@ def free_generation(
             e = e + distogram_cross_entropy(preds[name], targets[name])
         return e / 4.0
 
-    def mh_step(carry, _):
+    def mh_step(carry, it):
         tokens, rng, targets = carry
         rng, r_pos, r_prop, r_acc = jax.random.split(rng, 4)
         pos = 1 + jax.random.randint(r_pos, (b,), 0, L)
@@ -317,36 +329,40 @@ def free_generation(
         targets2 = {k: jnp.concatenate([v, v], axis=0) for k, v in targets.items()}
         e = lm_weight * lm_nll / L + struct_weight * struct_energy(stacked, targets2)
         e_cur, e_prop = e[:b], e[b:]
-        log_a = (e_cur - e_prop) / mh_temperature
+        log_a = (e_cur - e_prop) / mh_temp_at(it)
         accept = jnp.log(jax.random.uniform(r_acc, (b,), minval=1e-20)) < log_a
         tokens = jnp.where(accept[:, None], proposal, tokens)
         return (tokens, rng, targets), e_cur
 
-    def round_step(carry, _):
+    def round_step(carry, round_idx):
         tokens, rng = carry
+        step0 = round_idx * resample_y_every
         rng, r_samp = jax.random.split(rng)
         preds = distogram_projection_apply(proj_params, lm_params, lm_cfg, tokens)
         keys = jax.random.split(r_samp, 4)
         targets = {
-            name: jax.random.categorical(kk, preds[name] / resample_y_temp, axis=-1)
+            name: jax.random.categorical(
+                kk, preds[name] / resample_temp_at(step0), axis=-1
+            )
             for kk, name in zip(
                 keys, ("logits", "theta_logits", "phi_logits", "omega_logits")
             )
         }
         (tokens, rng, _), es = jax.lax.scan(
-            mh_step, (tokens, rng, targets), None, length=resample_y_every
+            mh_step, (tokens, rng, targets), step0 + jnp.arange(resample_y_every)
         )
         return (tokens, rng), es
 
     (tokens, _), energies = jax.lax.scan(
-        round_step, (tokens0, rng), None, length=rounds
+        round_step, (tokens0, rng), jnp.arange(rounds)
     )
     return tokens, energies
 
 
-@partial(jax.jit, static_argnames=("lm_cfg", "num_steps"))
+@partial(jax.jit, static_argnames=("lm_cfg", "num_steps", "temperature"))
 def gibbs_free_generation(
-    lm_params, lm_cfg, tokens0, rng, num_steps: int, temperature: float = 1.0
+    lm_params, lm_cfg, tokens0, rng, num_steps: int,
+    temperature: "float | Schedule" = 1.0,
 ):
     """Free sequence generation by blocked Gibbs sampling from the masked-LM
     conditionals (the sequence half of the reference's free_generation loop,
@@ -355,8 +371,9 @@ def gibbs_free_generation(
     plugs in via distogram_projection_apply)."""
     b, t = tokens0.shape
     L = t - 2
+    temp_at = to_schedule(temperature)
 
-    def step(carry, _):
+    def step(carry, it):
         tokens, rng = carry
         rng, r_pos, r_draw = jax.random.split(rng, 3)
         pos = 1 + jax.random.randint(r_pos, (b,), 0, L)
@@ -364,9 +381,9 @@ def gibbs_free_generation(
         # restrict to the 20 standard AAs
         vmask = jnp.full((logp.shape[-1],), -jnp.inf)
         vmask = vmask.at[AA_OFFSET : AA_OFFSET + NUM_STANDARD_AA].set(0.0)
-        draw = jax.random.categorical(r_draw, logp / temperature + vmask, axis=-1)
+        draw = jax.random.categorical(r_draw, logp / temp_at(it) + vmask, axis=-1)
         tokens = tokens.at[jnp.arange(b), pos].set(draw.astype(tokens.dtype))
         return (tokens, rng), None
 
-    (tokens, _), _ = jax.lax.scan(step, (tokens0, rng), None, length=num_steps)
+    (tokens, _), _ = jax.lax.scan(step, (tokens0, rng), jnp.arange(num_steps))
     return tokens

@@ -36,6 +36,90 @@ def test_lm_design_chain(tiny_lm):
     assert all(c in "LAGVSERTIDPKQNFYMHWC" for c in seqs[0])
 
 
+def test_schedules_match_torch():
+    """Each schedule reproduces the torch lr_scheduler it mirrors (the
+    reference drives temperatures through these wrappers,
+    examples/lm-design/utils/scheduler.py:15-33)."""
+    import torch
+
+    from esm_tpu.apps import schedules as S
+
+    cases = [
+        (S.StepLR(8.0, step_size=4, gamma=0.5), "StepLR", dict(step_size=4, gamma=0.5)),
+        (
+            S.MultiStepLR(2.0, milestones=(3, 7, 15), gamma=0.3),
+            "MultiStepLR",
+            dict(milestones=[3, 7, 15], gamma=0.3),
+        ),
+        (S.ExponentialLR(1.5, gamma=0.9), "ExponentialLR", dict(gamma=0.9)),
+        (
+            S.LinearLR(3.0, start_factor=0.25, end_factor=1.0, total_iters=10),
+            "LinearLR",
+            dict(start_factor=0.25, end_factor=1.0, total_iters=10),
+        ),
+        (
+            S.CosineAnnealingLR(5.0, T_max=20, eta_min=0.5),
+            "CosineAnnealingLR",
+            dict(T_max=20, eta_min=0.5),
+        ),
+    ]
+    for sched, torch_name, kw in cases:
+        dummy = torch.tensor([0.0], requires_grad=True)
+        opt = torch.optim.SGD([dummy], lr=sched.initial)
+        ref = getattr(torch.optim.lr_scheduler, torch_name)(opt, **kw)
+        for step in range(30):
+            want = ref.get_last_lr()[0]
+            got = float(sched(step))
+            assert abs(got - want) < 1e-5, (torch_name, step, got, want)
+            opt.step()
+            ref.step()
+
+
+def test_to_schedule_from_config():
+    """YAML-style spec (reference conf/config.yaml:31-39) and plain numbers."""
+    from esm_tpu.apps import schedules as S
+
+    s = S.to_schedule(
+        {"scheduler": "StepLR", "initial": 8, "step_size": 10000, "gamma": 0.5}
+    )
+    assert isinstance(s, S.StepLR)
+    assert float(s(0)) == 8.0 and float(s(10000)) == 4.0
+
+    c = S.to_schedule(0.7)
+    assert float(c(123)) == pytest.approx(0.7)
+
+    with pytest.raises(ValueError):
+        S.to_schedule({"scheduler": "Bogus", "initial": 1.0})
+
+
+def test_scheduled_design_matches_constant(tiny_lm):
+    """A chain run with ConstantSchedule(T) is bit-identical to the fixed
+    float T; an annealing schedule runs and stays finite."""
+    from esm_tpu.apps import lm_design
+    from esm_tpu.apps.schedules import ConstantSchedule, StepLR
+
+    params, cfg, alphabet = tiny_lm
+    designer = lm_design.Designer(params, cfg, alphabet)
+    fixed = designer.design(
+        "KALTARQQEVFDLIRD",
+        lm_design.DesignConfig(num_iter=12, temperature=0.7, seed=3),
+    )
+    sched = designer.design(
+        "KALTARQQEVFDLIRD",
+        lm_design.DesignConfig(num_iter=12, temperature=ConstantSchedule(0.7), seed=3),
+    )
+    assert fixed[0] == sched[0]
+    np.testing.assert_array_equal(fixed[1], sched[1])
+
+    annealed = designer.design(
+        "KALTARQQEVFDLIRD",
+        lm_design.DesignConfig(
+            num_iter=12, temperature=StepLR(8.0, step_size=4, gamma=0.5), seed=3
+        ),
+    )
+    assert np.isfinite(annealed[1]).all()
+
+
 def test_free_generation(tiny_lm):
     """Full hallucination loop: structure resampling + MH sequence steps
     (reference free_generation.py:22-73) runs on random projection weights."""
