@@ -29,6 +29,15 @@ def add_reference_to_path():
         sys.path.insert(0, REFERENCE_PATH)
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long tests (>8s: notebook/example-script compiles, soak, big "
+        "parity runs). Fast tier: pytest -m 'not slow' (~3 min); run the full "
+        "suite before committing kernel/model changes.",
+    )
+
+
 def pytest_sessionstart(session):
     devs = jax.devices()
     assert devs[0].platform == "cpu", f"tests must run on CPU, got {devs}"

@@ -165,6 +165,7 @@ def test_lm_design_ngram_energy():
     assert kl_match < kl_miss
 
 
+@pytest.mark.slow
 def test_ppl_annealing(tiny_lm):
     from esm_tpu.apps import ppl
     from esm_tpu.models import esmfold as ef

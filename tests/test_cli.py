@@ -218,6 +218,7 @@ def test_atlas_manifests():
     assert len(atlas.foldseek_db_urls()) == 2 and len(atlas.metadata_urls()) == 2
 
 
+@pytest.mark.slow
 def test_multichain_sample_and_score():
     """Direct multichain API coverage (reference multichain_util.py:80-135)."""
     import jax
@@ -261,6 +262,7 @@ def test_multichain_sample_and_score():
     assert np.isfinite(float(ll_b))
 
 
+@pytest.mark.slow
 def test_pretrain_mlm_example(tmp_path):
     """examples/pretrain_mlm.py: loss decreases on the example FASTA and the
     orbax checkpoint round-trips (the training story end-to-end on the mesh)."""

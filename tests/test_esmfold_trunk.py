@@ -178,6 +178,7 @@ def test_atom14_to_atom37_matches_oracle():
     )
 
 
+@pytest.mark.slow
 def test_esmfold_end_to_end_smoke():
     """Random-weights ESMFold: infer a sequence + multimer, write PDBs."""
     from esm_tpu.data import Alphabet
@@ -224,6 +225,58 @@ def test_esmfold_end_to_end_smoke():
             np.asarray(fr[k]), np.asarray(out[k]), atol=1e-5, err_msg=k
         )
     assert ef.output_to_pdb(fr)[0] == pdbs[0]
+
+
+@pytest.mark.slow
+def test_esmfold_half_precision_lm_modes():
+    """The frozen LM can run in float16 (reference esmfold.py:59-62) or
+    bfloat16; outputs stay close to the fp32 LM (structure trunk unchanged).
+
+    This is the execution mode behind the fp16 golden-parity plan in
+    PARITY.md; at tiny scale the deltas bound compile-path bugs, the
+    scale-dependent error budget is measured in scripts_dev."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from esm_tpu.data import Alphabet
+    from esm_tpu.models import esm2
+    from esm_tpu.models import esmfold as ef
+
+    alphabet = Alphabet.from_architecture("ESM-1b")
+    cfg = ef.ESMFoldConfig(
+        esm=esm2.ESM2Config.from_alphabet(
+            alphabet, num_layers=2, embed_dim=32, attention_heads=2
+        ),
+        trunk=FoldingTrunkConfig(
+            num_blocks=1,
+            sequence_state_dim=64,
+            pairwise_state_dim=32,
+            sequence_head_width=16,
+            pairwise_head_width=16,
+            max_recycles=1,
+            structure_module=StructureModuleConfig(
+                c_s=32, c_z=32, c_ipa=8, c_resnet=16, no_heads_ipa=4, no_blocks=1
+            ),
+        ),
+    )
+    params = ef.init_esmfold(jax.random.PRNGKey(0), cfg, alphabet)
+    ref = ef.infer(params, cfg, ["MKTVRQERLKAYTRQELAE"], num_recycles=0)
+    for dt, atol in ((jnp.float16, 0.35), (jnp.bfloat16, 1.5)):
+        cfg_h = dataclasses.replace(
+            cfg, esm=dataclasses.replace(cfg.esm, compute_dtype=dt)
+        )
+        out = ef.infer(params, cfg_h, ["MKTVRQERLKAYTRQELAE"], num_recycles=0)
+        assert np.isfinite(np.asarray(out["positions"])).all(), dt
+        # same structure to within half-precision LM noise
+        np.testing.assert_allclose(
+            np.asarray(out["mean_plddt"]), np.asarray(ref["mean_plddt"]),
+            atol=atol, err_msg=str(dt),
+        )
+        delta = np.abs(
+            np.asarray(out["positions"]) - np.asarray(ref["positions"])
+        ).max()
+        assert delta < (0.5 if dt == jnp.float16 else 2.0), (dt, delta)
 
 
 def test_chunked_triangle_attention_matches():

@@ -110,6 +110,7 @@ def _make_cache(tmp_path):
     return cache, fold_path
 
 
+@pytest.mark.slow
 def test_fold_cli_end_to_end(tmp_path, monkeypatch):
     cache, fold_path = _make_cache(tmp_path)
     monkeypatch.setenv("ESM_TPU_CACHE", str(cache))
@@ -152,6 +153,7 @@ def test_fold_cli_int8(tmp_path, monkeypatch):
     assert pdb.startswith("ATOM") and pdb.count(" CA ") == 10
 
 
+@pytest.mark.slow
 def test_esmfold_handle_api(tmp_path, monkeypatch):
     """ESMFoldHandle mirrors the reference model API (infer/infer_pdb/
     output_to_pdb/set_chunk_size) and unpacks as (cfg, params, alphabet)."""

@@ -150,6 +150,7 @@ def test_rotation_equivariance(models):
     np.testing.assert_allclose(loss1, loss2, atol=1e-2)
 
 
+@pytest.mark.slow
 def test_sample_incremental_matches_teacher_forcing(models):
     """The scan/KV-cache decode path must produce the same per-step logits as
     the teacher-forced decoder on an identical token prefix."""
@@ -219,6 +220,7 @@ def test_sample_partial_seq(models):
     assert int(toks[1]) != cfg.mask_idx and int(toks[2]) != cfg.mask_idx
 
 
+@pytest.mark.slow
 def test_init_matches_converter_layout(models):
     """ifm.init emits the converter's exact tree: same paths, same shapes —
     random-init models are drop-in interchangeable with converted ones."""

@@ -9,6 +9,8 @@ import pathlib
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy example/notebook compiles
+
 NB_DIR = pathlib.Path(__file__).parent.parent / "examples" / "notebooks"
 NOTEBOOKS = sorted(NB_DIR.glob("*.ipynb"))
 

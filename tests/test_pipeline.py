@@ -83,6 +83,7 @@ def test_pipeline_apply_validates():
         )
 
 
+@pytest.mark.slow
 def test_pp_train_step_matches_single_stage():
     import optax
 

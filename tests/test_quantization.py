@@ -8,6 +8,7 @@ device-resident at half size and flow through the same forward code.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from esm_tpu.data import Alphabet
 from esm_tpu.models import esm2
@@ -111,6 +112,7 @@ def test_quantized_esm1_untied_head():
     assert np.abs(quant - full).max() < 0.15 * (np.abs(full).max() + 1)
 
 
+@pytest.mark.slow
 def test_quantized_if_score_close():
     """int8 works across model families: GVP-Transformer scoring drifts only
     slightly (decode is weight-streaming-bound, int8 halves that traffic)."""

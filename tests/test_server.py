@@ -255,6 +255,7 @@ def test_npz_format_matches_json(server):
     assert exc_info.value.code == 400
 
 
+@pytest.mark.slow
 def test_mixed_endpoint_soak(server):
     """Randomized concurrent mix of /embed (json+npz), /score, bad requests,
     and /stats polls: every well-formed request succeeds, every malformed one
@@ -315,6 +316,7 @@ def test_mixed_endpoint_soak(server):
     assert stats["requests"] >= 20
 
 
+@pytest.mark.slow
 def test_profile_endpoint(server, tmp_path):
     """/profile captures a jax.profiler trace of concurrent batcher work."""
     srv, _ = server
@@ -449,6 +451,7 @@ def test_batch_bucket_max_outputs_unchanged():
         InferenceServer(model, batch_bucket="nope")
 
 
+@pytest.mark.slow
 def test_serve_cli_starts_from_checkpoint(tmp_path, monkeypatch):
     """esm-serve CLI path: load a (synthesized) checkpoint by location, apply
     --int8/--max-batch flags, serve /healthz and /embed."""
@@ -527,6 +530,7 @@ def monkeypatch_module():
     mp.undo()
 
 
+@pytest.mark.slow
 def test_fold_length_sorted_chunks_preserve_order(fold_server):
     """Mixed-length fold requests are computed in length-sorted chunks (pad
     efficiency) but returned in request order with the right labels."""
@@ -542,6 +546,7 @@ def test_fold_length_sorted_chunks_preserve_order(fold_server):
         assert r["pdb"].count(" CA ") == len(s), r["label"]
 
 
+@pytest.mark.slow
 def test_fold_endpoint(fold_server):
     srv, handle = fold_server
     h = _get(srv, "/healthz")
@@ -675,6 +680,7 @@ def test_stream_validation(server):
     assert "stream must be a bool" in json.loads(exc_info.value.read())["error"]
 
 
+@pytest.mark.slow
 def test_stream_fold_completion_order(fold_server):
     """Streamed folds arrive in device-completion order (length-sorted
     chunks), tagged with their request index; contents match the buffered

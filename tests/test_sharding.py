@@ -3,6 +3,7 @@ and the full training step must compile+run on a (data, fsdp, tp) mesh.
 Runs on the 8-device virtual CPU platform from conftest."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,6 +48,7 @@ def test_param_specs_cover_tree():
         "PartitionSpec(None, 'tp', 'fsdp')"
 
 
+@pytest.mark.slow
 def test_train_step_on_mesh():
     from esm_tpu import training
 
@@ -82,6 +84,7 @@ def test_train_step_on_mesh():
     assert losses[-1] < losses[0], losses
 
 
+@pytest.mark.slow
 def test_esmfold_trunk_pair_sharding():
     """Sequence-parallel pair tensor: trunk forward with the (B, I, J, C) pair
     activations sharded over the tp axis matches the unsharded forward."""
@@ -201,6 +204,7 @@ def test_ring_attention_fully_masked_row_returns_zeros():
         assert np.abs(np.asarray(out[0])).max() > 0  # valid row unaffected
 
 
+@pytest.mark.slow
 def test_ring_flash_grads_match_exact():
     """Gradients through the flash ring (custom_vjp: backward kernels run per
     block in a second ring) == gradients through dense attention."""
@@ -259,6 +263,7 @@ def test_ring_flash_grads_match_exact():
     np.testing.assert_array_equal(np.asarray(g[2][1]), 0.0)  # dv of dead row
 
 
+@pytest.mark.slow
 def test_train_step_seq_flash_matches_exact():
     """Full sequence-parallel MLM step with the flash ring == the plain
     single-device step (loss and updated params)."""
@@ -322,6 +327,7 @@ def test_seq_sharded_forward_matches_single_device():
         esm2.apply_seq_sharded(params, cfg, toks, mesh=mesh, return_contacts=True)
 
 
+@pytest.mark.slow
 def test_train_step_seq_matches_train_step():
     """Sequence-parallel MLM step == single-device step: same loss and same
     updated params (grads flow through ppermute/ring exactly)."""
@@ -443,6 +449,7 @@ def test_sharded_int8_forward_matches_single_device():
     np.testing.assert_allclose(np.asarray(out_sh), out_single, atol=2e-5, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_remat_matches_exact_gradients():
     """cfg.remat recomputes layer bodies on backward: forward outputs and
     gradients must match the non-remat path (pure memory/time tradeoff)."""

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy example/notebook compiles
+
 from esm_tpu import training
 from esm_tpu.data import Alphabet
 from esm_tpu.models import esm2
