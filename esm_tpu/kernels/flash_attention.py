@@ -43,10 +43,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 _LANES = 128
+# Whole-source single-pass blocks beat the online-softmax path while k/v and
+# the (bq, S) fp32 score tile fit VMEM: measured +20% at S=2048 (the roofline
+# decomposition in BENCH_NOTES — the m/l bookkeeping and second pass cost more
+# than the bigger tile). Above this, blockwise online softmax takes over.
+_SINGLE_PASS_MAX_S = 2048
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _pick_block_k(block_k: Optional[int], s: int) -> int:
+    """block_k=None (the default) widens to the whole padded source while the
+    single-pass path fits (S <= _SINGLE_PASS_MAX_S), else 1024 blockwise;
+    an explicit block_k is honored (capped at the padded source)."""
+    sp = _round_up(s, 128)
+    if block_k is None:
+        return sp if sp <= _SINGLE_PASS_MAX_S else 1024
+    return min(block_k, sp)
 
 
 def _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, ki, qi=None):
@@ -541,7 +556,7 @@ def flash_attention_with_lse(
     *,
     key_padding_mask: Optional[jax.Array] = None,
     block_q: int = 1024,
-    block_k: int = 1024,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ):
     """flash_attention that ALSO returns the per-row log-sum-exp (B, H, T)
@@ -555,7 +570,7 @@ def flash_attention_with_lse(
     b, h, t, d = q.shape
     s = k.shape[2]
     block_q = min(block_q, _round_up(t, 128))
-    block_k = min(block_k, _round_up(s, 128))
+    block_k = _pick_block_k(block_k, s)
     tp = _round_up(t, block_q)
     sp = _round_up(s, block_k)
 
@@ -595,7 +610,7 @@ def flash_attention_block_bwd(
     *,
     key_padding_mask: Optional[jax.Array] = None,
     block_q: int = 1024,
-    block_k: int = 1024,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ):
     """Exact (dq, dk, dv) of attention against a KEY BLOCK (k/v may hold only
@@ -611,7 +626,7 @@ def flash_attention_block_bwd(
     b, h, t, d = q.shape
     s = k.shape[2]
     block_q = min(block_q, _round_up(t, 128))
-    block_k = min(block_k, _round_up(s, 128))
+    block_k = _pick_block_k(block_k, s)
     tp = _round_up(t, block_q)
     sp = _round_up(s, block_k)
 
@@ -658,7 +673,7 @@ def flash_attention(
     key_padding_mask: Optional[jax.Array] = None,
     rotary: bool = False,
     block_q: int = 1024,
-    block_k: int = 1024,
+    block_k: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Flash attention on (B, H, T, d) tensors. q must already be scaled by
@@ -678,7 +693,7 @@ def flash_attention(
     b, h, t, d = q.shape
     s = k.shape[2]
     block_q = min(block_q, _round_up(t, 128))
-    block_k = min(block_k, _round_up(s, 128))
+    block_k = _pick_block_k(block_k, s)
     tp = _round_up(t, block_q)
     sp = _round_up(s, block_k)
 

@@ -1,0 +1,269 @@
+"""Checkable roofline for the flash-attention kernel (VERDICT r1 item 1).
+
+Builds the attention ceiling from MEASURED primitives on this chip, not from
+nominal specs:
+
+  P1  peak GEMM        bf16 8192x8192x8192 (chip's realizable MXU peak)
+  P2  qk-shaped GEMM   bf16 (BH collapsed) M=T K=64 N=T  - the d=64
+                       contraction the kernel must run (K half-fills the MXU)
+  P3  pv-shaped GEMM   bf16 M=T K=T N=64   - the output-narrow second matmul
+  P4  VPU exp          fp32 elementwise exp throughput (Gexp/s)
+  P5  VPU elementwise  fp32 multiply-add stream (for the non-exp softmax passes)
+  P6  HBM stream       bf16 copy bandwidth
+
+Model (per (T, T) tile, both matmuls serial with the softmax VPU passes —
+Mosaic does not overlap VPU and MXU within a block):
+
+  t_model = flops_qk / R(P2) + flops_pv / R(P3)
+          + exp_elems / R(P4) + vpu_elems / R(P5)
+          + bytes / R(P6)                      [bytes ~ O(T d): negligible]
+
+ceiling_TFs = attention_flops / t_model. Target: measured flash >= 85% of
+this VALIDATED ceiling. Also prints the naive "half-MXU" ceiling the round-1
+notes used, for comparison.
+
+Run ALONE on the chip (one process!). Writes a table to stdout.
+"""
+
+import functools
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+_RT = None  # measured tunnel roundtrip, subtracted from amortized timings
+
+
+def _force(r):
+    leaf = jax.tree.leaves(r)[0]
+    return float(jnp.sum(leaf.ravel()[:1].astype(jnp.float32)))
+
+
+def roundtrip() -> float:
+    """Dispatch+readback latency of a trivial op over the tunnel."""
+    x = jnp.ones((8, 128), jnp.float32)
+    f = jax.jit(lambda x: x + 1.0)
+    _force(f(x))
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _force(f(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def timed(fn, *args, iters=20, warmup=2):
+    """Per-iteration device time: `iters` independent async dispatches, ONE
+    readback (the tunneled chip executes the queue back-to-back), minus the
+    measured roundtrip. Rule: size iters so compute >> roundtrip."""
+    global _RT
+    if _RT is None:
+        _RT = roundtrip()
+        print(f"(tunnel roundtrip {_RT*1e3:.1f} ms)", flush=True)
+    r = None
+    for _ in range(warmup):
+        r = fn(*args)
+    _force(r)
+    best = np.inf
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn(*args)
+        _force(r)
+        best = min(best, time.perf_counter() - t0)
+    return max((best - _RT) / iters, 1e-9)
+
+
+def gemm_rate(m, k, n, reps, dtype=jnp.bfloat16):
+    """TF/s of `reps` independent (m,k)x(k,n) GEMMs chained via fresh inputs
+    (independent outputs summed — keeps XLA from fusing them away)."""
+    key = jax.random.PRNGKey(0)
+    a = jax.random.normal(key, (reps, m, k), dtype)
+    b = jax.random.normal(key, (reps, k, n), dtype)
+
+    @jax.jit
+    def run(a, b):
+        return jax.lax.dot_general(
+            a, b, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+
+    fl = 2.0 * reps * m * k * n
+    iters = min(200, max(8, int(0.4 / (fl / 50e12))))
+    t = timed(run, a, b, iters=iters)
+    return fl / t / 1e12, t
+
+
+def vpu_exp_rate(elems=16 * 1024 * 1024, depth=64):
+    """ALU-bound exp rate: `depth` dependent exps fuse into one HBM pass, so
+    with depth >> 1 the stream cost vanishes and the ALU rate remains."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (elems,), jnp.float32) * 0.1
+
+    @jax.jit
+    def run(x):
+        for _ in range(depth):
+            x = jnp.exp(x * 0.12345)
+        return x
+
+    t = timed(run, x, iters=8)
+    return depth * elems / t / 1e9, t  # Gexp/s
+
+
+def vpu_ew_rate(elems=16 * 1024 * 1024, depth=64):
+    x = jax.random.normal(jax.random.PRNGKey(2), (elems,), jnp.float32)
+
+    @jax.jit
+    def run(x):
+        for _ in range(depth):
+            x = x * 1.0000001 + 1e-7
+        return x
+
+    t = timed(run, x, iters=8)
+    return depth * elems / t / 1e9, t  # G(fma)/s
+
+
+def hbm_rate(mb=512):
+    n = mb * 1024 * 1024 // 2
+    x = jax.random.normal(jax.random.PRNGKey(3), (n,), jnp.bfloat16)
+    run = jax.jit(lambda x: x + jnp.bfloat16(1.0))
+    t = timed(run, x)
+    return 2 * n * 2 / t / 1e9, t  # GB/s (read + write)
+
+
+def probe_variant_rate(b, h, t_len, d, variant, block_q=1024):
+    """Single-pass attention probe kernels (whole S in VMEM, like the library
+    kernel's S<=1024 path) that isolate cost components:
+      nosm  - GEMM pair only (s = q.k^T; o = cast(s).v): in-VMEM MXU rate at
+              the kernel's exact block shapes — the real P2/P3
+      exp   - full fp32 softmax via exp (the library kernel's math)
+      exp2  - softmax via exp2 (prescale folded into q: one fewer ALU op in
+              the hot transcendental)
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if variant == "nosm":
+            p = s
+        else:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m) if variant == "exp" else jnp.exp2(s - m)
+            l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if variant != "nosm":
+            pv = pv / jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = pv.astype(o_ref.dtype)
+
+    bh = b * h
+    bq = min(block_q, t_len)
+    key = jax.random.PRNGKey(5)
+    q = jax.random.normal(key, (bh, t_len, d), jnp.bfloat16)
+    k = jax.random.normal(key, (bh, t_len, d), jnp.bfloat16)
+    v = jax.random.normal(key, (bh, t_len, d), jnp.bfloat16)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(bh, t_len // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((1, t_len, d), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((1, t_len, d), lambda b_, i: (b_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda b_, i: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )
+    run = jax.jit(lambda q, k, v: call(q, k, v))
+    fl = 4.0 * bh * t_len * t_len * d
+    iters = min(200, max(8, int(0.4 / (fl / 50e12))))
+    t = timed(run, q, k, v, iters=iters)
+    return fl / t / 1e12, t
+
+
+def flash_rate(b, h, t_len, d, block_q, block_k, variant="kernel"):
+    from esm_tpu.kernels.flash_attention import flash_attention
+
+    key = jax.random.PRNGKey(4)
+    q = jax.random.normal(key, (b, h, t_len, d), jnp.bfloat16)
+    k = jax.random.normal(key, (b, h, t_len, d), jnp.bfloat16)
+    v = jax.random.normal(key, (b, h, t_len, d), jnp.bfloat16)
+
+    @jax.jit
+    def run(q, k, v):
+        return flash_attention(q, k, v, block_q=block_q, block_k=block_k)
+
+    fl = 4.0 * b * h * t_len * t_len * d
+    iters = min(200, max(8, int(0.4 / (fl / 50e12))))
+    t = timed(run, q, k, v, iters=iters)
+    return fl / t / 1e12, t
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"device: {dev}", flush=True)
+
+    p1, _ = gemm_rate(8192, 8192, 8192, 1)
+    print(f"P1 peak GEMM 8192^3 bf16:        {p1:7.1f} TF/s", flush=True)
+
+    p4, _ = vpu_exp_rate()
+    p5, _ = vpu_ew_rate()
+    p6, _ = hbm_rate()
+    print(
+        f"P4 exp {p4:.1f} Gexp/s   P5 elementwise {p5:.1f} Gop/s   "
+        f"P6 HBM {p6:.1f} GB/s", flush=True,
+    )
+
+    shapes = [(8, 20, 1024, 64), (8, 20, 512, 64), (16, 20, 2048, 64)]
+
+    for (B, H, T, D) in shapes:
+        BH = B * H
+        fl = 4.0 * BH * T * T * D
+        naive = 0.5 * p1
+
+        r_nosm, t_nosm = probe_variant_rate(B, H, T, D, "nosm")
+        r_exp, t_exp = probe_variant_rate(B, H, T, D, "exp")
+        r_exp2, t_exp2 = probe_variant_rate(B, H, T, D, "exp2")
+        meas, t_meas = flash_rate(B, H, T, D, 1024, 1024)
+
+        # decomposition: softmax VPU cost = t_exp - t_nosm; model it from the
+        # ALU probes (1 exp + ~4 elementwise passes per (T,T) element)
+        exp_elems = 1.0 * BH * T * T
+        vpu_elems = 4.0 * BH * T * T
+        t_vpu_model = exp_elems / (p4 * 1e9) + vpu_elems / (p5 * 1e9)
+        # validated ceiling: in-VMEM GEMM pair (measured) + best softmax seen
+        t_sm_best = min(t_exp, t_exp2) - t_nosm
+        ceiling = fl / (t_nosm + max(t_sm_best, 0.0)) / 1e12
+
+        print(
+            f"shape B{B} H{H} T{T} d{D}:\n"
+            f"  nosm GEMM-pair in-VMEM      : {r_nosm:7.1f} TF/s ({t_nosm*1e3:.3f} ms)"
+            f" = {100*r_nosm/naive:5.1f}% of half-MXU\n"
+            f"  + exp softmax               : {r_exp:7.1f} TF/s ({t_exp*1e3:.3f} ms)\n"
+            f"  + exp2 softmax              : {r_exp2:7.1f} TF/s ({t_exp2*1e3:.3f} ms)\n"
+            f"  softmax cost meas {1e3*(t_exp-t_nosm):.3f} ms vs ALU model "
+            f"{1e3*t_vpu_model:.3f} ms\n"
+            f"  validated ceiling {ceiling:6.1f} TF/s  (naive half-MXU {naive:6.1f})\n"
+            f"  library flash  {meas:6.1f} TF/s ({t_meas*1e3:.3f} ms) = "
+            f"{100*meas/ceiling:5.1f}% of validated ceiling, "
+            f"{100*meas/naive:5.1f}% of naive",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
