@@ -75,6 +75,16 @@ def create_parser():
         help="bf16 compute in the folding trunk (~1.6x faster; LN/softmax stay fp32)",
     )
     parser.add_argument(
+        "--fp16-lm", action="store_true",
+        help="run the frozen LM in float16 like the reference "
+        "(esm/esmfold/v1/esmfold.py:59-62); LN/softmax stay fp32. Use for "
+        "golden-parity runs; bf16 is the TPU-native default choice",
+    )
+    parser.add_argument(
+        "--bf16-lm", action="store_true",
+        help="run the frozen LM in bfloat16 (TPU-native fast path)",
+    )
+    parser.add_argument(
         "--fused-triangle", action="store_true",
         help="fused Pallas triangle-attention kernels (fastest at any length; "
         "recommended with --bf16-trunk on TPU; long first compile)",
@@ -141,6 +151,15 @@ def run(args):
     if trunk_updates:
         cfg = dataclasses.replace(
             cfg, trunk=dataclasses.replace(cfg.trunk, **trunk_updates)
+        )
+    if args.fp16_lm or args.bf16_lm:
+        import jax.numpy as jnp
+
+        if args.fp16_lm and args.bf16_lm:
+            raise SystemExit("esm-fold: pass at most one of --fp16-lm / --bf16-lm")
+        lm_dtype = jnp.float16 if args.fp16_lm else jnp.bfloat16
+        cfg = dataclasses.replace(
+            cfg, esm=dataclasses.replace(cfg.esm, compute_dtype=lm_dtype)
         )
     if args.int8:
         from ..quantization import quantize_params

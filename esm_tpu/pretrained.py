@@ -368,14 +368,25 @@ class ESMFoldHandle:
             self.cfg, trunk=dataclasses.replace(self.cfg.trunk, **{"chunk_size": chunk_size})
         )
 
-    def with_options(self, **trunk_updates) -> "ESMFoldHandle":
-        """New handle with trunk execution options changed (compute_dtype,
-        use_flash_tri, chunk_size, pair_spec, ...)."""
+    def with_options(self, *, lm_dtype=None, **trunk_updates) -> "ESMFoldHandle":
+        """New handle with execution options changed.
+
+        ``lm_dtype`` sets the frozen LM's compute dtype — ``jnp.float16``
+        reproduces the reference's half-precision LM (esmfold.py:59-62;
+        weights are cast at use, numerically identical to storing fp16).
+        Remaining kwargs are trunk options (compute_dtype, use_flash_tri,
+        chunk_size, pair_spec, ...)."""
         import dataclasses
 
-        cfg = dataclasses.replace(
-            self.cfg, trunk=dataclasses.replace(self.cfg.trunk, **trunk_updates)
-        )
+        cfg = self.cfg
+        if lm_dtype is not None:
+            cfg = dataclasses.replace(
+                cfg, esm=dataclasses.replace(cfg.esm, compute_dtype=lm_dtype)
+            )
+        if trunk_updates:
+            cfg = dataclasses.replace(
+                cfg, trunk=dataclasses.replace(cfg.trunk, **trunk_updates)
+            )
         return ESMFoldHandle(cfg, self.params, self.alphabet)
 
     def quantized(self, **kw) -> "ESMFoldHandle":
