@@ -48,6 +48,27 @@ def contacts_from_distance_map(dist: np.ndarray, cutoff: float = 8.0) -> np.ndar
         return (np.nan_to_num(dist, nan=np.inf) < cutoff).astype(np.float32)
 
 
+def inferred_cb(coords: np.ndarray) -> np.ndarray:
+    """(..., L, 3, 3) N/CA/C backbone -> (..., L, 3) inferred C-beta
+    (AF2 cross-product chemistry, reference esmfold trunk.py:225-243) —
+    lets true contact maps be computed from backbone-only structures like
+    the inverse-folding fixtures."""
+    n, ca, c = coords[..., 0, :], coords[..., 1, :], coords[..., 2, :]
+    b = ca - n
+    cc = c - ca
+    a = np.cross(b, cc)
+    return -0.58273431 * a + 0.56802827 * b - 0.54067466 * cc + ca
+
+
+def contacts_from_backbone(coords: np.ndarray, cutoff: float = 8.0) -> np.ndarray:
+    """(L, 3, 3) N/CA/C (NaN rows = missing residues) -> (L, L) binary
+    CB-CB < ``cutoff`` contact map; pairs involving a missing residue are 0."""
+    cb = inferred_cb(coords)
+    with np.errstate(invalid="ignore"):
+        d = np.linalg.norm(cb[:, None, :] - cb[None, :, :], axis=-1)
+    return contacts_from_distance_map(d, cutoff)
+
+
 def tm_score(
     coords_ref: np.ndarray, coords_model: np.ndarray, *, superimpose: bool = True
 ) -> float:

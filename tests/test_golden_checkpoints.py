@@ -41,16 +41,66 @@ def test_esm2_650m_embeddings():
 
 @pytest.mark.skipif(not _have("esmfold_3B_v1"), reason="weights not downloaded")
 def test_esmfold_golden_plddt():
+    """The PARITY.md golden-gate procedure: mode 1 (fp16 LM — the reference's
+    own execution precision, esmfold.py:59-62) must hit 88.3 ± 0.3; mode 3
+    (full fp32) isolates precision noise from converter bugs; the two modes
+    must agree structurally (TM > 0.99)."""
+    import jax
+
     from esm_tpu import pretrained
+    from esm_tpu.metrics import tm_score
     from esm_tpu.models import esmfold as ef
 
-    cfg, params, alphabet = pretrained.esmfold_v1()
+    jax.config.update("jax_default_matmul_precision", "float32")
+    handle = pretrained.esmfold_v1()
     seq = (
         "MKTVRQERLKSIVRILERSKEPVSGAQLAEELSVSRQVIVQDIAYLRSLGYNIVATPRGYVLAGG"
     )
-    out = ef.infer(params, cfg, seq)
-    mean_plddt = float(np.asarray(out["mean_plddt"])[0])
-    assert abs(mean_plddt - 88.3) < 0.5, mean_plddt
+    import jax.numpy as jnp
+
+    h16 = handle.with_options(lm_dtype=jnp.float16)
+    out16 = h16.infer([seq])
+    out32 = handle.infer([seq])
+    p16 = float(np.asarray(out16["mean_plddt"])[0])
+    p32 = float(np.asarray(out32["mean_plddt"])[0])
+    print(f"esmfold golden: fp16-LM pLDDT {p16:.2f}, fp32 pLDDT {p32:.2f}")
+    assert abs(p16 - 88.3) < 0.3, (p16, p32)
+    assert abs(p16 - p32) < 0.5, (p16, p32)
+    ca16 = np.asarray(out16["positions"])[0, :, 1]
+    ca32 = np.asarray(out32["positions"])[0, :, 1]
+    assert tm_score(ca32, ca16) > 0.99
+
+
+@pytest.mark.skipif(not _have("esm2_t33_650M_UR50D"), reason="weights not downloaded")
+def test_esm2_650m_contact_precision_harness():
+    """Top-L long-range contact precision (README.md:642-688 methodology:
+    P@L, separation >= 24, CB-CB < 8 Å) on the 10 real 90-residue chains of
+    the inverse-folding fixture. The absolute value on this small set is not
+    the paper's benchmark number; the gate is a conservative floor plus a
+    printed record, so accuracy parity is one command once weights exist."""
+    fixture = Path("/root/reference/tests/inverse_folding_test_example.json")
+    if not fixture.exists():
+        pytest.skip("fixture not available")
+    with open(fixture) as f:
+        examples = json.load(f)
+
+    from esm_tpu import pretrained
+    from esm_tpu.metrics import contact_precision, contacts_from_backbone
+
+    model, alphabet = pretrained.esm2_t33_650M_UR50D()
+    precisions = []
+    for e in examples:
+        coords = np.asarray(e["coords"], np.float32)  # (L, 3, 3) N/CA/C
+        seq = e["seq"]
+        _, _, tokens = alphabet.get_batch_converter()([("x", seq)])
+        pred = np.asarray(model(tokens, return_contacts=True)["contacts"])[0]
+        true = contacts_from_backbone(coords)
+        precisions.append(contact_precision(pred, true, minsep=24))
+    mean_p = float(np.mean(precisions))
+    print(f"contact P@L long-range over {len(precisions)} chains: {mean_p:.3f}")
+    # 650M scores ~0.50 on the paper's valid sets; generic 90-mers vary —
+    # a mean below 0.25 indicates a broken pipeline, not a hard model
+    assert mean_p > 0.25, precisions
 
 
 @pytest.mark.skipif(
