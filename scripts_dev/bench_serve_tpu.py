@@ -13,7 +13,7 @@ if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") != "1":
     os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "1"
     os.execv(sys.executable, [sys.executable] + sys.argv)
 
-import json, threading, time, urllib.request
+import json, threading, time, urllib.error, urllib.request
 import numpy as np
 import jax, jax.numpy as jnp
 from esm_tpu.data import Alphabet
@@ -24,7 +24,7 @@ from esm_tpu.runtime.server import InferenceServer
 def main():
     argv = sys.argv[1:]
     flag_vals = {}
-    for flag in ("--wait", "--open-loop"):
+    for flag in ("--wait", "--open-loop", "--max-queued"):
         if flag in argv:
             i = argv.index(flag)
             if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
@@ -46,8 +46,13 @@ def main():
     model = LMHandle("esm2", cfg, params, alphabet)
     bucket = "max" if "--pow2" not in sys.argv else "pow2"
     wait_ms = flag_vals.get("--wait", 20.0)
-    srv = InferenceServer(model, max_batch_seqs=16, max_wait_ms=wait_ms, batch_bucket=bucket).start()
-    print(f"init {time.perf_counter()-t0:.1f}s  url {srv.url}  bucket={bucket}")
+    max_queued = int(flag_vals.get("--max-queued", 256))
+    srv = InferenceServer(
+        model, max_batch_seqs=16, max_wait_ms=wait_ms, batch_bucket=bucket,
+        max_queued_seqs=max_queued,
+    ).start()
+    print(f"init {time.perf_counter()-t0:.1f}s  url {srv.url}  bucket={bucket}  "
+          f"max_queued={max_queued}")
 
     rng = np.random.default_rng(0)
     aas = "LAGVSERTIDPKQNFYMHWC"
@@ -98,20 +103,30 @@ def main():
         earlier responses (one thread per request) — the regime the pipelined
         batcher is built for; closed-loop clients idle the window."""
         done = [None] * n_req
+        rejected = [0]
         t0 = time.perf_counter()
         def w(i):
             delay = t0 + i / rate - time.perf_counter()
             if delay > 0:
                 time.sleep(delay)
-            done[i] = post(seqs[i])
+            try:
+                done[i] = post(seqs[i])
+            except urllib.error.HTTPError as e:
+                if e.code == 429:   # admission control sheds past saturation —
+                    rejected[0] += 1  # accepted requests keep a bounded p95
+                    done[i] = "rejected"
+                else:
+                    raise
         ts = [threading.Thread(target=w, args=(i,)) for i in range(n_req)]
         [t.start() for t in ts]; [t.join() for t in ts]
         wall = time.perf_counter() - t0
         assert all(d is not None for d in done)
         with urllib.request.urlopen(srv.url + "/stats", timeout=30) as r:
             stats = json.loads(r.read())
+        acc = n_req - rejected[0]
         print(f"open-loop @{rate:.0f}/s: {n_req} requests in {wall:.2f}s  "
-              f"{n_req/wall:.1f} seq/s achieved  mean_batch {stats['mean_batch_seqs']}  "
+              f"{acc} accepted ({rejected[0]} x 429)  {acc/wall:.1f} seq/s served  "
+              f"mean_batch {stats['mean_batch_seqs']}  "
               f"p50 {stats['latency_p50_ms']:.0f} ms  p95 {stats['latency_p95_ms']:.0f} ms")
 
     load_pass("pass1 (cold traces)")

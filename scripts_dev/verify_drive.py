@@ -30,12 +30,16 @@ t0 = time.time()
 out = esm2.apply(params, cfg, tokens, return_contacts=True, return_representations=True)
 jax.block_until_ready(out)
 print(f"steady-state fwd {time.time()-t0*1:.3f}s")
-lg = np.asarray(out["logits"])
-ct = np.asarray(out["contacts"])
-print("logits finite:", np.isfinite(lg).all(), " contacts in [0,1]:",
-      bool((ct >= 0).all() and (ct <= 1).all()))
-# mean-embedding extraction like esm-extract would do
-reps = np.asarray(out["representations"][6])
+import jax.numpy as jnp  # noqa: E402
+
+# device-side reductions + small readbacks (pulling the full tensors over the
+# tunnel stalls for minutes when the relay is loaded — see CLAUDE.md)
+lg_finite = bool(jnp.isfinite(out["logits"]).all())
+ct = out["contacts"]
+ct_ok = bool(jnp.logical_and(ct >= 0, ct <= 1).all())
+print("logits finite:", lg_finite, " contacts in [0,1]:", ct_ok)
+# mean-embedding extraction like esm-extract would do (reduce on device)
+reps = out["representations"][6]
 for i, (lab, s) in enumerate(seqs[:3]):
-    emb = reps[i, 1:len(s)+1].mean(0)
-    print(f"  {lab[:30]:30s} mean-emb[0:3] {emb[:3]}")
+    emb = np.asarray(reps[i, 1 : len(s) + 1].mean(0)[:3])
+    print(f"  {lab[:30]:30s} mean-emb[0:3] {emb}")
