@@ -263,7 +263,10 @@ class LMHandle:
         import jax.numpy as jnp
 
         from .models import esm1, esm2, msa_transformer
+        from .utils.validation import check_repr_layers, check_tokens
 
+        tokens = check_tokens(tokens, self.alphabet, msa=self.kind == "msa")
+        check_repr_layers(repr_layers, self.num_layers)
         mod = {"esm2": esm2, "esm1": esm1, "msa": msa_transformer}[self.kind]
         if repr_layers and not (return_contacts and not need_head_weights):
             # memory-frugal path: only the requested layers are kept in-scan
@@ -307,12 +310,16 @@ class IFHandle:
 
     def sample(self, coords, **kw):
         from .models import inverse_folding as ifm
+        from .utils.validation import check_coords
 
+        check_coords(coords)
         return ifm.sample(self.params, self.cfg, self.alphabet, coords, **kw)
 
     def score_sequence(self, coords, seq):
         from .models import inverse_folding as ifm
+        from .utils.validation import check_coords
 
+        check_coords(coords)
         return ifm.score_sequence(self.params, self.cfg, self.alphabet, coords, seq)
 
     def forward(self, coords, padding_mask, confidence, prev_output_tokens):
