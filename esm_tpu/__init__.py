@@ -8,6 +8,7 @@ hot attention paths.
 
 from .data.alphabet import Alphabet, BatchConverter, MSABatchConverter
 from .data.fasta import FastaBatchedDataset, read_fasta
+from .data.msa import greedy_select, read_msa, remove_insertions
 from . import pretrained
 
 __version__ = "0.1.0"
@@ -18,6 +19,9 @@ __all__ = [
     "MSABatchConverter",
     "FastaBatchedDataset",
     "read_fasta",
+    "read_msa",
+    "remove_insertions",
+    "greedy_select",
     "pretrained",
     "models",
     "data",

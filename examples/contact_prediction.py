@@ -18,6 +18,11 @@ def main():
     parser.add_argument("--msa", default=None, help=".a3m file for the MSA Transformer")
     parser.add_argument("--msa-depth", type=int, default=64)
     parser.add_argument(
+        "--msa-select", choices=["greedy", "first"], default="greedy",
+        help="subsampling: diversity-maximizing greedy_select (the reference "
+        "notebook's methodology) or the first N rows",
+    )
+    parser.add_argument(
         "--targets-npz", default=None,
         help=".npz of {label: LxL binary contact map} to score precision@L against",
     )
@@ -28,13 +33,11 @@ def main():
 
     if model.kind == "msa":
         assert args.msa, "MSA Transformer needs --msa"
-        msa = []
-        for i, rec in enumerate(
-            esm_tpu.read_fasta(args.msa, keep_insertions=False, to_upper=True)
-        ):
-            if i >= args.msa_depth:
-                break
-            msa.append(rec)
+        full_msa = esm_tpu.read_msa(args.msa)
+        if args.msa_select == "greedy":
+            msa = esm_tpu.greedy_select(full_msa, num_seqs=args.msa_depth)
+        else:
+            msa = full_msa[: args.msa_depth]
         _, _, tokens = alphabet.get_batch_converter()([msa])
         contacts = np.asarray(model(tokens, return_contacts=True)["contacts"])[0]
         print(f"{msa[0][0]}: predicted {contacts.shape} contact map")

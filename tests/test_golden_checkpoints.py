@@ -151,3 +151,47 @@ def test_esm2_650m_int8_close_to_fp32():
     agree = (quant[0, 1:-1].argmax(-1) == full[0, 1:-1].argmax(-1)).mean()
     assert agree > 0.98, agree
     assert np.abs(quant - full).max() < 0.1 * (np.abs(full).max() + 1)
+
+
+@pytest.mark.skipif(
+    not _have("esm1v_t33_650M_UR90S_1"), reason="weights not downloaded"
+)
+def test_esm1v_blat_zero_shot_spearman():
+    """Zero-shot variant-effect harness on the released BLAT_ECOLX DMS
+    (reference examples/variant-prediction/README.md): wt-marginals scores
+    must rank-correlate ~1 with the reference's shipped esm1v_1 predictions
+    (same model, same scoring rule), and |rho| vs the DMS measurement must
+    land in the published range."""
+    csv = Path(
+        "/root/reference/examples/variant-prediction/data/"
+        "BLAT_ECOLX_Ranganathan2015_labeled.csv"
+    )
+    if not csv.exists():
+        pytest.skip("reference DMS fixture not available")
+    import jax
+    import pandas as pd
+
+    from esm_tpu import pretrained
+    from esm_tpu.cli.predict_variants import label_row
+    from esm_tpu.metrics import spearman
+
+    df = pd.read_csv(csv)
+    sequence = (
+        "HPETLVKVKDAEDQLGARVGYIELDLNSGKILESFRPEERFPMMSTFKVLLCGAVLSRVDAGQEQLG"
+        "RRIHYSQNDLVEYSPVTEKHLTDGMTVRELCSAAITMSDNTAANLLLTTIGGPKELTAFLHNMGDHV"
+        "TRLDRWEPELNEAIPNDERDTTMPAAMATTLRKLLTGELLTLASRQQLIDWMEADKVAGPLLRSALP"
+        "AGWFIADKSGAGERGSRGIIAALGPDGKPSRIVVIYTTGSQATMDERNRQIAEIGASLIKHW"
+    )
+    model, alphabet = pretrained.esm1v_t33_650M_UR90S_1()
+    _, _, tokens = alphabet.get_batch_converter()([("protein1", sequence)])
+    token_probs = np.asarray(jax.nn.log_softmax(model(tokens)["logits"], axis=-1))
+    scores = np.array(
+        [label_row(m, sequence, token_probs, alphabet, 24) for m in df["mutant"]]
+    )
+    rho_ref = spearman(scores, df["esm1v_t33_650M_UR90_1"].to_numpy())
+    rho_dms = spearman(scores, df["2500"].to_numpy())
+    print(f"esm1v BLAT: rho(ours, reference scores) = {rho_ref:.4f}, "
+          f"|rho(ours, DMS 2500)| = {abs(rho_dms):.3f}")
+    assert rho_ref > 0.99, rho_ref
+    # Meier et al. 2021 report |rho| ~ 0.5-0.7 on BLAT for single esm1v models
+    assert abs(rho_dms) > 0.4, rho_dms
