@@ -268,12 +268,18 @@ def distogram_cross_entropy(logits, target_bins, mask=None):
     return jnp.mean(nll, axis=(-1, -2))
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "lm_cfg", "num_iter", "resample_y_every", "resample_y_temp", "mh_temperature",
-    ),
-)
+def _schedule_values(spec, steps) -> jnp.ndarray:
+    """Evaluate a temperature spec at ``steps`` as a DYNAMIC fp32 array.
+
+    Passing values (not the spec) into jit keeps plain numbers traced — a
+    temperature sweep reuses one compilation, and jnp scalars are accepted;
+    only changing the schedule *shape* (or step counts) recompiles."""
+    if isinstance(spec, dict) or callable(spec):
+        fn = to_schedule(spec)
+        return jax.vmap(lambda i: jnp.float32(fn(i)))(jnp.asarray(steps))
+    return jnp.full((len(steps),), spec, jnp.float32)
+
+
 def free_generation(
     lm_params,
     lm_cfg,
@@ -300,14 +306,37 @@ def free_generation(
 
     Returns (tokens, energy trace (rounds, resample_y_every, B)).
     """
-    b, t = tokens0.shape
-    L = t - 2
     rounds = num_iter // resample_y_every
     # schedules advance with the GLOBAL iteration index, matching the
     # reference's shared scheduler state across rounds (resuming_stage,
     # utils/free_generation.py:66-72)
-    mh_temp_at = to_schedule(mh_temperature)
-    resample_temp_at = to_schedule(resample_y_temp)
+    mh_temps = _schedule_values(mh_temperature, jnp.arange(num_iter))
+    resample_temps = _schedule_values(
+        resample_y_temp, jnp.arange(rounds) * resample_y_every
+    )
+    return _free_generation_impl(
+        lm_params, lm_cfg, proj_params, tokens0, rng, mh_temps, resample_temps,
+        lm_weight, struct_weight, resample_y_every=resample_y_every,
+    )
+
+
+@partial(jax.jit, static_argnames=("lm_cfg", "resample_y_every"))
+def _free_generation_impl(
+    lm_params,
+    lm_cfg,
+    proj_params,
+    tokens0,
+    rng,
+    mh_temps,
+    resample_temps,
+    lm_weight,
+    struct_weight,
+    *,
+    resample_y_every: int,
+):
+    b, t = tokens0.shape
+    L = t - 2
+    rounds = resample_temps.shape[0]
 
     def struct_energy(tokens, targets):
         preds = distogram_projection_apply(proj_params, lm_params, lm_cfg, tokens)
@@ -329,7 +358,7 @@ def free_generation(
         targets2 = {k: jnp.concatenate([v, v], axis=0) for k, v in targets.items()}
         e = lm_weight * lm_nll / L + struct_weight * struct_energy(stacked, targets2)
         e_cur, e_prop = e[:b], e[b:]
-        log_a = (e_cur - e_prop) / mh_temp_at(it)
+        log_a = (e_cur - e_prop) / mh_temps[it]
         accept = jnp.log(jax.random.uniform(r_acc, (b,), minval=1e-20)) < log_a
         tokens = jnp.where(accept[:, None], proposal, tokens)
         return (tokens, rng, targets), e_cur
@@ -342,7 +371,7 @@ def free_generation(
         keys = jax.random.split(r_samp, 4)
         targets = {
             name: jax.random.categorical(
-                kk, preds[name] / resample_temp_at(step0), axis=-1
+                kk, preds[name] / resample_temps[round_idx], axis=-1
             )
             for kk, name in zip(
                 keys, ("logits", "theta_logits", "phi_logits", "omega_logits")
@@ -359,7 +388,6 @@ def free_generation(
     return tokens, energies
 
 
-@partial(jax.jit, static_argnames=("lm_cfg", "num_steps", "temperature"))
 def gibbs_free_generation(
     lm_params, lm_cfg, tokens0, rng, num_steps: int,
     temperature: "float | Schedule" = 1.0,
@@ -369,9 +397,15 @@ def gibbs_free_generation(
     examples/lm-design/utils/free_generation.py:22-73 — the structure
     resampling half requires the released distogram projection weights and
     plugs in via distogram_projection_apply)."""
+    temps = _schedule_values(temperature, jnp.arange(num_steps))
+    return _gibbs_free_generation_impl(lm_params, lm_cfg, tokens0, rng, temps)
+
+
+@partial(jax.jit, static_argnames=("lm_cfg",))
+def _gibbs_free_generation_impl(lm_params, lm_cfg, tokens0, rng, temps):
     b, t = tokens0.shape
     L = t - 2
-    temp_at = to_schedule(temperature)
+    num_steps = temps.shape[0]
 
     def step(carry, it):
         tokens, rng = carry
@@ -381,7 +415,7 @@ def gibbs_free_generation(
         # restrict to the 20 standard AAs
         vmask = jnp.full((logp.shape[-1],), -jnp.inf)
         vmask = vmask.at[AA_OFFSET : AA_OFFSET + NUM_STANDARD_AA].set(0.0)
-        draw = jax.random.categorical(r_draw, logp / temp_at(it) + vmask, axis=-1)
+        draw = jax.random.categorical(r_draw, logp / temps[it] + vmask, axis=-1)
         tokens = tokens.at[jnp.arange(b), pos].set(draw.astype(tokens.dtype))
         return (tokens, rng), None
 

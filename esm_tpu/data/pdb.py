@@ -99,9 +99,18 @@ def _cif_tokens(line: str) -> list:
             i += 1
             continue
         if c in "'\"":
-            j = line.find(c, i + 1)
-            if j < 0:  # unterminated quote: take the rest
-                j = n
+            # CIF quoting: the value ends at a matching quote FOLLOWED BY
+            # whitespace/EOL — a bare quote inside the value is literal
+            # (primed atom ids like "O5'" / 'C1"' are spec-legal)
+            j = i + 1
+            while True:
+                j = line.find(c, j)
+                if j < 0:  # unterminated quote: take the rest
+                    j = n
+                    break
+                if j + 1 >= n or line[j + 1] in " \t":
+                    break
+                j += 1
             toks.append(line[i + 1 : j])
             i = j + 1
         else:

@@ -64,6 +64,21 @@ def _pick_block_k(block_k: Optional[int], s: int) -> int:
     return min(block_k, sp)
 
 
+def _bwd_block_k(block_k: int, s_len: int) -> int:
+    """Backward-pass block_k: the forward's single-pass widening (up to
+    S=2048 tiles) does NOT transfer to the backward kernels — _dq/_dkv hold
+    two to three (block_q, block_k) fp32 intermediates simultaneously, so a
+    2048-wide tile doubles their live VMEM past budget. Re-split to the
+    largest lane-aligned divisor of the padded source <= 1024 (divisibility
+    keeps the grid exact; 128 always divides s_len)."""
+    if block_k <= 1024:
+        return block_k
+    for b in range(1024, 0, -_LANES):
+        if s_len % b == 0:
+            return b
+    raise AssertionError(f"s_len {s_len} not lane-aligned")
+
+
 def _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, ki, qi=None):
     """Apply GPT-NeoX rotary to the current q/k blocks from VMEM-resident
     tables (saves the two HBM round trips of a separate rotary pass —
@@ -432,6 +447,7 @@ def _flash_bwd_padded(
     bh, tq, d = q.shape
     s_len = k.shape[1]
     h = num_heads
+    block_k = _bwd_block_k(block_k, s_len)
     nq = tq // block_q
     nk = s_len // block_k
 

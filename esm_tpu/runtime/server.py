@@ -649,6 +649,14 @@ class InferenceServer:
         if self._stop.is_set():
             raise ValueError("server shutting down")
         n = len(req.seqs)
+        if n > self.max_queued_seqs:
+            # would never be admitted even on an idle server (possible when
+            # --max-queued-seqs < --max-request-seqs) — a permanent error,
+            # not a 429 the client would retry forever
+            raise ValueError(
+                f"request has {n} sequences but the server admits at most "
+                f"{self.max_queued_seqs} in flight; split the request"
+            )
         with self._lock:
             if self._inflight_seqs + n > self.max_queued_seqs:
                 self._stats["rejected"] += 1

@@ -22,6 +22,18 @@ def _is_traced(x) -> bool:
     return isinstance(x, jax.core.Tracer)
 
 
+def _on_accelerator(x) -> bool:
+    """True for a jax.Array whose committed data lives on a non-CPU device."""
+    import jax
+
+    if not isinstance(x, jax.Array):
+        return False
+    try:
+        return any(d.platform != "cpu" for d in x.devices())
+    except Exception:  # e.g. deleted/donated arrays
+        return True
+
+
 def check_tokens(tokens, alphabet, *, msa: bool = False, name: str = "tokens"):
     """Validate a token tensor against the model's alphabet.
 
@@ -50,7 +62,12 @@ def check_tokens(tokens, alphabet, *, msa: bool = False, name: str = "tokens"):
             f"{name}: expected integer token ids, got dtype {arr.dtype} "
             "(use alphabet.get_batch_converter() to tokenize strings)"
         )
-    if arr.size:
+    if arr.size and not _on_accelerator(arr):
+        # Value-range check needs the data; for an array already resident on
+        # an accelerator that would force a blocking device->host readback
+        # per call (a ~30 ms tunnel roundtrip here) and stall async dispatch
+        # pipelines — skip it there, like the Tracer carve-out above. The
+        # embedding gather clamps out-of-range ids rather than faulting.
         lo, hi = int(np.min(arr)), int(np.max(arr))
         if lo < 0 or hi >= len(alphabet):
             raise ValueError(

@@ -36,47 +36,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-_RT = None  # measured tunnel roundtrip, subtracted from amortized timings
-
-
-def _force(r):
-    leaf = jax.tree.leaves(r)[0]
-    return float(jnp.sum(leaf.ravel()[:1].astype(jnp.float32)))
-
-
-def roundtrip() -> float:
-    """Dispatch+readback latency of a trivial op over the tunnel."""
-    x = jnp.ones((8, 128), jnp.float32)
-    f = jax.jit(lambda x: x + 1.0)
-    _force(f(x))
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        _force(f(x))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
-
-
-def timed(fn, *args, iters=20, warmup=2):
-    """Per-iteration device time: `iters` independent async dispatches, ONE
-    readback (the tunneled chip executes the queue back-to-back), minus the
-    measured roundtrip. Rule: size iters so compute >> roundtrip."""
-    global _RT
-    if _RT is None:
-        _RT = roundtrip()
-        print(f"(tunnel roundtrip {_RT*1e3:.1f} ms)", flush=True)
-    r = None
-    for _ in range(warmup):
-        r = fn(*args)
-    _force(r)
-    best = np.inf
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = fn(*args)
-        _force(r)
-        best = min(best, time.perf_counter() - t0)
-    return max((best - _RT) / iters, 1e-9)
+from esm_tpu.utils.profiling import (  # the repo's one amortized chip timer
+    _force,
+    timed_amortized as timed,
+    tunnel_roundtrip as roundtrip,
+)
 
 
 def gemm_rate(m, k, n, reps, dtype=jnp.bfloat16):

@@ -151,6 +151,35 @@ def test_free_generation(tiny_lm):
     assert ((out >= 4) & (out < 24)).all() or (out == np.asarray(toks)[0, 1:-1]).all()
 
 
+def test_temperature_sweep_does_not_recompile(tiny_lm):
+    """Float temperatures are dynamic operands: sweeping values (or passing a
+    jnp scalar) reuses one compilation; only schedule shape changes retrace."""
+    import jax.numpy as jnp
+    from esm_tpu.apps import lm_design
+    from esm_tpu.apps.schedules import LinearLR
+
+    params, cfg, alphabet = tiny_lm
+    _, _, toks = alphabet.get_batch_converter()([("s", "KALTARQ")])
+    toks = jnp.asarray(toks)
+
+    impl = lm_design._gibbs_free_generation_impl
+    before = impl._cache_size()
+    outs = [
+        lm_design.gibbs_free_generation(
+            params, cfg, toks, jax.random.PRNGKey(0), 3, temperature=temp
+        )
+        for temp in (0.5, 1.0, 2.0, jnp.float32(1.7))
+    ]
+    assert impl._cache_size() == before + 1, "float sweep must not recompile"
+    # annealing schedules ride the same compilation (same shapes)
+    lm_design.gibbs_free_generation(
+        params, cfg, toks, jax.random.PRNGKey(0), 3,
+        temperature=LinearLR(initial=2.0, total_iters=3),
+    )
+    assert impl._cache_size() == before + 1
+    assert all(o.shape == toks.shape for o in outs)
+
+
 def test_lm_design_ngram_energy():
     from esm_tpu.apps.lm_design import _ngram_energy_tables, ngram_kl
 

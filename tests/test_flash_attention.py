@@ -177,6 +177,42 @@ def test_flash_backward_matches_exact(t, blocks, rotary, masked):
         )
 
 
+def test_flash_backward_default_blocks_resplit():
+    """Default block_k widens the FORWARD to a single-pass S=1536 tile; the
+    backward kernels must re-split (_bwd_block_k: 1536 -> 768) — two fp32
+    (block_q, 1536) intermediates would not fit VMEM on hardware. Grads must
+    still match autodiff-of-exact."""
+    from esm_tpu.kernels.flash_attention import _bwd_block_k
+
+    assert _bwd_block_k(1536, 1536) == 768
+    assert _bwd_block_k(2048, 2048) == 1024
+    assert _bwd_block_k(1024, 2048) == 1024
+    assert _bwd_block_k(1280, 1280) == 640
+
+    b, h, t, d = 1, 2, 1536, 64
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv, kc = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (b, h, t, d), jnp.float32) * 0.3
+    k = jax.random.normal(kk, (b, h, t, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, t, d), jnp.float32)
+    valid = t - 17
+    mask = jnp.zeros((b, t), bool).at[:, valid:].set(True)
+    w = jax.random.normal(kc, (b, h, t, d), jnp.float32).at[:, :, valid:].set(0.0)
+
+    def loss_exact(q, k, v):
+        return jnp.sum(_exact(q, k, v, key_padding_mask=mask) * w)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, key_padding_mask=mask) * w)
+
+    g_exact = jax.grad(loss_exact, argnums=(0, 1, 2))(q, k, v)
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for ge, gf, name in zip(g_exact, g_flash, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(ge), atol=1e-4, err_msg=f"d{name}"
+        )
+
+
 def test_esm2_flash_training_grads_match_exact():
     """End-to-end: MLM loss gradients with use_flash=True == use_flash=False
     (the flash kernel is training-grade, not just an inference fast path)."""

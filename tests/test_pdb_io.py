@@ -169,3 +169,38 @@ def test_ppl_template_energies(pdb_text):
     fr2 = FoldingResult(ptm=0.5, plddt=80.0, atoms=shifted, residue_indices=np.arange(1, 4))
     assert MinimizeCRmsd(template).compute(_Node(), fr2) < 1e-3
     assert MinimizeDRmsd(template).compute(_Node(), fr2) < 1e-5
+
+
+def test_cif_quoted_values_with_embedded_quotes():
+    """CIF quoting ends at quote+whitespace, not at the first quote char —
+    primed atom ids like "O5'" are spec-legal and must not silently drop the
+    row to the short-row guard."""
+    from esm_tpu.data.pdb import _cif_tokens, read_cif
+
+    assert _cif_tokens("ATOM \"O5'\" 'C1\"' end") == ["ATOM", "O5'", 'C1"', "end"]
+    assert _cif_tokens("'a b' plain") == ["a b", "plain"]
+
+    cif = "\n".join(
+        [
+            "data_test",
+            "loop_",
+            "_atom_site.group_PDB",
+            "_atom_site.id",
+            "_atom_site.auth_atom_id",
+            "_atom_site.label_alt_id",
+            "_atom_site.auth_comp_id",
+            "_atom_site.auth_asym_id",
+            "_atom_site.auth_seq_id",
+            "_atom_site.Cartn_x",
+            "_atom_site.Cartn_y",
+            "_atom_site.Cartn_z",
+            "_atom_site.type_symbol",
+            "_atom_site.pdbx_PDB_model_num",
+            "ATOM 1 \"O5'\" . DA A 1 1.0 2.0 3.0 O 1",
+            "ATOM 2 CA . ALA A 2 4.0 5.0 6.0 C 1",
+            "#",
+        ]
+    )
+    atoms = read_cif(cif)
+    assert list(atoms.atom_name) == ["O5'", "CA"]
+    np.testing.assert_allclose(atoms.coord[0], [1.0, 2.0, 3.0])

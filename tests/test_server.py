@@ -214,6 +214,28 @@ def test_admission_control_429(server):
         srv.stop()
 
 
+def test_unadmittable_request_is_permanent_400(server):
+    """A request larger than max_queued_seqs can NEVER be admitted — it must
+    fail with a permanent 400 ("split the request"), not a 429 the client
+    would retry forever."""
+    _, model = server
+    srv = InferenceServer(
+        model, truncation_seq_length=60, max_queued_seqs=2
+    ).start()
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(srv, {"sequences": SEQS[:3]})
+        assert exc_info.value.code == 400
+        body = json.loads(exc_info.value.read())
+        assert "split the request" in body["error"]
+        assert "Retry-After" not in (exc_info.value.headers or {})
+        # the server is still healthy and admits a right-sized request
+        ok = _post(srv, {"sequences": SEQS[:2]})
+        assert "results" in ok
+    finally:
+        srv.stop()
+
+
 def test_npz_format_matches_json(server):
     """format='npz' returns one binary .npz whose arrays equal the JSON
     response's values and whose payload is much smaller."""
