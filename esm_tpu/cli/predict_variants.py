@@ -41,6 +41,11 @@ def create_parser():
     parser.add_argument("--msa-mask-batch", type=int, default=8, help="positions per device batch for the MSA Transformer (each position replicates the whole MSA)")
     parser.add_argument("--nogpu", action="store_true")
     parser.add_argument(
+        "--eval-column", type=str, default=None,
+        help="DMS measurement column: after scoring, print each model's "
+        "|spearman rho| against it (and the ensemble's, with multiple models)",
+    )
+    parser.add_argument(
         "--int8", action="store_true",
         help="weight-only int8 quantization (15B zero-shot scoring on one chip)",
     )
@@ -194,6 +199,28 @@ def run(args):
                 )
 
     df.to_csv(args.dms_output)
+
+    if args.eval_column:
+        # Zero-shot evaluation in one flag (the reference computes this in a
+        # separate notebook): |spearman rho| between each model's scores and
+        # a measurement column — the paper's headline metric
+        # (examples/variant-prediction/README.md "rho per protein").
+        from ..metrics import spearman
+
+        if args.eval_column not in df.columns:
+            raise SystemExit(
+                f"--eval-column {args.eval_column!r} not in {args.dms_input}"
+            )
+        target = df[args.eval_column].to_numpy(dtype=float)
+        for model_location in args.model_location:
+            rho = spearman(df[model_location].to_numpy(dtype=float), target)
+            print(f"{model_location}: |rho| vs {args.eval_column} = {abs(rho):.4f}")
+        if len(args.model_location) > 1:
+            ens = np.mean(
+                [df[m].to_numpy(dtype=float) for m in args.model_location], axis=0
+            )
+            rho = spearman(ens, target)
+            print(f"ensemble({len(args.model_location)}): |rho| = {abs(rho):.4f}")
 
 
 def main():

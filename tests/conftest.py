@@ -42,3 +42,37 @@ def pytest_sessionstart(session):
     devs = jax.devices()
     assert devs[0].platform == "cpu", f"tests must run on CPU, got {devs}"
     assert len(devs) == 8, f"expected 8 virtual CPU devices, got {len(devs)}"
+
+
+def run_pretrain_example(tmp_path, extra, steps):
+    """Run examples/pretrain_mlm.py in a FRESH subprocess (the real user
+    flow). In-process importlib execution crashed sporadically: after ~150
+    suite tests, the example's pjit compile aborts inside XLA
+    (backend_compile_and_load) — fresh-process isolation sidesteps the
+    accumulated-state corruption and keeps the contended TPU untouched
+    (PALLAS_AXON_POOL_IPS removed -> sitecustomize registers no axon).
+    Returns (checkpoint_dir, stdout)."""
+    import pathlib
+    import subprocess
+
+    script = pathlib.Path(__file__).parent.parent / "examples" / "pretrain_mlm.py"
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(script.parent.parent) + os.pathsep + env.get("PYTHONPATH", "")
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    fasta = "/root/reference/examples/data/few_proteins.fasta"
+    proc = subprocess.run(
+        [sys.executable, str(script),
+         "--fasta", fasta, "--steps", str(steps), "--num-layers", "2",
+         "--embed-dim", "64", "--attention-heads", "4",
+         "--toks-per-batch", "512", "--truncation-seq-length", "62",
+         "--log-every", "1", "--warmup-steps", "1",
+         "--checkpoint-dir", str(tmp_path / "ckpt")] + extra,
+        capture_output=True, text=True, timeout=900,
+        cwd=str(script.parent.parent), env=env,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    return str(tmp_path / "ckpt"), proc.stdout

@@ -91,7 +91,7 @@ def test_variant_scoring_strategies(fake_ckpt, tmp_path):
     from esm_tpu.cli import predict_variants
 
     seq = "KALTARQQEVFDLIRD"
-    df = pd.DataFrame({"mutant": ["K1A", "A2G", "D16K"]})
+    df = pd.DataFrame({"mutant": ["K1A", "A2G", "D16K"], "dms": [0.1, -1.2, 0.7]})
     dms_in = tmp_path / "dms.csv"
     df.to_csv(dms_in, index=False)
 
@@ -105,6 +105,7 @@ def test_variant_scoring_strategies(fake_ckpt, tmp_path):
                 "--dms-output", str(out_csv),
                 "--offset-idx", "1",
                 "--scoring-strategy", strategy,
+                "--eval-column", "dms",
             ]
         )
         predict_variants.run(args)
@@ -265,39 +266,29 @@ def test_multichain_sample_and_score():
 @pytest.mark.slow
 def test_pretrain_mlm_example(tmp_path):
     """examples/pretrain_mlm.py: loss decreases on the example FASTA and the
-    orbax checkpoint round-trips (the training story end-to-end on the mesh)."""
-    import importlib.util
-    import io
-    from contextlib import redirect_stdout
+    orbax checkpoint round-trips (the training story end-to-end on the mesh).
+    Runs in a fresh subprocess (see conftest.run_pretrain_example)."""
+    import jax
+    import orbax.checkpoint as ocp
 
-    spec = importlib.util.spec_from_file_location(
-        "pretrain_mlm", pathlib.Path(__file__).parent.parent / "examples" / "pretrain_mlm.py"
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    from tests.conftest import run_pretrain_example
 
-    args = mod.create_parser().parse_args(
-        ["--fasta", FASTA, "--steps", "8", "--num-layers", "2",
-         "--embed-dim", "64", "--attention-heads", "4",
-         "--toks-per-batch", "1024", "--truncation-seq-length", "62",
-         "--log-every", "4", "--remat",
-         "--checkpoint-dir", str(tmp_path / "ckpt")]
+    from esm_tpu.io.checkpoint import load_params
+
+    ckpt, out = run_pretrain_example(
+        tmp_path, ["--remat", "--save-every", "8"], steps=8
     )
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        state = mod.run(args)
-    out = buf.getvalue()
     assert "step     8" in out and "saved params" in out
 
     losses = [float(l.split()[3]) for l in out.splitlines() if l.startswith("step")]
     assert losses[-1] < losses[0], out
 
-    from esm_tpu.io.checkpoint import load_params
-
-    restored = load_params(str(tmp_path / "ckpt"), template=state.params)
-    import jax
-
+    # the standalone params checkpoint equals the params inside the saved
+    # train state (save/restore round-trip, bare orbax restores)
+    restored = load_params(str(pathlib.Path(ckpt).resolve()))
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(str(pathlib.Path(f"{ckpt}-state").resolve()))
     jax.tree.map(
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
-        restored, state.params,
+        restored, state["params"],
     )

@@ -117,49 +117,39 @@ def test_eval_step_matches_loss():
     np.testing.assert_array_equal(np.asarray(sums["count"]), per_row)
 
 
-def _run_example(tmp_path, extra, steps):
-    import importlib.util
-    import io
-    from contextlib import redirect_stdout
+from tests.conftest import run_pretrain_example as _run_example  # noqa: E402
 
-    spec = importlib.util.spec_from_file_location(
-        "pretrain_mlm",
-        pathlib.Path(__file__).parent.parent / "examples" / "pretrain_mlm.py",
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    args = mod.create_parser().parse_args(
-        ["--fasta", FASTA, "--steps", str(steps), "--num-layers", "2",
-         "--embed-dim", "64", "--attention-heads", "4",
-         "--toks-per-batch", "512", "--truncation-seq-length", "62",
-         "--log-every", "1", "--warmup-steps", "1",
-         "--checkpoint-dir", str(tmp_path / "ckpt")] + extra
-    )
-    buf = io.StringIO()
-    with redirect_stdout(buf):
-        state = mod.run(args)
-    return state, buf.getvalue()
+
+def _restore_params(ckpt_dir: str):
+    """Final params from the example's saved train state (bare orbax restore)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        state = ckptr.restore(str(pathlib.Path(f"{ckpt_dir}-state").resolve()))
+    return state["params"], int(np.asarray(state["step"]))
 
 
 def test_resume_is_bit_exact(tmp_path):
     """3 steps + save + resume for 3 more == 6 uninterrupted steps: identical
     final params (per-step rng is folded from the step index, the batch
     iterator fast-forwards, and the full optimizer state round-trips)."""
-    straight, _ = _run_example(
-        tmp_path / "a", ["--save-every", "100", "--shuffle"], steps=6
+    ckpt_a, _ = _run_example(
+        tmp_path / "a", ["--save-every", "6", "--shuffle"], steps=6
     )
-    first, out1 = _run_example(
+    ckpt_b, out1 = _run_example(
         tmp_path / "b",
         ["--save-every", "3", "--stop-after", "3", "--shuffle"],
         steps=6,
     )
     assert "stopping after step 3" in out1
-    resumed, out2 = _run_example(
+    _, out2 = _run_example(
         tmp_path / "b", ["--save-every", "3", "--resume", "--shuffle"], steps=6
     )
     assert "resumed from" in out2 and "at step 3" in out2
-    assert int(resumed.step) == 6
-    for a, b in zip(jax.tree.leaves(resumed.params), jax.tree.leaves(straight.params)):
+    straight, step_a = _restore_params(ckpt_a)
+    resumed, step_b = _restore_params(ckpt_b)
+    assert step_a == step_b == 6
+    for a, b in zip(jax.tree.leaves(straight), jax.tree.leaves(resumed)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
