@@ -64,6 +64,51 @@ def _pick_block_k(block_k: Optional[int], s: int) -> int:
     return min(block_k, sp)
 
 
+def _pick_block_q(block_q: int, t: int) -> int:
+    """Query block: prefer a lane-aligned divisor of the padded query length
+    in [block_q/2, block_q] so q pads only to the 128-lane boundary — with a
+    flat min(block_q, ...) choice, t=1280 padded to tp=2048 and computed 60%
+    wasted query rows in every pass (t=1280 -> 640, t=1536 -> 768). Falls
+    back to the requested block (and block-multiple padding) when no such
+    divisor exists (e.g. t=1408 = 128·11)."""
+    tq = _round_up(t, _LANES)
+    if tq <= block_q:
+        return tq
+    for b in range(block_q, block_q // 2 - 1, -_LANES):
+        if tq % b == 0:
+            return b
+    return block_q
+
+
+def _prep_qkv(q, k, v, key_padding_mask, block_q: int, block_k: int):
+    """Shared kernel prologue: flatten (B, H, ·, d) to (BH, ·, d), build the
+    (B, 1, S) fp32 key bias from the padding mask, and pad query/key rows to
+    block multiples (padded keys get NEG_INF bias; padded query rows produce
+    garbage the callers slice off). Returns (qf, kf, vf, bias, tp, sp)."""
+    b, h, t, d = q.shape
+    s = k.shape[2]
+    tp = _round_up(t, block_q)
+    sp = _round_up(s, block_k)
+
+    qf = q.reshape(b * h, t, d)
+    kf = k.reshape(b * h, s, d)
+    vf = v.reshape(b * h, s, d)
+
+    if key_padding_mask is not None:
+        bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
+    else:
+        bias = jnp.zeros((b, s), jnp.float32)
+    bias = bias[:, None, :]  # (B, 1, S) — heads share it via the index map
+
+    if tp != t:
+        qf = jnp.pad(qf, ((0, 0), (0, tp - t), (0, 0)))
+    if sp != s:
+        kf = jnp.pad(kf, ((0, 0), (0, sp - s), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, sp - s), (0, 0)))
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, sp - s)), constant_values=NEG_INF)
+    return qf, kf, vf, bias, tp, sp
+
+
 def _bwd_block_k(block_k: int, s_len: int) -> int:
     """Backward-pass block_k: the forward's single-pass widening (up to
     S=2048 tiles) does NOT transfer to the backward kernels — _dq/_dkv hold
@@ -585,25 +630,9 @@ def flash_attention_with_lse(
 
     b, h, t, d = q.shape
     s = k.shape[2]
-    block_q = min(block_q, _round_up(t, 128))
+    block_q = _pick_block_q(block_q, t)
     block_k = _pick_block_k(block_k, s)
-    tp = _round_up(t, block_q)
-    sp = _round_up(s, block_k)
-
-    qf = q.reshape(b * h, t, d)
-    kf = k.reshape(b * h, s, d)
-    vf = v.reshape(b * h, s, d)
-    if key_padding_mask is not None:
-        bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
-    else:
-        bias = jnp.zeros((b, s), jnp.float32)
-    bias = bias[:, None, :]
-    if tp != t:
-        qf = jnp.pad(qf, ((0, 0), (0, tp - t), (0, 0)))
-    if sp != s:
-        kf = jnp.pad(kf, ((0, 0), (0, sp - s), (0, 0)))
-        vf = jnp.pad(vf, ((0, 0), (0, sp - s), (0, 0)))
-        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, sp - s)), constant_values=NEG_INF)
+    qf, kf, vf, bias, tp, sp = _prep_qkv(q, k, v, key_padding_mask, block_q, block_k)
 
     out, lse = _flash_padded(
         qf, kf, vf, bias, None, None,
@@ -641,32 +670,18 @@ def flash_attention_block_bwd(
 
     b, h, t, d = q.shape
     s = k.shape[2]
-    block_q = min(block_q, _round_up(t, 128))
+    block_q = _pick_block_q(block_q, t)
     block_k = _pick_block_k(block_k, s)
-    tp = _round_up(t, block_q)
-    sp = _round_up(s, block_k)
+    qf, kf, vf, bias, tp, sp = _prep_qkv(q, k, v, key_padding_mask, block_q, block_k)
 
-    qf = q.reshape(b * h, t, d)
-    kf = k.reshape(b * h, s, d)
-    vf = v.reshape(b * h, s, d)
     outf = out.reshape(b * h, t, d)
     dof = do.reshape(b * h, t, d)
     lsef = lse.reshape(b * h, t)
-    if key_padding_mask is not None:
-        bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
-    else:
-        bias = jnp.zeros((b, s), jnp.float32)
-    bias = bias[:, None, :]
     if tp != t:
         pad_rows = ((0, 0), (0, tp - t), (0, 0))
-        qf = jnp.pad(qf, pad_rows)
         outf = jnp.pad(outf, pad_rows)
         dof = jnp.pad(dof, pad_rows)  # zero do rows: padded-q grads vanish
         lsef = jnp.pad(lsef, ((0, 0), (0, tp - t)))
-    if sp != s:
-        kf = jnp.pad(kf, ((0, 0), (0, sp - s), (0, 0)))
-        vf = jnp.pad(vf, ((0, 0), (0, sp - s), (0, 0)))
-        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, sp - s)), constant_values=NEG_INF)
 
     lse8 = jnp.broadcast_to(lsef[:, None, :], (b * h, 8, tp))
     dq, dk, dv = _flash_bwd_padded(
@@ -708,27 +723,9 @@ def flash_attention(
 
     b, h, t, d = q.shape
     s = k.shape[2]
-    block_q = min(block_q, _round_up(t, 128))
+    block_q = _pick_block_q(block_q, t)
     block_k = _pick_block_k(block_k, s)
-    tp = _round_up(t, block_q)
-    sp = _round_up(s, block_k)
-
-    qf = q.reshape(b * h, t, d)
-    kf = k.reshape(b * h, s, d)
-    vf = v.reshape(b * h, s, d)
-
-    if key_padding_mask is not None:
-        bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
-    else:
-        bias = jnp.zeros((b, s), jnp.float32)
-    bias = bias[:, None, :]  # (B, 1, S) — heads share it via the index map
-
-    if tp != t:
-        qf = jnp.pad(qf, ((0, 0), (0, tp - t), (0, 0)))
-    if sp != s:
-        kf = jnp.pad(kf, ((0, 0), (0, sp - s), (0, 0)))
-        vf = jnp.pad(vf, ((0, 0), (0, sp - s), (0, 0)))
-        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, sp - s)), constant_values=NEG_INF)
+    qf, kf, vf, bias, tp, sp = _prep_qkv(q, k, v, key_padding_mask, block_q, block_k)
 
     cos = sin = None
     if rotary:

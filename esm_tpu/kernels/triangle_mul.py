@@ -42,11 +42,14 @@ def _ln_rows(x32, scale, bias, eps=1e-5):
     return xc * jax.lax.rsqrt(var + eps) * scale + bias
 
 
-def _stage1_kernel(z_ref, m_ref, w_ref, b_ref, lns_ref, lnb_ref, a_ref, bb_ref):
-    """rows-block of: zn = LN(z); p = zn @ W4 + b4; a/b = m*sig(g)*p.
+def _stage1_impl(z_ref, m_ref, w_ref, b_ref, lns_ref, lnb_ref, a_ref, bb_ref):
+    """rows-block of: zn = LN(z); p = zn @ W4 + b4; a/b = [m*]sig(g)*p.
 
-    z: (rows, C); m: (rows, 1); W4: (C, 4C) = [a_g|a_p|b_g|b_p]; outputs
-    a, b: (rows, C) in z's dtype.
+    z: (rows, C); m: (rows, 1) int8 or None (all-valid); W4: (C, 4C) =
+    [a_g|a_p|b_g|b_p]; outputs a, b: (rows, C) in z's dtype. The mask stream
+    is int8 and optional because the T(8,128) tiling pads its minor dim to
+    128 lanes — at C=128 a bf16 (rows, 1) mask would cost as much HBM
+    traffic as z itself for one logical bit per row.
     """
     z = z_ref[...]
     c = z.shape[-1]
@@ -57,11 +60,22 @@ def _stage1_kernel(z_ref, m_ref, w_ref, b_ref, lns_ref, lnb_ref, a_ref, bb_ref):
     )
     # gating math in fp32 (Mosaic mis-lowers bf16 sigmoid broadcasts)
     p = p + b_ref[0][None, :].astype(jnp.float32)
-    m = m_ref[...].astype(jnp.float32)  # (rows, 1)
-    a_ref[...] = (m * jax.nn.sigmoid(p[:, :c]) * p[:, c : 2 * c]).astype(a_ref.dtype)
-    bb_ref[...] = (m * jax.nn.sigmoid(p[:, 2 * c : 3 * c]) * p[:, 3 * c :]).astype(
-        bb_ref.dtype
-    )
+    a = jax.nn.sigmoid(p[:, :c]) * p[:, c : 2 * c]
+    bb = jax.nn.sigmoid(p[:, 2 * c : 3 * c]) * p[:, 3 * c :]
+    if m_ref is not None:
+        m = m_ref[...].astype(jnp.float32)  # (rows, 1)
+        a = m * a
+        bb = m * bb
+    a_ref[...] = a.astype(a_ref.dtype)
+    bb_ref[...] = bb.astype(bb_ref.dtype)
+
+
+def _stage1_kernel(z_ref, m_ref, w_ref, b_ref, lns_ref, lnb_ref, a_ref, bb_ref):
+    _stage1_impl(z_ref, m_ref, w_ref, b_ref, lns_ref, lnb_ref, a_ref, bb_ref)
+
+
+def _stage1_kernel_nomask(z_ref, w_ref, b_ref, lns_ref, lnb_ref, a_ref, bb_ref):
+    _stage1_impl(z_ref, None, w_ref, b_ref, lns_ref, lnb_ref, a_ref, bb_ref)
 
 
 def _epilogue_kernel(
@@ -131,7 +145,8 @@ def _as2d(v):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def tri_mul_stage1(z, mask, params, interpret: Optional[bool] = None):
-    """z: (B, I, J, C); mask: (B, I, J). Returns gated a, b (B, I, J, C)."""
+    """z: (B, I, J, C); mask: (B, I, J) or None (all valid — skips the mask
+    stream entirely). Returns gated a, b (B, I, J, C)."""
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     *lead, c = z.shape
@@ -139,7 +154,9 @@ def tri_mul_stage1(z, mask, params, interpret: Optional[bool] = None):
     for d in lead:
         rows *= d
     zf = z.reshape(rows, c)
-    mf = mask.reshape(rows, 1).astype(z.dtype)
+    # int8 stream: the lane-padded (rows, 1) tile costs bytes-per-row equal
+    # to 128·itemsize regardless of the logical width
+    mf = None if mask is None else mask.reshape(rows, 1).astype(jnp.int8)
     w4 = jnp.concatenate(
         [materialize_kernel(params[n], z.dtype)
          for n in ("linear_a_g", "linear_a_p", "linear_b_g", "linear_b_p")],
@@ -152,9 +169,16 @@ def tri_mul_stage1(z, mask, params, interpret: Optional[bool] = None):
     ).astype(z.dtype)
     lns = _as2d(params["layer_norm_in"]["scale"]).astype(jnp.float32)
     lnb = _as2d(params["layer_norm_in"]["bias"]).astype(jnp.float32)
-    a, b = _rows_call(
-        _stage1_kernel, [zf, mf], [w4, b4, lns, lnb], 2, rows, c, z.dtype, interpret
-    )
+    if mf is None:
+        a, b = _rows_call(
+            _stage1_kernel_nomask, [zf], [w4, b4, lns, lnb], 2, rows, c,
+            z.dtype, interpret,
+        )
+    else:
+        a, b = _rows_call(
+            _stage1_kernel, [zf, mf], [w4, b4, lns, lnb], 2, rows, c,
+            z.dtype, interpret,
+        )
     return a.reshape(z.shape), b.reshape(z.shape)
 
 

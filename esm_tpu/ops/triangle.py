@@ -79,8 +79,9 @@ def triangle_multiplicative_update_fused(
     """
     from ..kernels.triangle_mul import tri_mul_epilogue, tri_mul_stage1
 
-    if mask is None:
-        mask = jnp.ones(z.shape[:-1], z.dtype)
+    # mask=None propagates: stage 1 then runs without a mask stream (the
+    # lane-padded (rows, 1) mask otherwise costs as much HBM traffic as z
+    # itself at C=128)
     a, b = tri_mul_stage1(z, mask, params)
     if outgoing:
         x = jnp.einsum("bikc,bjkc->bijc", a, b)

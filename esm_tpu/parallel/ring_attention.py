@@ -181,8 +181,12 @@ def _ring_body(q, k, v, bias, axis_name: str):
         return (k_blk, v_blk, b_blk, m, l, acc), None
 
     # recompute each block's attention in the backward pass instead of saving
-    # the (B, H, Tq/N, Tk/N) probabilities of every ring step — training at
-    # sequence-sharded lengths keeps activations O(T/N · d), flash-style
+    # the (B, H, Tq/N, Tk/N) probabilities of every ring step. NOTE: scan
+    # still saves every step's carry (the rotated k/v blocks), so backward
+    # residuals here are n · O(T/N · d) = O(T · d) per chip — the full
+    # unsharded KV, like dense attention. The flash path's custom_vjp
+    # (_ring_flash_body: a second backward ring) is the one that keeps
+    # residuals O(T/N · d); prefer use_flash=True for training.
     step = jax.checkpoint(step)
 
     b_, h_, tq, d = q.shape
@@ -213,15 +217,19 @@ def ring_attention(
     ring size; key_padding_mask: (B, T) bool True=pad. q must be pre-scaled.
     ``use_flash`` runs each ring step's block attention through the Pallas
     flash kernel (O(block) memory, MXU-pipelined) and combines partials via
-    log-sum-exp — inference only (no backward on the lse kernel entry)."""
+    log-sum-exp; it is fully differentiable via a second backward ring
+    (custom_vjp) and keeps backward residuals O(T/N · d) per chip — the
+    training configuration. The exact path (use_flash=False) differentiates
+    too, but its scan saves every ring step's rotated KV carry: backward
+    residuals O(T · d) per chip, like unsharded attention."""
     b, h, t, d = q.shape
     ring_size = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis_name)
     if ring_size is None:
         raise ValueError(f"mesh has no axis {axis_name!r}: {mesh.axis_names}")
     if t % ring_size:
         raise ValueError(
-            f"ring attention: T={t} must divide the {axis_name!r} axis size "
-            f"{ring_size} (pad the sequence, e.g. pad_to_multiple)"
+            f"ring attention: T={t} must be divisible by the {axis_name!r} "
+            f"axis size {ring_size} (pad the sequence, e.g. pad_to_multiple)"
         )
     if key_padding_mask is not None:
         bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)

@@ -95,6 +95,18 @@ def test_triangle_multiplication_parity(outgoing):
         np.asarray(out_fused), z + out_ref.numpy(), atol=2e-5, rtol=1e-4
     )
 
+    # mask=None fast path (no mask stream in stage 1) == all-ones mask
+    out_nomask = triangle_multiplicative_update_fused(
+        params, jnp.asarray(z), outgoing=outgoing, mask=None
+    )
+    out_ones = triangle_multiplicative_update_fused(
+        params, jnp.asarray(z), outgoing=outgoing,
+        mask=jnp.ones_like(jnp.asarray(pair_mask)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_nomask), np.asarray(out_ones), atol=1e-6
+    )
+
 
 @pytest.mark.parametrize("starting", [True, False])
 def test_triangle_attention_parity(starting):

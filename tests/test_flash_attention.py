@@ -177,19 +177,27 @@ def test_flash_backward_matches_exact(t, blocks, rotary, masked):
         )
 
 
-def test_flash_backward_default_blocks_resplit():
+@pytest.mark.parametrize("t", [1280, 1536])
+def test_flash_backward_default_blocks_resplit(t):
+    b, h, d = 1, 2, 64
     """Default block_k widens the FORWARD to a single-pass S=1536 tile; the
     backward kernels must re-split (_bwd_block_k: 1536 -> 768) — two fp32
     (block_q, 1536) intermediates would not fit VMEM on hardware. Grads must
     still match autodiff-of-exact."""
-    from esm_tpu.kernels.flash_attention import _bwd_block_k
+    from esm_tpu.kernels.flash_attention import _bwd_block_k, _pick_block_q
+
+    # query blocks prefer lane-aligned divisors (no padding to a full block)
+    assert _pick_block_q(1024, 1280) == 640
+    assert _pick_block_q(1024, 1536) == 768
+    assert _pick_block_q(1024, 1022) == 1024  # rounds to 1024 lanes exactly
+    assert _pick_block_q(1024, 2048) == 1024
+    assert _pick_block_q(1024, 1408) == 1024  # 128*11: no divisor, pad
 
     assert _bwd_block_k(1536, 1536) == 768
     assert _bwd_block_k(2048, 2048) == 1024
     assert _bwd_block_k(1024, 2048) == 1024
     assert _bwd_block_k(1280, 1280) == 640
 
-    b, h, t, d = 1, 2, 1536, 64
     key = jax.random.PRNGKey(3)
     kq, kk, kv, kc = jax.random.split(key, 4)
     q = jax.random.normal(kq, (b, h, t, d), jnp.float32) * 0.3
