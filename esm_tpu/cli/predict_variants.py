@@ -130,14 +130,12 @@ def compute_pppl(row, sequence, model, alphabet, offset_idx, mask_batch: int = 6
 
 
 def read_msa(path, nseq):
-    from ..data import read_fasta
+    # data.msa.read_msa removes lowercase AND '.'/'*' insertion characters
+    # (reference predict.py remove_insertions) — keep-insertions-only
+    # stripping leaves '.' rows unaligned or mis-tokenized
+    from ..data import read_msa as _read_msa
 
-    out = []
-    for i, (desc, seq) in enumerate(read_fasta(path, keep_insertions=False, to_upper=True)):
-        if i >= nseq:
-            break
-        out.append((desc, seq))
-    return out
+    return _read_msa(path)[:nseq]
 
 
 def run(args):

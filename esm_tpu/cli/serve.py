@@ -50,6 +50,11 @@ def create_parser():
     )
     p.add_argument("--truncation-seq-length", type=int, default=1022)
     p.add_argument(
+        "--max-fold-len", type=int, default=2048,
+        help="reject /fold sequences longer than this (folds cannot truncate; "
+        "2048 = longest single-chip fold measured)",
+    )
+    p.add_argument(
         "--max-request-seqs", type=int, default=64,
         help="reject requests with more sequences than this (413-style guard)",
     )
@@ -108,6 +113,9 @@ def start_server(args):
             import jax.numpy as jnp
 
             trunk_updates["compute_dtype"] = jnp.bfloat16
+            # the embedded 3B LM dominates short-L fold compute — --bf16
+            # must cast it too, not just the trunk
+            trunk_updates["lm_dtype"] = jnp.bfloat16
         if args.flash:
             trunk_updates["use_flash_tri"] = True
         if args.fold_chunk_size is not None:
@@ -128,6 +136,7 @@ def start_server(args):
         truncation_seq_length=args.truncation_seq_length,
         max_request_seqs=args.max_request_seqs,
         max_queued_seqs=args.max_queued_seqs,
+        max_fold_seq_len=args.max_fold_len,
         batch_bucket=args.batch_bucket,
     ).start()
 

@@ -27,6 +27,14 @@ def load_params(path: str, template: Optional[Any] = None, mesh=None, specs=None
     with a template they restore to its shapes/dtypes; bare restore otherwise."""
     import orbax.checkpoint as ocp
 
+    if (mesh is not None or specs is not None) and template is None:
+        # silently falling back to a bare (unsharded, single-host) restore
+        # would materialize e.g. a 15B tree on one host and hand back arrays
+        # the caller believes are mesh-sharded
+        raise ValueError(
+            "load_params: sharded restore needs a template for shapes/dtypes "
+            "(e.g. a fresh init); got mesh/specs without one"
+        )
     path = Path(path).absolute()
     with ocp.StandardCheckpointer() as ckptr:
         if mesh is not None and template is not None:

@@ -639,6 +639,12 @@ def load_esmfold(model_name: str, fast: bool = False):
     if model_name.endswith(".pt"):
         model_data = torch.load(model_name, map_location="cpu", weights_only=False)
     else:
+        # constructor-style aliases: the released checkpoint files are named
+        # esmfold_3B_v{0,1} — accepting the short names keeps --fold-model
+        # esmfold_v1 (the documented spelling) from 404ing
+        model_name = {
+            "esmfold_v0": "esmfold_3B_v0", "esmfold_v1": "esmfold_3B_v1"
+        }.get(model_name, model_name)
         path = _download(MODEL_URL.format(model_name))
         model_data = torch.load(path, map_location="cpu", weights_only=False)
 

@@ -142,6 +142,7 @@ class InferenceServer:
         max_request_seqs: int = 64,
         max_queued_seqs: int = 256,
         batch_bucket: str = "pow2",
+        max_fold_seq_len: int = 2048,
     ):
         if batch_bucket not in ("pow2", "max"):
             raise ValueError(f"batch_bucket must be 'pow2' or 'max', got {batch_bucket!r}")
@@ -162,6 +163,12 @@ class InferenceServer:
         self.truncation_seq_length = truncation_seq_length
         self.max_request_seqs = max_request_seqs
         self.max_queued_seqs = max_queued_seqs
+        # embeds truncate to truncation_seq_length; folds cannot truncate
+        # silently (the structure IS the output), so over-long sequences are
+        # rejected up front — the O(L^2..L^3) trunk would otherwise OOM and
+        # take co-batched requests down with it (2048 = the longest
+        # single-chip fold measured in BENCH_NOTES)
+        self.max_fold_seq_len = max_fold_seq_len
         self._inflight_seqs = 0  # admitted but not yet finished/failed
         self._converter = (
             self.alphabet.get_batch_converter(truncation_seq_length, pad_to_multiple=128)
@@ -369,25 +376,36 @@ class InferenceServer:
         """Dispatch a fold group in device batches of at most
         ``max_fold_batch_seqs`` sequences (a single request may carry up to
         max_request_seqs — the cap bounds the device batch, not the request).
-        Returns the finalize thunk that reads back and distributes."""
+
+        Only the first chunk is dispatched eagerly; the finalize thunk
+        dispatches chunk k+1 right before reading back chunk k, so at most
+        two chunks of fold outputs are live in HBM however large the group
+        (the _pending depth-2 invariant holds inside a group too). A chunk
+        that fails (e.g. one sequence OOMs the trunk) fails only the
+        requests owning its sequences — co-batched requests from other
+        clients still complete."""
         pairs = [(lab, seq) for r in reqs for lab, seq in zip(r.labels, r.seqs)]
         # fold in length-sorted chunks: every batch pads to its longest member
         # and the trunk is O(L^2..L^3), so one short chain batched with one
         # long one would cost the long one's pad twice; results are placed
         # back in request order below
         order = sorted(range(len(pairs)), key=lambda i: len(pairs[i][1]))
-        chunks = []
-        for s in range(0, len(order), self.max_fold_batch_seqs):
-            idxs = order[s : s + self.max_fold_batch_seqs]
+        chunk_idxs = [
+            order[st : st + self.max_fold_batch_seqs]
+            for st in range(0, len(order), self.max_fold_batch_seqs)
+        ]
+        owners = self._owners(reqs)
+
+        def dispatch(idxs):
             chunk = [pairs[i] for i in idxs]
             out = self.fold_model.infer(
                 [seq for _, seq in chunk],
                 num_recycles=reqs[0].num_recycles,
                 frugal=True,
             )
-            chunks.append((idxs, chunk, out))
+            return chunk, out
 
-        owners = self._owners(reqs)
+        first = dispatch(chunk_idxs[0])  # raises -> _batch_loop fails the group
 
         def finalize():
             import numpy as np
@@ -395,31 +413,52 @@ class InferenceServer:
             buffers = {
                 id(r): [None] * len(r.seqs) for r in reqs if r.stream_q is None
             }
-            for idxs, chunk, out in chunks:
-                pdbs = self.fold_model.output_to_pdb(out)  # readback
-                mean_plddt = np.asarray(out["mean_plddt"], np.float64)
-                ptm = np.asarray(out["ptm"], np.float64)
-                for i, (orig, (lab, seq)) in enumerate(zip(idxs, chunk)):
-                    item = {
-                        "label": lab,
-                        "length": len(seq) - seq.count(":"),
-                        "num_chains": seq.count(":") + 1,
-                        "pdb": pdbs[i],
-                        "mean_plddt": round(float(mean_plddt[i]), 4),
-                        "ptm": round(float(ptm[i]), 4),
-                    }
-                    r, j = owners[orig]
-                    if r.stream_q is not None:
-                        # chunks are length-sorted, so streamed fold results
-                        # arrive in completion order; "index"=j tells the
-                        # client where each belongs in its request
-                        self._stream_item(r, j, item)
-                    else:
-                        buffers[id(r)][j] = item
-                with self._lock:
-                    self._stats["fold_batches"] += 1
-                    self._stats["batched_sequences"] += len(chunk)
+            fin, fin_err = first, None
+            for ci, idxs in enumerate(chunk_idxs):
+                nxt = nxt_err = None
+                if ci + 1 < len(chunk_idxs):
+                    try:
+                        nxt = dispatch(chunk_idxs[ci + 1])
+                    except Exception as e:  # noqa: BLE001
+                        nxt_err = e
+                try:
+                    if fin_err is not None:
+                        raise fin_err
+                    chunk, out = fin
+                    pdbs = self.fold_model.output_to_pdb(out)  # readback
+                    mean_plddt = np.asarray(out["mean_plddt"], np.float64)
+                    ptm = np.asarray(out["ptm"], np.float64)
+                except Exception as e:  # noqa: BLE001
+                    chunk_reqs = {id(owners[i][0]): owners[i][0] for i in idxs}
+                    self._fail(list(chunk_reqs.values()), e)
+                    chunk = None
+                if chunk is not None:
+                    for i, (orig, (lab, seq)) in enumerate(zip(idxs, chunk)):
+                        r, j = owners[orig]
+                        if r.done.is_set():  # failed in an earlier chunk
+                            continue
+                        item = {
+                            "label": lab,
+                            "length": len(seq) - seq.count(":"),
+                            "num_chains": seq.count(":") + 1,
+                            "pdb": pdbs[i],
+                            "mean_plddt": round(float(mean_plddt[i]), 4),
+                            "ptm": round(float(ptm[i]), 4),
+                        }
+                        if r.stream_q is not None:
+                            # chunks are length-sorted, so streamed fold
+                            # results arrive in completion order; "index"=j
+                            # tells the client where each belongs
+                            self._stream_item(r, j, item)
+                        else:
+                            buffers[id(r)][j] = item
+                    with self._lock:
+                        self._stats["fold_batches"] += 1
+                        self._stats["batched_sequences"] += len(chunk)
+                fin, fin_err = nxt, nxt_err
             for r in reqs:
+                if r.done.is_set():
+                    continue
                 if r.stream_q is not None:
                     self._finish_stream(r)
                 else:
@@ -485,7 +524,12 @@ class InferenceServer:
 
     def _dispatch_embed_group(self, reqs: List[_Request]):
         """Dispatch an embed group in device batches of at most
-        ``max_batch_seqs`` sequences; returns the finalize thunk."""
+        ``max_batch_seqs`` sequences; returns the finalize thunk.
+
+        Like the fold group: only the first chunk dispatches eagerly, the
+        finalize thunk dispatches chunk k+1 before reading back chunk k
+        (bounded in-flight HBM — per_tok/contacts outputs are 100s of MB at
+        L=1022), and a failing chunk fails only its owning requests."""
         pairs = [
             (lab, seq) for r in reqs for lab, seq in zip(r.labels, r.seqs)
         ]
@@ -494,29 +538,56 @@ class InferenceServer:
         layers = sorted(
             {(i + n_layers + 1) % (n_layers + 1) for i in repr_layers}
         )
-        finalizers = [
-            self._dispatch_embed_chunk(
-                pairs[s : s + self.max_batch_seqs], layers, include
-            )
-            for s in range(0, len(pairs), self.max_batch_seqs)
+        chunks = [
+            pairs[st : st + self.max_batch_seqs]
+            for st in range(0, len(pairs), self.max_batch_seqs)
         ]
-
         owners = self._owners(reqs)
+
+        first = self._dispatch_embed_chunk(chunks[0], layers, include)
 
         def finalize():
             buffers = {
                 id(r): [] for r in reqs if r.stream_q is None
             }
             g = 0
-            for fin in finalizers:
-                for item in fin():  # one device chunk read back per fin()
-                    r, j = owners[g]
-                    g += 1
-                    if r.stream_q is not None:
-                        self._stream_item(r, j, item)
-                    else:
-                        buffers[id(r)].append(item)
+            fin, fin_err = first, None
+            for ci, chunk in enumerate(chunks):
+                nxt = nxt_err = None
+                if ci + 1 < len(chunks):
+                    try:
+                        nxt = self._dispatch_embed_chunk(
+                            chunks[ci + 1], layers, include
+                        )
+                    except Exception as e:  # noqa: BLE001
+                        nxt_err = e
+                try:
+                    if fin_err is not None:
+                        raise fin_err
+                    items = fin()  # one device chunk read back
+                except Exception as e:  # noqa: BLE001
+                    chunk_reqs = {
+                        id(owners[g + k][0]): owners[g + k][0]
+                        for k in range(len(chunk))
+                    }
+                    self._fail(list(chunk_reqs.values()), e)
+                    items = None
+                if items is None:
+                    g += len(chunk)
+                else:
+                    for item in items:
+                        r, j = owners[g]
+                        g += 1
+                        if r.done.is_set():  # failed in an earlier chunk
+                            continue
+                        if r.stream_q is not None:
+                            self._stream_item(r, j, item)
+                        else:
+                            buffers[id(r)].append(item)
+                fin, fin_err = nxt, nxt_err
             for r in reqs:
+                if r.done.is_set():
+                    continue
                 if r.stream_q is not None:
                     self._finish_stream(r)
                 else:
@@ -635,6 +706,14 @@ class InferenceServer:
                     )
                 if any(not chain for chain in seq.split(":")):
                     raise ValueError(f"sequences[{j}] ({lab!r}): empty chain around ':'")
+                n_res = len(seq) - seq.count(":")
+                if n_res > self.max_fold_seq_len:
+                    raise ValueError(
+                        f"sequences[{j}] ({lab!r}): {n_res} residues exceeds "
+                        f"the fold limit ({self.max_fold_seq_len}); folding "
+                        "cannot truncate — split the chain or raise "
+                        "--max-fold-len"
+                    )
             else:
                 bad = [c for c in seq if c not in self.alphabet.tok_to_idx]
                 if bad:
@@ -867,7 +946,9 @@ class InferenceServer:
                         trace_dir = str(
                             payload.get("dir", f"/tmp/esm_serve_trace_{int(time.time())}")
                         )
-                    except (ValueError, json.JSONDecodeError) as e:
+                    except (ValueError, TypeError, json.JSONDecodeError) as e:
+                        # TypeError: well-formed JSON of the wrong type, e.g.
+                        # {"seconds": null} — a client error, not a 500
                         self._send(400, {"error": str(e)})
                         return
                     if not server._profiling.acquire(blocking=False):
@@ -908,7 +989,11 @@ class InferenceServer:
                         extra_headers={"Retry-After": str(e.retry_after_s)},
                     )
                     return
-                except (ValueError, KeyError, json.JSONDecodeError) as e:
+                except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
+                    # TypeError covers well-formed JSON of the wrong shape
+                    # (e.g. "repr_layers": 33, "include": 5) — without it the
+                    # handler thread unwinds and the client sees a reset
+                    # connection instead of a 400
                     with server._lock:
                         server._stats["errors"] += 1
                     self._send(400, {"error": str(e)})
@@ -1042,19 +1127,26 @@ def _pad_batch_rows(toks, target=None):
     return toks, b
 
 
+_DEVICE_MEAN_FN = None  # built once — a fresh jax.jit wrapper per call
+# would retrace/recompile the reduction for every device batch
+
+
 def _device_mean(rep, lengths, t, prepend):
     """Masked mean over real residue positions, computed on device."""
-    import jax
-    import jax.numpy as jnp
-    from functools import partial
+    global _DEVICE_MEAN_FN
+    if _DEVICE_MEAN_FN is None:
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
 
-    @partial(jax.jit, static_argnames=("t", "prepend"))
-    def f(rep, lengths, t, prepend):
-        pos = jnp.arange(t)[None, :]
-        # real tokens occupy [prepend, prepend + L) (bos, if any, at 0;
-        # eos/padding after)
-        mask = (pos >= prepend) & (pos < prepend + lengths[:, None])
-        w = mask.astype(rep.dtype)[..., None]
-        return (rep * w).sum(1) / jnp.maximum(w.sum(1), 1.0)
+        @partial(jax.jit, static_argnames=("t", "prepend"))
+        def f(rep, lengths, t, prepend):
+            pos = jnp.arange(t)[None, :]
+            # real tokens occupy [prepend, prepend + L) (bos, if any, at 0;
+            # eos/padding after)
+            mask = (pos >= prepend) & (pos < prepend + lengths[:, None])
+            w = mask.astype(rep.dtype)[..., None]
+            return (rep * w).sum(1) / jnp.maximum(w.sum(1), 1.0)
 
-    return f(rep, lengths, t, prepend)
+        _DEVICE_MEAN_FN = f
+    return _DEVICE_MEAN_FN(rep, lengths, t, prepend)

@@ -727,3 +727,78 @@ def test_stream_fold_completion_order(fold_server):
         assert got["pdb"] == want["pdb"]
         assert got["mean_plddt"] == want["mean_plddt"]
         assert got["ptm"] == want["ptm"]
+
+
+def test_wrong_type_payload_is_400(server):
+    """Well-formed JSON of the wrong type (repr_layers: 33, include: 5) must
+    come back as a 400, not a dropped connection from an unwound handler."""
+    srv, _ = server[0], server[1]
+    for payload in (
+        {"sequences": ["MKT"], "repr_layers": 33},
+        {"sequences": ["MKT"], "include": 5},
+        {"sequences": ["MKT"], "repr_layers": [None]},
+    ):
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(srv, payload)
+        assert exc_info.value.code == 400
+
+
+def test_fold_length_cap(fold_server):
+    """Folds cannot truncate: sequences over max_fold_seq_len get a permanent
+    400 up front instead of an OOM that takes co-batched requests down."""
+    srv, _ = fold_server
+    old = srv.max_fold_seq_len
+    srv.max_fold_seq_len = 30
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(srv, {"sequences": ["A" * 31]}, path="/fold")
+        assert exc_info.value.code == 400
+        assert "fold limit" in json.loads(exc_info.value.read())["error"]
+        # multimer linker ':' does not count as residues
+        ok = _post(srv, {"sequences": ["A" * 15 + ":" + "A" * 15]}, path="/fold")
+        assert len(ok["results"]) == 1
+    finally:
+        srv.max_fold_seq_len = old
+
+
+def test_fold_chunk_failure_isolated(fold_server):
+    """A chunk that fails on device fails only its owning requests; other
+    requests coalesced into the same fold group still complete."""
+    srv, handle = fold_server
+    real_infer = srv.fold_model.infer
+    srv_fold_orig = srv.fold_model
+
+    class _Wrapper:
+        def infer(self, seqs, **kw):
+            if any(len(s) == 13 for s in seqs):
+                raise RuntimeError("synthetic device OOM")
+            return real_infer(seqs, **kw)
+
+        def __getattr__(self, name):
+            return getattr(srv_fold_orig, name)
+
+    srv.fold_model = _Wrapper()
+    old_chunk = srv.max_fold_batch_seqs
+    srv.max_fold_batch_seqs = 1  # one sequence per chunk -> full isolation
+    try:
+        results = {}
+
+        def post(key, seq):
+            try:
+                results[key] = _post(srv, {"sequences": [seq]}, path="/fold")
+            except urllib.error.HTTPError as e:
+                results[key] = e.code
+
+        threads = [
+            threading.Thread(target=post, args=("good", "MKTAYIAKQR")),
+            threading.Thread(target=post, args=("poison", "A" * 13)),
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert results["poison"] == 500
+        assert isinstance(results["good"], dict) and "results" in results["good"]
+    finally:
+        srv.fold_model = srv_fold_orig
+        srv.max_fold_batch_seqs = old_chunk
