@@ -24,7 +24,7 @@ import jax.numpy as jnp
 
 from ..data.alphabet import Alphabet
 from ..ops.common import init_embedding, init_layer_norm, init_linear_torch_default, layer_norm
-from ..ops.heads import contact_head, roberta_lm_head
+from ..ops.heads import contact_head, roberta_lm_head, weighted_apc_symmetrize
 from .lm_common import normalize_repr_layers, LayerStatic, init_transformer_stack, transformer_stack_apply
 
 
@@ -351,20 +351,9 @@ def _stack_with_streaming_contacts(
             a = a[..., :-1, :-1]
         if cfg.prepend_bos:
             a = a[..., 1:, 1:]
-        # Σ_h w_h·apc(symmetrize(a_h)) restructured by linearity of
-        # symmetrize and the head sum: contract heads FIRST, and express
-        # apc's rank-1 correction through per-head row/col sums — three
-        # reads of the (B, H, T', T') tensor, zero writes, instead of
-        # materializing symmetrize/apc intermediates at full size
-        # (semantics: reference esm/modules.py:27-41,338-357).
-        raw = jnp.einsum("bhij,h->bij", a, w_l)
-        row = jnp.sum(a, axis=-1)                                # (B, H, T')
-        col = jnp.sum(a, axis=-2)
-        r = row + col                                            # rowsum of sym
-        s = 2.0 * jnp.sum(row, axis=-1)                          # total of sym
-        w_over_s = jnp.where(s == 0.0, 0.0, w_l[None, :] / s)    # (B, H)
-        corr = jnp.einsum("bh,bhi,bhj->bij", w_over_s, r, r)
-        acc = acc + raw + jnp.swapaxes(raw, -1, -2) - corr
+        # accumulate this layer's heads' weighted-APC contribution (shared
+        # restructured formula — ops/heads.weighted_apc_symmetrize)
+        acc = acc + weighted_apc_symmetrize(a, w_l)
         ys = {"hidden": h} if collect_hiddens else {}
         return (h, acc), ys
 

@@ -73,7 +73,10 @@ def compute_tm(
     normed = residue_weights / (eps + jnp.sum(residue_weights))
     per_alignment = jnp.sum(predicted_tm * normed, axis=-1)
     weighted = per_alignment * residue_weights
-    return per_alignment[..., jnp.argmax(weighted, axis=-1)]
+    # take_along_axis, not fancy indexing: with leading batch dims
+    # per_alignment[..., argmax] would gather a cross-batch matrix
+    best = jnp.argmax(weighted, axis=-1, keepdims=True)
+    return jnp.take_along_axis(per_alignment, best, axis=-1)[..., 0]
 
 
 def compute_predicted_aligned_error(
@@ -123,18 +126,24 @@ def to_pdb(
 
     lines: List[str] = []
     atom_idx = 1
-    prev_chain = int(chain_index[0])
+    prev_chain = None
+    last_real = None  # (res3, chain, residue_index) of the last emitted row
     for i in range(aatype.shape[0]):
+        if atom_mask[i].max() < 0.5:
+            # fully masked residue: batch padding (chain_index -1) or the
+            # multimer linker — no atoms, and it must not drive chain/TER
+            # logic (a padded tail previously emitted a bogus trailing
+            # 'TER ... 9' record from PDB_CHAIN_IDS[-1])
+            continue
         ci = int(chain_index[i])
-        if ci != prev_chain:
-            res3_prev = restypes3[min(int(aatype[i - 1]), 20)]
+        res3 = restypes3[min(int(aatype[i]), 20)]
+        if prev_chain is not None and ci != prev_chain:
             lines.append(
-                f"TER   {atom_idx:>5}      {res3_prev:>3} "
-                f"{PDB_CHAIN_IDS[prev_chain]}{int(residue_index[i-1]):>4}"
+                f"TER   {atom_idx:>5}      {last_real[0]:>3} "
+                f"{PDB_CHAIN_IDS[last_real[1]]}{last_real[2]:>4}"
             )
             atom_idx += 1
-            prev_chain = ci
-        res3 = restypes3[min(int(aatype[i]), 20)]
+        prev_chain = ci
         for j, name in enumerate(atom_names):
             if atom_mask[i, j] < 0.5:
                 continue
@@ -148,11 +157,12 @@ def to_pdb(
                 f"          {elem:>2}"
             )
             atom_idx += 1
-    res3 = restypes3[min(int(aatype[-1]), 20)]
-    lines.append(
-        f"TER   {atom_idx:>5}      {res3:>3} "
-        f"{PDB_CHAIN_IDS[prev_chain]}{int(residue_index[-1]):>4}"
-    )
+        last_real = (res3, ci, int(residue_index[i]))
+    if last_real is not None:
+        lines.append(
+            f"TER   {atom_idx:>5}      {last_real[0]:>3} "
+            f"{PDB_CHAIN_IDS[last_real[1]]}{last_real[2]:>4}"
+        )
     lines.append("END")
     lines.append("")
     return "\n".join(lines)

@@ -25,7 +25,10 @@ from .util import rbf
 
 
 def _norm_no_nan(x, axis=-1, keepdims=False, eps=1e-8, sqrt=True):
-    out = jnp.clip(jnp.sum(jnp.square(x), axis=axis, keepdims=keepdims), min=eps)
+    # reference gvp_modules.py:79-88 ADDS eps ("clamp is slow"), it does not
+    # clamp — near-zero vector channels (zero-padded orientation vectors at
+    # chain termini) must give ~0, not sqrt(eps)
+    out = jnp.sum(jnp.square(x), axis=axis, keepdims=keepdims) + eps
     return jnp.sqrt(out) if sqrt else out
 
 
@@ -180,17 +183,21 @@ def gvp_conv_layer_apply(
 ):
     """GVPConvLayer (reference gvp_modules.py:331-475, inference mode):
     residual conv + GVP feed-forward, each followed by tuple LayerNorm."""
+    # the encoder's eps=1e-4 reaches ONLY the LayerNorms in the reference:
+    # GVPConv stores its eps without passing it to the message GVPs, and the
+    # ff GVPs are built with the default — both run at 1e-8
+    # (gvp_modules.py:293-307,373-381 vs :367)
     dh_s, dh_v = gvp_conv_apply(
         params["conv"],
         _message_specs(n_message, vector_gate),
         s, v, edge_s, edge_v, src, dst, edge_valid,
-        aggr="mean", eps=eps,
+        aggr="mean", eps=1e-8,
     )
     s, v = tuple_layer_norm(params["norm0"], s + dh_s, v + dh_v, eps=eps)
 
     fs, fv = s, v
     for p, sp in zip(params["ff_func"], _ff_specs(n_feedforward, vector_gate)):
-        fs, fv = gvp_apply(p, fs, fv, eps=eps, **sp)
+        fs, fv = gvp_apply(p, fs, fv, eps=1e-8, **sp)
     s, v = tuple_layer_norm(params["norm1"], s + fs, v + fv, eps=eps)
     return s, v
 

@@ -90,6 +90,11 @@ class DecoderCache(NamedTuple):
     self_v: jax.Array
     cross_k: jax.Array  # (layers, B, H, S, Dh)
     cross_v: jax.Array
+    # accumulated <pad> positions in the decode prefix: the reference's
+    # incremental MultiheadAttention appends each step's key_padding_mask to
+    # the cached one (multihead_attention.py:306-320), so cached pad keys
+    # stay masked in later steps
+    pad_mask: jax.Array  # (B, T_max) bool
 
 
 def decoder_layer_apply(
@@ -188,6 +193,7 @@ def init_decode_cache(
         self_v=jnp.zeros((num_layers, b, num_heads, max_len, head_dim), dtype),
         cross_k=jnp.stack(cross_k),
         cross_v=jnp.stack(cross_v),
+        pad_mask=jnp.zeros((b, max_len), bool),
     )
 
 
@@ -212,19 +218,26 @@ def decoder_step(
     from ...ops.positional import sinusoidal_table
 
     table = sinusoidal_table(padding_idx + 1 + max_len, embed_dim, padding_idx)
-    position = table[padding_idx + 1 + pos]
+    # <pad> inputs (e.g. non-target chains in complex sampling) take the
+    # padding_idx row like the reference's make_positions
+    # (esm/modules.py:278-282), not a real position
+    is_pad = token == padding_idx
+    position = jnp.where(
+        is_pad[:, None], table[padding_idx][None], table[padding_idx + 1 + pos][None]
+    )
 
     x = math.sqrt(embed_dim) * jnp.take(
         params["embed_tokens"]["weight"], token, axis=0
     )
-    x = x + position[None]
+    x = x + position
     x = x[:, None, :]  # (B, 1, C)
 
     new_self_k = cache.self_k
     new_self_v = cache.self_v
-    # mask for cached positions > pos
+    pad_mask = cache.pad_mask.at[:, pos].set(is_pad)
+    # mask cached positions > pos (not yet filled) and cached pad positions
     idx = jnp.arange(max_len)
-    kp_mask = idx[None, :] > pos  # (1, T_max) True = not yet filled
+    kp_mask = (idx[None, :] > pos) | pad_mask
 
     for i in range(num_layers):
         lp = params["layers"][i]
@@ -265,4 +278,6 @@ def decoder_step(
 
     x = layer_norm(params["layer_norm"], x)
     logits = linear(params["output_projection"], x)[:, 0]
-    return logits, DecoderCache(new_self_k, new_self_v, cache.cross_k, cache.cross_v)
+    return logits, DecoderCache(
+        new_self_k, new_self_v, cache.cross_k, cache.cross_v, pad_mask
+    )

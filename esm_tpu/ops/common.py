@@ -67,7 +67,9 @@ def layer_norm(params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
 def esm1_layer_norm(params, x: jax.Array, eps: float = 1e-12) -> jax.Array:
     """TF-style LN with eps inside the sqrt (reference ESM1LayerNorm,
     esm/modules.py:44-65). Same formula as :func:`layer_norm` — both put eps
-    under the sqrt — but with the ESM-1 default eps."""
+    under the sqrt — but with the ESM-1 default eps. NOTE: the model paths
+    reach this via ``layer_norm(..., eps=static.ln_eps)`` (lm_common.py), not
+    this alias; it exists as the documented reference-name entry point."""
     return layer_norm(params, x, eps=eps)
 
 

@@ -27,6 +27,24 @@ def roberta_lm_head(params, features: jax.Array, embed_weight: jax.Array) -> jax
     return x
 
 
+def weighted_apc_symmetrize(a: jax.Array, w: jax.Array) -> jax.Array:
+    """Σ_k w_k·apc(symmetrize(a_k)) for an fp32 (B, K, T, T) map stack,
+    restructured by linearity (same math as the reference's
+    stack-transpose-regress, esm/modules.py:27-41,338-357): contract the K
+    axis first, then apply apc's rank-1 correction from per-map row/col sums
+    — three reads of the stack, zero full-size intermediates. The single
+    source of this formula; the streaming in-scan contact path
+    (models/esm2.py) accumulates one per-layer call per scan step."""
+    raw = jnp.einsum("bkij,k->bij", a, w)
+    row = jnp.sum(a, axis=-1)                            # (B, K, T)
+    col = jnp.sum(a, axis=-2)
+    r = row + col                                        # rowsum of sym
+    s = 2.0 * jnp.sum(row, axis=-1)                      # total of sym
+    w_over_s = jnp.where(s == 0.0, 0.0, w[None, :] / s)  # (B, K)
+    corr = jnp.einsum("bk,bki,bkj->bij", w_over_s, r, r)
+    return raw + jnp.swapaxes(raw, -1, -2) - corr
+
+
 def contact_head(
     params,
     tokens: jax.Array,
@@ -56,21 +74,8 @@ def contact_head(
 
     b, layers, heads, seqlen, _ = attentions.shape
     a = attentions.reshape(b, layers * heads, seqlen, seqlen)
-    # Σ_k w_k·apc(symmetrize(a_k)) restructured by linearity (same math as
-    # the reference's stack-transpose-regress, esm/modules.py:27-41,338-357):
-    # contract the L·H axis first, then apply apc's rank-1 correction from
-    # per-map row/col sums — avoids transposing/materializing the stacked
-    # (B, L·H, T, T) tensor.
     w = materialize_kernel(params["regression"], jnp.float32)[:, 0]  # (L*H,)
-    a = a.astype(jnp.float32)
-    raw = jnp.einsum("bkij,k->bij", a, w)
-    row = jnp.sum(a, axis=-1)                                 # (B, L*H, T)
-    col = jnp.sum(a, axis=-2)
-    r = row + col                                             # rowsum of sym
-    s = 2.0 * jnp.sum(row, axis=-1)                           # total of sym
-    w_over_s = jnp.where(s == 0.0, 0.0, w[None, :] / s)       # (B, L*H)
-    corr = jnp.einsum("bk,bki,bkj->bij", w_over_s, r, r)
-    logits = raw + jnp.swapaxes(raw, -1, -2) - corr
+    logits = weighted_apc_symmetrize(a.astype(jnp.float32), w)
     bias = params["regression"].get("bias")
     if bias is not None:
         logits = logits + bias.astype(logits.dtype)[0]

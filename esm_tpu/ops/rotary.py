@@ -11,7 +11,6 @@ static, so XLA constant-folds the table computation; no mutable cache needed.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax
@@ -38,9 +37,3 @@ def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     sin = sin.astype(x.dtype)
     return x * cos + rotate_half(x) * sin
 
-
-@partial(jax.jit, static_argnames=())
-def apply_rotary_qk(q: jax.Array, k: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """Apply rotary to q and k, both (..., T, head_dim)."""
-    cos, sin = rotary_tables(q.shape[-2], q.shape[-1], q.dtype)
-    return apply_rotary(q, cos, sin), apply_rotary(k, cos, sin)

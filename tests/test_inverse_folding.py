@@ -204,6 +204,63 @@ def test_sample_incremental_matches_teacher_forcing(models):
         )
 
 
+@pytest.mark.slow
+def test_incremental_decode_with_pad_prefix_matches_teacher_forcing(models):
+    """Pads in the decode prefix (non-target chains in complex sampling) must
+    behave like teacher forcing: pad inputs take the padding_idx position row
+    and cached pad keys stay masked (reference make_positions +
+    _append_prev_key_padding_mask semantics)."""
+    from esm_tpu.models.inverse_folding.model import encoder_apply
+    from esm_tpu.models.inverse_folding.transformer import (
+        decoder_step,
+        init_decode_cache,
+    )
+
+    _, params, cfg, alphabet, _ = models
+    coords = _fake_coords(seed=11, missing=False)
+    L = coords.shape[0]
+    conv = ifm.CoordBatchConverter(alphabet)
+    bc, conf, _, _, pmask = conv([(coords, None, None)])
+    rng = np.random.RandomState(3)
+    tokens = np.full((1, L + 1), cfg.mask_idx, np.int32)
+    tokens[0, 0] = cfg.cath_idx
+    tokens[0, 1:] = rng.randint(4, 24, L)
+    tokens[0, 3:6] = cfg.padding_idx  # pads mid-prefix
+
+    tf_logits = np.asarray(
+        ifm.apply(
+            params, cfg, jnp.asarray(bc), jnp.asarray(pmask), jnp.asarray(conf),
+            jnp.asarray(tokens[:, :-1]),
+        )
+    )
+    enc = encoder_apply(
+        params["encoder"], cfg, jnp.asarray(bc), jnp.asarray(pmask), jnp.asarray(conf)
+    )
+    cache = init_decode_cache(
+        params["decoder"], enc,
+        num_heads=cfg.decoder_attention_heads,
+        num_layers=cfg.decoder_layers,
+        max_len=L,
+    )
+    for i in range(L):
+        logits, cache = decoder_step(
+            params["decoder"],
+            jnp.asarray(tokens[:, i]),
+            i,
+            cache,
+            num_heads=cfg.decoder_attention_heads,
+            num_layers=cfg.decoder_layers,
+            padding_idx=cfg.padding_idx,
+            enc_padding_mask=jnp.asarray(pmask),
+        )
+        if tokens[0, i] == cfg.padding_idx:
+            continue  # the reference emits garbage AT pad positions too
+        np.testing.assert_allclose(
+            np.asarray(logits)[0], tf_logits[0, :, i], atol=1e-3,
+            err_msg=f"step {i}",
+        )
+
+
 def test_sample_partial_seq(models):
     _, params, cfg, alphabet, _ = models
     coords = _fake_coords(seed=5, missing=False)
