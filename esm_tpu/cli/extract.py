@@ -18,43 +18,47 @@ import numpy as np
 
 def create_parser():
     parser = argparse.ArgumentParser(
-        description="Extract per-token representations and model outputs for sequences in a FASTA file"
+        description="Run a protein LM over every sequence in a FASTA file and "
+        "save the selected embeddings/outputs to one file per sequence"
     )
     parser.add_argument(
         "model_location",
         type=str,
-        help="PyTorch model file OR name of pretrained model to download",
+        help="registry name of a released model (downloaded and cached), or a "
+        "path to a local .pt checkpoint",
     )
-    parser.add_argument("fasta_file", type=pathlib.Path, help="FASTA file on which to extract representations")
-    parser.add_argument("output_dir", type=pathlib.Path, help="output directory for extracted representations")
-    parser.add_argument("--toks_per_batch", type=int, default=4096, help="maximum batch size")
+    parser.add_argument("fasta_file", type=pathlib.Path, help="input sequences, FASTA format")
+    parser.add_argument("output_dir", type=pathlib.Path, help="directory that receives one output file per sequence")
+    parser.add_argument("--toks_per_batch", type=int, default=4096, help="token budget per batch (caps max_len * batch_size)")
     parser.add_argument(
         "--repr_layers",
         type=int,
         default=[-1],
         nargs="+",
-        help="layers indices from which to extract representations (0 to num_layers, inclusive)",
+        help="which layers' hidden states to save; 0..num_layers inclusive, "
+        "negatives count back from the last layer",
     )
     parser.add_argument(
         "--include",
         type=str,
         nargs="+",
         choices=["mean", "per_tok", "bos", "contacts"],
-        help="specify which representations to return",
+        help="what to write per sequence: full per-residue embeddings, their "
+        "mean over the sequence, the BOS embedding, and/or the contact map",
         required=True,
     )
     parser.add_argument(
         "--truncation_seq_length",
         type=int,
         default=1022,
-        help="truncate sequences longer than the given value",
+        help="clip sequences to at most this many residues before the forward pass",
     )
     parser.add_argument("--npz", action="store_true", help="write .npz instead of torch .pt files")
     parser.add_argument(
         "--fp32-precision", action="store_true",
         help="force float32 matmul precision (parity-grade numerics on TPU; slower)",
     )
-    parser.add_argument("--nogpu", action="store_true", help="do not use accelerator even if available")
+    parser.add_argument("--nogpu", action="store_true", help="run on the host CPU even when an accelerator is present")
     parser.add_argument(
         "--profile-trace", type=str, default=None, metavar="LOGDIR",
         help="capture a jax.profiler trace of the run (view in TensorBoard)",

@@ -51,25 +51,31 @@ def create_batched_sequence_dataset(sequences, max_tokens_per_batch: int = 1024)
 def create_parser():
     parser = argparse.ArgumentParser()
     parser.add_argument(
-        "-i", "--fasta", help="Path to input FASTA file", type=pathlib.Path, required=True
+        "-i", "--fasta", help="input sequences to fold, FASTA format", type=pathlib.Path, required=True
     )
     parser.add_argument(
-        "-o", "--pdb", help="Path to output PDB directory", type=pathlib.Path, required=True
+        "-o", "--pdb", help="directory that receives one .pdb per sequence", type=pathlib.Path, required=True
     )
     parser.add_argument(
-        "-m", "--model-path", help="Parent path to custom ESMFold model checkpoint (.pt)",
+        "-m", "--model-path", help="load a custom ESMFold checkpoint (.pt) instead of the registry model",
         type=str, default=None,
     )
     parser.add_argument(
         "--num-recycles", type=int, default=None,
-        help="Number of recycles to run. Defaults to number used in training (4).",
+        help="trunk recycle iterations; omit for the training-time setting (4)",
     )
-    parser.add_argument("--max-tokens-per-batch", type=int, default=1024)
+    parser.add_argument(
+        "--max-tokens-per-batch", type=int, default=1024,
+        help="token budget per device batch; shorter sequences share a batch. "
+        "Lower it if short-sequence batches run out of memory",
+    )
     parser.add_argument(
         "--chunk-size", type=int, default=None,
-        help="Chunks axial attention computation (memory/speed tradeoff)",
+        help="evaluate triangle attention in query chunks of this size, "
+        "cutting pair-activation memory at some speed cost (try 128/64/32; "
+        "unchunked when omitted)",
     )
-    parser.add_argument("--cpu-only", action="store_true")
+    parser.add_argument("--cpu-only", help="run on the host CPU only", action="store_true")
     parser.add_argument(
         "--bf16-trunk", action="store_true",
         help="bf16 compute in the folding trunk (~1.6x faster; LN/softmax stay fp32)",

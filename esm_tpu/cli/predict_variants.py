@@ -26,16 +26,16 @@ def create_parser():
         "--model-location", type=str, help="PyTorch model file OR name of pretrained model",
         nargs="+", required=True,
     )
-    parser.add_argument("--sequence", type=str, help="Base sequence to which mutations were applied")
-    parser.add_argument("--dms-input", type=pathlib.Path, help="CSV file containing the deep mutational scan")
+    parser.add_argument("--sequence", type=str, help="wild-type protein sequence the DMS variants mutate")
+    parser.add_argument("--dms-input", type=pathlib.Path, help="input CSV with one row per variant")
     parser.add_argument("--mutation-col", type=str, default="mutant", help="column with mutations (like P76A)")
-    parser.add_argument("--dms-output", type=pathlib.Path, help="Output file containing the deep mutational scan along with predictions")
-    parser.add_argument("--offset-idx", type=int, default=0, help="Offset of the mutation positions in `--mutation-col`")
+    parser.add_argument("--dms-output", type=pathlib.Path, help="where to write the input CSV augmented with a score column per model")
+    parser.add_argument("--offset-idx", type=int, default=0, help="index of the first residue in the mutation notation (e.g. 1 when P76A means sequence position 75)")
     parser.add_argument(
         "--scoring-strategy", type=str, default="wt-marginals",
         choices=["wt-marginals", "pseudo-ppl", "masked-marginals"],
     )
-    parser.add_argument("--msa-path", type=pathlib.Path, help="path to MSA in a3m format (required for MSA Transformer)")
+    parser.add_argument("--msa-path", type=pathlib.Path, help="a3m alignment to subsample (MSA Transformer scoring only)")
     parser.add_argument("--msa-samples", type=int, default=400, help="number of sequences from the start of the MSA")
     parser.add_argument("--mask-batch", type=int, default=64, help="positions scored per device batch (masked-marginals)")
     parser.add_argument("--msa-mask-batch", type=int, default=8, help="positions per device batch for the MSA Transformer (each position replicates the whole MSA)")

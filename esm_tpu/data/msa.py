@@ -45,9 +45,16 @@ def greedy_select(
     Seeds with row 0 (the query), then repeatedly adds the candidate whose
     mean hamming distance to the selected set is largest (``mode="max"``;
     smallest for ``"min"``), breaking ties toward the earliest row. Returns
-    the chosen rows in their original MSA order. Matches the selection
-    semantics of the reference notebook's ``greedy_select``
+    the chosen rows in their original MSA order. Implements the selection
+    criterion of the reference notebook's ``greedy_select``
     (examples/contact_prediction.ipynb) without scipy.
+
+    Tie-breaking is deterministic here (earliest remaining row wins). The
+    reference accumulates float distances, so on exact mean-hamming ties
+    (e.g. duplicate MSA rows) its float summation order picks an effectively
+    arbitrary candidate — subsamples can differ from a reference-notebook
+    reproduction at tied candidates, though the distance profile of the
+    selected set is identical. See PARITY.md ("MSA subsampling").
     """
     if mode not in ("max", "min"):
         raise ValueError(f"mode must be 'max' or 'min', got {mode!r}")

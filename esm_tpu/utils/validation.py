@@ -30,8 +30,32 @@ def _on_accelerator(x) -> bool:
         return False
     try:
         return any(d.platform != "cpu" for d in x.devices())
-    except Exception:  # e.g. deleted/donated arrays
-        return True
+    except Exception:
+        # Can't determine residency (e.g. deleted/donated arrays): fall
+        # through to the value check rather than silently skipping it — a
+        # dead array then fails visibly at np.min instead of flowing garbage
+        # into the embedding gather.
+        return False
+
+
+_warned_skip_range_check = False
+
+
+def _warn_range_check_skipped(name: str) -> None:
+    global _warned_skip_range_check
+    if _warned_skip_range_check:
+        return
+    _warned_skip_range_check = True
+    import warnings
+
+    warnings.warn(
+        f"{name} is accelerator-resident: the token value-range check is "
+        "skipped to avoid a blocking device->host readback per call. "
+        "Out-of-range ids are clamped by the embedding gather and produce "
+        "garbage outputs silently — validate on host (numpy) if unsure. "
+        "(warned once)",
+        stacklevel=3,
+    )
 
 
 def check_tokens(tokens, alphabet, *, msa: bool = False, name: str = "tokens"):
@@ -62,18 +86,21 @@ def check_tokens(tokens, alphabet, *, msa: bool = False, name: str = "tokens"):
             f"{name}: expected integer token ids, got dtype {arr.dtype} "
             "(use alphabet.get_batch_converter() to tokenize strings)"
         )
-    if arr.size and not _on_accelerator(arr):
-        # Value-range check needs the data; for an array already resident on
-        # an accelerator that would force a blocking device->host readback
-        # per call (a ~30 ms tunnel roundtrip here) and stall async dispatch
-        # pipelines — skip it there, like the Tracer carve-out above. The
-        # embedding gather clamps out-of-range ids rather than faulting.
-        lo, hi = int(np.min(arr)), int(np.max(arr))
-        if lo < 0 or hi >= len(alphabet):
-            raise ValueError(
-                f"{name}: token ids must be in [0, {len(alphabet)}), "
-                f"found range [{lo}, {hi}]"
-            )
+    if arr.size:
+        if _on_accelerator(arr):
+            # Value-range check needs the data; for an array already resident
+            # on an accelerator that would force a blocking device->host
+            # readback per call (a ~30 ms tunnel roundtrip here) and stall
+            # async dispatch pipelines — skip it there, like the Tracer
+            # carve-out above, but say so once.
+            _warn_range_check_skipped(name)
+        else:
+            lo, hi = int(np.min(arr)), int(np.max(arr))
+            if lo < 0 or hi >= len(alphabet):
+                raise ValueError(
+                    f"{name}: token ids must be in [0, {len(alphabet)}), "
+                    f"found range [{lo}, {hi}]"
+                )
     return arr
 
 

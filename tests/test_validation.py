@@ -69,6 +69,22 @@ def test_check_tokens_inside_jit(model):
         bad_rank(good)
 
 
+def test_range_check_skip_warns_once(monkeypatch):
+    """Accelerator-resident tokens skip the value-range check but warn once
+    (ADVICE r2): the skip is no longer silent."""
+    import warnings
+
+    alphabet = Alphabet.from_architecture("ESM-1b")
+    monkeypatch.setattr(V, "_on_accelerator", lambda x: True)
+    monkeypatch.setattr(V, "_warned_skip_range_check", False)
+    bad = np.full((1, 4), 99, np.int32)  # out of range, but "on accelerator"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        V.check_tokens(bad, alphabet)  # does not raise
+        V.check_tokens(bad, alphabet)
+    assert len(w) == 1 and "value-range check is skipped" in str(w[0].message)
+
+
 def test_check_coords():
     V.check_coords(np.zeros((7, 3, 3), np.float32))
     V.check_coords(np.zeros((2, 7, 3, 3), np.float32), batched=True)
