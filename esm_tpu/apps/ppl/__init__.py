@@ -14,6 +14,15 @@ from .energy import (
 from .folding import ESMFoldCallback, FoldingCallback, FoldingResult
 from .optimize import run_simulated_annealing
 from .program import ProgramNode
+from .programs import (
+    fixed_backbone,
+    free_hallucination,
+    functional_site_scaffolding,
+    secondary_structure,
+    symmetric_binding,
+    symmetric_monomer,
+    symmetric_two_level_multimer,
+)
 from .sequence import (
     ConstantSequenceSegment,
     FixedLengthSequenceSegment,

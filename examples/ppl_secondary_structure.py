@@ -1,8 +1,7 @@
 """Protein-programming-language example (script form of the reference's
-examples/protein-programming-language/programs/fixed_backbone.py): redesign a
-sequence for a known backbone by minimizing cRMSD/dRMSD to a PDB template
-while maximizing pTM/pLDDT. Template loading is biotite-free
-(esm_tpu.data.pdb); pass any local PDB file."""
+examples/protein-programming-language/programs/secondary_structure.py):
+hallucinate a two-segment protein while steering each segment's secondary
+structure ('a' helix, 'b' strand, 'c' coil)."""
 
 import argparse
 import logging
@@ -15,16 +14,18 @@ logging.basicConfig(level=logging.INFO)
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("pdbfile", help="template PDB (e.g. a 6mrs download)")
-    parser.add_argument("--chain", default=None)
+    parser.add_argument("--node1-sse", default="a", choices=["a", "b", "c"])
+    parser.add_argument("--node2-sse", default="b", choices=["a", "b", "c"])
+    parser.add_argument("--segment-length", type=int, default=50)
     parser.add_argument("--steps", type=int, default=2000)
     args = parser.parse_args()
 
-    template = ppl.pdb_file_to_atomview(args.pdbfile, chain=args.chain)
-    program = ppl.fixed_backbone(template)
-
     cfg, params, alphabet = pretrained.esmfold_v1()
     callback = ppl.ESMFoldCallback(params, cfg, num_recycles=1)
+
+    program = ppl.secondary_structure(
+        args.node1_sse, args.node2_sse, segment_length=args.segment_length
+    )
 
     state = ppl.run_simulated_annealing(
         program,
@@ -33,8 +34,8 @@ def main():
         annealing_rate=0.97,
         total_num_steps=args.steps,
     )
-    print("best sequence:", state.best_sequence)
     print("best energy:", state.best_energy)
+    print("best sequence:", state.best_sequence)
 
 
 if __name__ == "__main__":

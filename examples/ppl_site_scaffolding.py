@@ -1,0 +1,52 @@
+"""Protein-programming-language example (script form of the reference's
+examples/protein-programming-language/programs/functional_site_scaffolding.py):
+graft a constant functional-site motif between two variable-length designed
+flanks, keeping the motif surface-exposed and near its native geometry.
+
+The reference fetches PDB 6m0j (SARS-CoV-2 RBD / ACE2) from RCSB and slices
+the ACE2-binding helix, residues 23-42. This environment has no network, so
+pass a locally downloaded PDB file; the residue-range default matches the
+reference recipe."""
+
+import argparse
+import logging
+
+from esm_tpu import pretrained
+from esm_tpu.apps import ppl
+
+logging.basicConfig(level=logging.INFO)
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("pdbfile", help="structure holding the site motif (reference uses 6m0j)")
+    parser.add_argument("--chain", default=None)
+    parser.add_argument("--site-start", type=int, default=23, help="first motif residue (author numbering)")
+    parser.add_argument("--site-end", type=int, default=42, help="one past the last motif residue")
+    parser.add_argument("--flank-length", type=int, default=50)
+    parser.add_argument("--steps", type=int, default=2000)
+    args = parser.parse_args()
+
+    site = ppl.pdb_file_to_atomview(args.pdbfile, chain=args.chain)
+    program = ppl.functional_site_scaffolding(
+        site,
+        residue_range=(args.site_start, args.site_end),
+        flank_length=args.flank_length,
+    )
+
+    cfg, params, alphabet = pretrained.esmfold_v1()
+    callback = ppl.ESMFoldCallback(params, cfg, num_recycles=1)
+
+    state = ppl.run_simulated_annealing(
+        program,
+        callback,
+        initial_temperature=1.0,
+        annealing_rate=0.97,
+        total_num_steps=args.steps,
+    )
+    print("best energy:", state.best_energy)
+    print("best sequence:", state.best_sequence)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,6 +1,7 @@
 """Protein-programming-language example (script form of the reference's
-examples/protein-programming-language/programs): design a 3-fold symmetric
-ring maximizing pTM/pLDDT with a symmetry energy."""
+examples/protein-programming-language/programs/symmetric_monomer.py): design
+a single chain of N identical repeats arranged in a symmetric ring,
+maximizing pTM/pLDDT with a symmetry energy."""
 
 import argparse
 import logging
@@ -23,21 +24,8 @@ def main():
     cfg, params, alphabet = pretrained.esmfold_v1()
     callback = ppl.ESMFoldCallback(params, cfg, num_recycles=1)
 
-    protomer = ppl.FixedLengthSequenceSegment(args.protomer_length)
-
-    def make_protomer_node():
-        return ppl.ProgramNode(sequence_segment=protomer)
-
-    program = ppl.ProgramNode(
-        children=[make_protomer_node() for _ in range(args.num_protomers)],
-        children_are_different_chains=True,
-        energy_function_terms=[
-            ppl.MaximizePTM(),
-            ppl.MaximizePLDDT(),
-            ppl.SymmetryRing(),
-            ppl.MinimizeSurfaceHydrophobics(),
-        ],
-        energy_function_weights=[1.0, 1.0, 1.0, 1.0],
+    program = ppl.symmetric_monomer(
+        args.num_protomers, protomer_length=args.protomer_length
     )
 
     state = ppl.run_simulated_annealing(

@@ -1,8 +1,8 @@
 """Protein-programming-language example (script form of the reference's
-examples/protein-programming-language/programs/fixed_backbone.py): redesign a
-sequence for a known backbone by minimizing cRMSD/dRMSD to a PDB template
-while maximizing pTM/pLDDT. Template loading is biotite-free
-(esm_tpu.data.pdb); pass any local PDB file."""
+examples/protein-programming-language/programs/symmetric_two_level_multimer.py):
+two-level symmetry — a shared protomer repeated into symmetric chains, and
+the chains arranged into a symmetric multimer (chain breaks via the +1000
+residue-index skip)."""
 
 import argparse
 import logging
@@ -15,16 +15,18 @@ logging.basicConfig(level=logging.INFO)
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("pdbfile", help="template PDB (e.g. a 6mrs download)")
-    parser.add_argument("--chain", default=None)
+    parser.add_argument("--num-chains", type=int, default=2)
+    parser.add_argument("--protomers-per-chain", type=int, default=3)
+    parser.add_argument("--protomer-length", type=int, default=50)
     parser.add_argument("--steps", type=int, default=2000)
     args = parser.parse_args()
 
-    template = ppl.pdb_file_to_atomview(args.pdbfile, chain=args.chain)
-    program = ppl.fixed_backbone(template)
-
     cfg, params, alphabet = pretrained.esmfold_v1()
     callback = ppl.ESMFoldCallback(params, cfg, num_recycles=1)
+
+    program = ppl.symmetric_two_level_multimer(
+        args.num_chains, args.protomers_per_chain, args.protomer_length
+    )
 
     state = ppl.run_simulated_annealing(
         program,
@@ -33,8 +35,8 @@ def main():
         annealing_rate=0.97,
         total_num_steps=args.steps,
     )
-    print("best sequence:", state.best_sequence)
     print("best energy:", state.best_energy)
+    print("best sequence:", state.best_sequence)
 
 
 if __name__ == "__main__":
