@@ -1,6 +1,7 @@
 from .esmfold import (
     ESMFoldConfig,
     apply,
+    auto_frugal,
     batch_encode_sequences,
     encode_sequence,
     infer,

@@ -279,6 +279,21 @@ def batch_encode_sequences(
     return aatype, mask, residx, linker_mask, chain_index
 
 
+# Auto-frugal threshold: one non-frugal output dict holds ~1284 bytes per
+# (i, j) pair (s_z + distogram/ptm/aligned-confidence logits + PAE — see
+# parallel/memory_plan._held_output_bytes_per_pair). Past ~1.5 GB of held
+# diagnostics (~10% of a 16 GB chip) a second in-flight output starts
+# deciding whether the next fold OOMs, so infer() switches to frugal there.
+_AUTO_FRUGAL_HELD_BYTES = 1_500_000_000
+_NON_FRUGAL_BYTES_PER_PAIR = 1284
+
+
+def auto_frugal(batch: int, L: int) -> bool:
+    """infer()'s default for ``frugal=None``: True when holding the full
+    diagnostic outputs would cost more than ~1.5 GB HBM (B=1: L >= ~1080)."""
+    return batch * L * L * _NON_FRUGAL_BYTES_PER_PAIR > _AUTO_FRUGAL_HELD_BYTES
+
+
 def infer(
     params,
     cfg: ESMFoldConfig,
@@ -287,14 +302,22 @@ def infer(
     num_recycles: Optional[int] = None,
     residue_index_offset: Optional[int] = 512,
     chain_linker: Optional[str] = "G" * 25,
-    frugal: bool = False,
+    frugal: Optional[bool] = None,
 ) -> Dict[str, jax.Array]:
-    """Sequence(s) -> structure output (reference esmfold.py:281-339)."""
+    """Sequence(s) -> structure output (reference esmfold.py:281-339).
+
+    ``frugal=None`` (default) resolves via :func:`auto_frugal`: at large L the
+    O(L^2) diagnostic outputs are dropped automatically so back-to-back folds
+    never OOM on a held previous result — pass ``frugal=False`` explicitly to
+    keep s_z / distogram / pTM logits at any length (and budget for them with
+    ``parallel.memory_plan.plan_fold``)."""
     if isinstance(sequences, str):
         sequences = [sequences]
     aatype, mask, residx, linker_mask, chain_index = batch_encode_sequences(
         sequences, residue_index_offset, chain_linker
     )
+    if frugal is None:
+        frugal = auto_frugal(*aatype.shape)
     output = apply(
         params,
         cfg,

@@ -63,6 +63,159 @@ def plan_model(cfg, mesh_cfg: MeshConfig, dtype=None) -> Dict:
     return plan(shapes, mesh_cfg)
 
 
+def _pair_shards(pair_spec, mesh_cfg: MeshConfig) -> int:
+    """Shard factor the trunk's (B, I, J, C) pair tensors get from
+    FoldingTrunkConfig.pair_spec on this mesh."""
+    if pair_spec is None:
+        return 1
+    axis_sizes = dict(zip(AXES, mesh_cfg.shape))
+    shards = 1
+    for axes in pair_spec:
+        if axes is None:
+            continue
+        for ax in (axes if isinstance(axes, tuple) else (axes,)):
+            shards *= axis_sizes.get(ax, 1)
+    return shards
+
+
+# Held bytes per (i, j) pair entry of one NON-frugal ESMFold output dict:
+# s_z (c_z fp32) + distogram/ptm/aligned-confidence logits (3 x bins fp32)
+# + predicted_aligned_error (fp32). The frugal mode keeps only the PAE.
+def _held_output_bytes_per_pair(c_z: int = 128, distogram_bins: int = 64) -> int:
+    return c_z * 4 + 3 * distogram_bins * 4 + 4
+
+
+def plan_fold(
+    fold_cfg,
+    L: int,
+    mesh_cfg: MeshConfig = None,
+    *,
+    batch: int = 1,
+    lm_dtype_bytes: int = 2,
+    params_bytes: int = None,
+    frugal: bool = None,
+    held_outputs: int = 1,
+    hbm_bytes: int = 15_750_000_000,
+) -> Dict:
+    """Estimate per-device HBM for an ESMFold forward at length ``L`` and
+    answer "does this fit?" before trial-OOM (VERDICT r2 item 4; the
+    reference's only lever here is chunking, esm/esmfold/v1/esmfold.py:354-360).
+
+    fold_cfg: an ESMFoldConfig (uses .esm, .trunk, .distogram_bins).
+    lm_dtype_bytes: 2 for bf16/fp16 LM, 4 fp32, 1 for weight-only int8 params
+        (params only — LM activations are charged at max(2, lm_dtype_bytes)).
+    params_bytes: total parameter bytes if already known (e.g. measured from a
+        live params tree); otherwise estimated analytically from the configs.
+    frugal: whether outputs use the frugal mode; None = the auto default
+        (esmfold.infer's rule at this batch/L).
+    held_outputs: output dicts alive at once (the fold CLI's --in-flight, or
+        2 when a caller keeps the previous result while folding the next).
+
+    Model (per device; pair tensors divided by the pair_spec shard factor):
+    trunk working set = s_z_0 + recycle carry (fp32) + compute-dtype z and
+    ~3 triangle-mul temporaries + recycle bins [+ the O(L^3) unchunked
+    triangle-attention logits when neither chunk_size nor use_flash_tri is
+    set]; LM = fp32 per-layer representation stack (+ attention-map stack
+    when use_esm_attn_map); outputs per _held_output_bytes_per_pair.
+    Accuracy is +/-20-30%: use the verdict, not the raw number. Calibration
+    (BENCH_NOTES, one v5e chip, flash-tri bf16 trunk, 3B LM): L=1000 bf16-LM
+    -> fits (measured 3.6 s/fold); L=2048 bf16-LM -> over (measured OOM);
+    L=2048 int8 -> fits (measured 21.6 s); L=2048 int8 with a second
+    non-frugal output held -> over (the documented re-fold OOM).
+    """
+    mesh_cfg = mesh_cfg or MeshConfig(1, 1, 1)
+    esm_cfg, trunk_cfg = fold_cfg.esm, fold_cfg.trunk
+    c_z = trunk_cfg.pairwise_state_dim
+    tb = np.dtype(trunk_cfg.compute_dtype).itemsize
+    shards = _pair_shards(trunk_cfg.pair_spec, mesh_cfg)
+    pairs = batch * L * L // shards
+
+    if params_bytes is None:
+        # LM + trunk parameter counts, analytic (matches init_esmfold shapes
+        # to ~5%: embeddings/LN/head terms included, biases folded into the
+        # 10%/3% structural slack)
+        d, nl = esm_cfg.embed_dim, esm_cfg.num_layers
+        lm_params = nl * 12 * d * d + 2 * esm_cfg.alphabet_size * d
+        c_s = trunk_cfg.sequence_state_dim
+        block = (
+            8 * c_z * c_z          # tri-mul in/out: 2 ops x (2 proj + gates)
+            + 4 * c_z * c_z        # tri-attn start/end qkv+out at width c_z
+            + 12 * c_s * c_s       # seq attention + 4x MLP
+            + 2 * c_s * c_z + 2 * c_z * c_s  # seq<->pair couplings
+            + 8 * c_z * c_z        # pair MLP (4x hidden)
+        )
+        sm = trunk_cfg.structure_module
+        sm_params = sm.no_blocks * 16 * sm.c_s * sm.c_s + 4 * sm.c_s * sm.c_z
+        params_bytes = (
+            lm_params * lm_dtype_bytes
+            + (trunk_cfg.num_blocks * block + sm_params
+               + 2 * esm_cfg.embed_dim * c_s) * max(tb, 2)
+        )
+    per_dev_params = -(-params_bytes // max(mesh_cfg.fsdp * mesh_cfg.tp, 1))
+
+    # LM activations: fp32 (layers+1, C) representation stack after the
+    # stop_gradient cast (esmfold.py:143-150), + transient layer working set
+    act_b = max(2, lm_dtype_bytes)
+    lm_act = batch * (L + 2) * (esm_cfg.num_layers + 1) * esm_cfg.embed_dim * 4
+    lm_act += 10 * batch * L * esm_cfg.embed_dim * act_b
+    if fold_cfg.use_esm_attn_map:
+        lm_act += pairs * esm_cfg.num_layers * esm_cfg.attention_heads * 4
+
+    z32 = pairs * c_z * 4
+    zc = pairs * c_z * tb
+    trunk_work = 2 * z32 + 4 * zc + pairs * 4  # s_z_0 + carry + z&tri temps + bins
+    if trunk_cfg.chunk_size is None and not trunk_cfg.use_flash_tri:
+        # unchunked triangle attention materializes (B, I, H, J, J) logits
+        trunk_work += batch * L * trunk_cfg.pair_heads * L * L // shards * 4
+
+    if frugal is None:
+        from ..models import esmfold as ef
+
+        frugal = ef.auto_frugal(batch, L)
+    out_pair_bytes = (
+        4 if frugal else _held_output_bytes_per_pair(c_z, fold_cfg.distogram_bins)
+    )
+    sm_k = trunk_cfg.structure_module.no_blocks
+    out_linear = batch * L * (37 * 4 + sm_k * 14 * 3 * 4)  # plddt + positions
+    if not frugal:
+        out_linear += batch * L * sm_k * (
+            37 * fold_cfg.lddt_bins * 4 + trunk_cfg.structure_module.c_s * 4
+        )  # lddt_head + states
+    outputs = held_outputs * (pairs * out_pair_bytes + out_linear)
+
+    total = per_dev_params + lm_act + trunk_work + outputs
+    headroom = hbm_bytes - total
+    verdict = (
+        "fits" if headroom > 0.1 * hbm_bytes
+        else ("close" if headroom > -0.05 * hbm_bytes else "over")
+    )
+    return {
+        "per_device_bytes": int(total),
+        "params_bytes": int(per_dev_params),
+        "lm_bytes": int(lm_act),
+        "pair_bytes": int(trunk_work),
+        "output_bytes": int(outputs),
+        "pair_shards": shards,
+        "frugal": bool(frugal),
+        "hbm_bytes": hbm_bytes,
+        "verdict": verdict,
+    }
+
+
+def max_fold_length(fold_cfg, mesh_cfg: MeshConfig = None, **kw) -> int:
+    """Largest L whose plan_fold verdict is not 'over' (binary search)."""
+    lo, hi = 64, 16384
+    while plan_fold(fold_cfg, hi, mesh_cfg, **kw)["verdict"] != "over" and hi < 2**20:
+        lo, hi = hi, hi * 2
+    while hi - lo > 16:
+        mid = (lo + hi) // 2
+        if plan_fold(fold_cfg, mid, mesh_cfg, **kw)["verdict"] != "over":
+            lo = mid
+        else:
+            hi = mid
+    return lo
+
+
 def plan_train(
     cfg,
     mesh_cfg: MeshConfig,

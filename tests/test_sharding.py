@@ -432,6 +432,78 @@ def test_memory_plan_train_calibration():
     assert sliced["per_device_bytes"] < plan_train(cfg15, single, 1, 1024)["per_device_bytes"]
 
 
+def test_memory_plan_fold_calibration():
+    """plan_fold reproduces the measured single-chip ESMFold outcomes
+    (BENCH_NOTES, esmfold_v1 size, bf16 trunk + fused triangle kernels):
+    L=1000 bf16-LM fits (3.6 s/fold); L=2048 bf16-LM misses the chip
+    (measured OOM — only a stub LM fit); L=2048 int8 fits (21.6 s); holding a
+    second non-frugal output at L=2048 re-creates the documented re-fold OOM;
+    pair_spec sharding divides the pair working set."""
+    import dataclasses
+
+    import jax.numpy as jnp2
+    from jax.sharding import PartitionSpec as PS
+
+    from esm_tpu.models import esmfold as ef
+    from esm_tpu.models.esmfold.trunk import FoldingTrunkConfig
+    from esm_tpu.parallel.memory_plan import max_fold_length, plan_fold
+
+    cfg3b = esm2.ESM2Config.from_alphabet(
+        Alphabet.from_architecture("ESM-1b"),
+        **esm2.ESM2_SIZES["esm2_t36_3B_UR50D"],
+        compute_dtype=jnp2.bfloat16,
+    )
+    fcfg = ef.ESMFoldConfig(
+        esm=cfg3b,
+        trunk=FoldingTrunkConfig(compute_dtype=jnp2.bfloat16, use_flash_tri=True),
+    )
+    single = MeshConfig(1, 1, 1)
+
+    assert plan_fold(fcfg, 1000, single, lm_dtype_bytes=2)["verdict"] == "fits"
+    assert plan_fold(fcfg, 384, single, lm_dtype_bytes=2)["verdict"] == "fits"
+    assert plan_fold(fcfg, 2048, single, lm_dtype_bytes=2)["verdict"] in (
+        "close", "over",  # measured: OOM with the real bf16 LM
+    )
+    assert plan_fold(fcfg, 2048, single, lm_dtype_bytes=1)["verdict"] in (
+        "fits", "close",  # measured: int8 LM+trunk folds L=2048 in 21.6 s
+    )
+    assert (
+        plan_fold(fcfg, 2048, single, lm_dtype_bytes=1, frugal=False, held_outputs=2)
+        ["verdict"] == "over"
+    )  # the old "free the previous output dict" caveat, now predicted
+
+    # auto-frugal default: the standard 1022 bucket keeps full outputs,
+    # large L drops the O(L^2) diagnostics
+    assert plan_fold(fcfg, 1000, single)["frugal"] is False
+    assert plan_fold(fcfg, 2048, single)["frugal"] is True
+    assert not ef.auto_frugal(1, 1022) and ef.auto_frugal(1, 1100)
+    assert ef.auto_frugal(4, 600)  # batch multiplies the held bytes
+
+    # answer "what fits" without trial OOM
+    assert max_fold_length(fcfg, single, lm_dtype_bytes=1) >= 2048
+
+    # unchunked triangle attention (no flash, no chunk_size) is O(L^3):
+    # the planner must flag it long before the chunked config fails
+    fcfg_unchunked = dataclasses.replace(
+        fcfg, trunk=dataclasses.replace(fcfg.trunk, use_flash_tri=False)
+    )
+    assert plan_fold(fcfg_unchunked, 1000, single)["verdict"] == "over"
+    fcfg_chunked = dataclasses.replace(
+        fcfg, trunk=dataclasses.replace(fcfg.trunk, use_flash_tri=False, chunk_size=128)
+    )
+    assert plan_fold(fcfg_chunked, 1000, single)["verdict"] == "fits"
+
+    # pair-tensor sharding divides the pair working set by the shard factor
+    fcfg_sh = dataclasses.replace(
+        fcfg, trunk=dataclasses.replace(fcfg.trunk, pair_spec=PS(None, "tp"))
+    )
+    p1 = plan_fold(fcfg, 2048, single, lm_dtype_bytes=2)
+    p4 = plan_fold(fcfg_sh, 2048, MeshConfig(1, 1, 4), lm_dtype_bytes=2)
+    assert p4["pair_shards"] == 4
+    assert abs(p4["pair_bytes"] - p1["pair_bytes"] / 4) < 0.01 * p1["pair_bytes"]
+    assert p4["verdict"] == "fits"
+
+
 def test_sharded_int8_forward_matches_single_device():
     """Weight-only int8 params shard onto the mesh (scales follow the bias
     rules) and the sharded forward equals the single-device one."""
