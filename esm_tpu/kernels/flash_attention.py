@@ -64,6 +64,28 @@ def _pick_block_k(block_k: Optional[int], s: int) -> int:
     return min(block_k, sp)
 
 
+def _pick_block_h(h: int, block_q: int, sp: int, d: int) -> int:
+    """Heads per grid step on the single-pass path. One head's (block_q, sp)
+    tile at small T is ~0.1 ms of MXU work, so per-step grid/DMA fixed costs
+    dominate (T=512 measured 79% of its roofline ceiling, BENCH_NOTES) —
+    batch heads of the same batch row until a step carries ~0.5 GFLOP, capped
+    by ~5 MB of fp32 score tiles (VMEM headroom for Mosaic to pipeline two
+    heads' tiles; the T=512 sweep measured bh=5 > bh=4 > bh=1,
+    scripts_dev/tpu_t512_sweep.py). Must divide h so the per-block key bias
+    is one batch row."""
+    flops = 4 * block_q * sp * d
+    best = 1
+    for c in range(1, h + 1):
+        if h % c:
+            continue
+        if c * block_q * sp * 4 > 5 * 1024 * 1024:
+            break
+        best = c
+        if c * flops >= 512e6:
+            break
+    return best
+
+
 def _pick_block_q(block_q: int, t: int) -> int:
     """Query block: prefer a lane-aligned divisor of the padded query length
     in [block_q/2, block_q] so q pads only to the 128-lane boundary — with a
@@ -228,40 +250,68 @@ def _flash_kernel(*refs, use_rotary: bool, with_lse: bool = False):
             lse_ref[0] = jnp.broadcast_to(lse[None, :], lse_ref.shape[1:])
 
 
-def _single_pass_kernel(*refs, use_rotary: bool, with_lse: bool = False):
-    """One (bh, qi) step with the WHOLE source in VMEM: plain fused
+def _single_pass_kernel(
+    *refs, use_rotary: bool, with_lse: bool = False, block_h: int = 1,
+    has_bias: bool = True,
+):
+    """One (bh/block_h, qi) step with the WHOLE source in VMEM: plain fused
     softmax-attention — no online-softmax state, no scratch. ~11% faster than
-    the blockwise path when S fits one block (the common ESM case, S ≤ 1024)."""
+    the blockwise path when S fits one block (the common ESM case, S ≤ 1024).
+
+    ``block_h`` > 1 processes several heads of the SAME batch row per grid
+    step (unrolled loop): at small T a single head's (bq, S) tile is ~0.1 ms
+    of MXU work and per-step grid/DMA fixed costs dominate — batching heads
+    amortizes them (the T=512 roofline residual, BENCH_NOTES). ``has_bias``
+    False removes the key-bias stream + add entirely (mask-free calls).
+    """
+    it = iter(refs)
+    q_ref, k_ref, v_ref = next(it), next(it), next(it)
+    bias_ref = next(it) if has_bias else None
+    cos_ref = sin_ref = None
     if use_rotary:
-        q_ref, k_ref, v_ref, bias_ref, cos_ref, sin_ref, *outs = refs
-        q, k, _ = _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, 0)
-    else:
-        q_ref, k_ref, v_ref, bias_ref, *outs = refs
-        q = q_ref[0]
-        k = k_ref[0]
+        cos_ref, sin_ref = next(it), next(it)
+    outs = list(it)
     o_ref = outs[0]
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s + bias_ref[0, 0][None, :]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = (pv / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
-    if with_lse:
-        lse = m[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-37))
-        outs[1][0] = jnp.broadcast_to(lse[None, :], outs[1].shape[1:])
+    for j in range(block_h):
+        if use_rotary:
+            from ..ops.rotary import rotate_half
+
+            qi = pl.program_id(1)
+            bq = q_ref.shape[1]
+            bk = k_ref.shape[1]
+            cq = cos_ref[pl.dslice(qi * bq, bq), :]
+            sq = sin_ref[pl.dslice(qi * bq, bq), :]
+            ck = cos_ref[pl.dslice(0, bk), :]
+            sk = sin_ref[pl.dslice(0, bk), :]
+            q = q_ref[j] * cq + rotate_half(q_ref[j]) * sq
+            k = k_ref[j] * ck + rotate_half(k_ref[j]) * sk
+        else:
+            q = q_ref[j]
+            k = k_ref[j]
+        v = v_ref[j]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        if has_bias:
+            s = s + bias_ref[0, 0][None, :]
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[j] = (pv / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+        if with_lse:
+            lse = m[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-37))
+            outs[1][j] = jnp.broadcast_to(lse[None, :], outs[1].shape[1:])
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "num_heads", "block_q", "block_k", "interpret", "use_rotary", "with_lse",
+        "block_h", "has_bias",
     ),
 )
 def _flash_padded(
@@ -278,12 +328,16 @@ def _flash_padded(
     interpret: bool,
     use_rotary: bool = False,
     with_lse: bool = False,
+    block_h: int = 1,
+    has_bias: bool = True,
 ):
     """q: (BH, Tq, d), k/v: (BH, S, d), bias: (B, 1, S) fp32 — shared across
     the ``num_heads`` heads of each batch row via the index map (no H-fold
     replication in HBM); shapes already padded to block multiples.
     cos/sin: (max(Tq, S), d) rotary tables. With ``with_lse`` also returns
-    the per-row log-sum-exp (BH, Tq) fp32 (flash-backward residual)."""
+    the per-row log-sum-exp (BH, Tq) fp32 (flash-backward residual).
+    ``block_h``/``has_bias`` apply to the single-pass path only (see
+    _single_pass_kernel)."""
     bh, tq, d = q.shape
     s_len = k.shape[1]
     h = num_heads
@@ -301,24 +355,32 @@ def _flash_padded(
     lse_shape = jax.ShapeDtypeStruct((bh, 8, tq), jnp.float32)
 
     if s_len == block_k:
+        bhb = block_h if (block_h > 1 and h % block_h == 0) else 1
         rot_specs = (
             [pl.BlockSpec((table_len, d), lambda b, i: (0, 0))] * 2
             if use_rotary
             else []
         )
-        o_spec = pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0))
-        lse_spec = pl.BlockSpec((1, 8, block_q), lambda b, i: (b, 0, i))
+        bias_specs = (
+            [pl.BlockSpec((1, 1, s_len), lambda b, i: ((b * bhb) // h, 0, 0))]
+            if has_bias
+            else []
+        )
+        bias_in = [bias] if has_bias else []
+        o_spec = pl.BlockSpec((bhb, block_q, d), lambda b, i: (b, i, 0))
+        lse_spec = pl.BlockSpec((bhb, 8, block_q), lambda b, i: (b, 0, i))
         return pl.pallas_call(
             functools.partial(
-                _single_pass_kernel, use_rotary=use_rotary, with_lse=with_lse
+                _single_pass_kernel, use_rotary=use_rotary, with_lse=with_lse,
+                block_h=bhb, has_bias=has_bias,
             ),
-            grid=(bh, tq // block_q),
+            grid=(bh // bhb, tq // block_q),
             in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda b, i: (b, i, 0)),
-                pl.BlockSpec((1, s_len, d), lambda b, i: (b, 0, 0)),
-                pl.BlockSpec((1, s_len, d), lambda b, i: (b, 0, 0)),
-                pl.BlockSpec((1, 1, s_len), lambda b, i: (b // h, 0, 0)),
+                pl.BlockSpec((bhb, block_q, d), lambda b, i: (b, i, 0)),
+                pl.BlockSpec((bhb, s_len, d), lambda b, i: (b, 0, 0)),
+                pl.BlockSpec((bhb, s_len, d), lambda b, i: (b, 0, 0)),
             ]
+            + bias_specs
             + rot_specs,
             out_specs=[o_spec, lse_spec] if with_lse else o_spec,
             out_shape=[out_shape, lse_shape] if with_lse else out_shape,
@@ -327,7 +389,7 @@ def _flash_padded(
             ),
             interpret=interpret,
             cost_estimate=cost,
-        )(q, k, v, bias, *rot_in)
+        )(q, k, v, *bias_in, *rot_in)
 
     grid = (bh, tq // block_q, s_len // block_k)
     rot_specs = (
@@ -575,7 +637,8 @@ def _flash_bwd_padded(
 
 @functools.lru_cache(maxsize=None)
 def _flash_core(
-    num_heads: int, block_q: int, block_k: int, interpret: bool, use_rotary: bool
+    num_heads: int, block_q: int, block_k: int, interpret: bool,
+    use_rotary: bool, block_h: int = 1, has_bias: bool = True,
 ):
     """custom_vjp-wrapped padded flash core for one static configuration.
 
@@ -583,6 +646,8 @@ def _flash_core(
     under differentiation does the forward switch to the lse-saving variant
     and the backward run the two-pass recompute kernels — so the training
     path pays one extra (BH, T) fp32 write and the inference path nothing.
+    ``block_h``/``has_bias`` shape the single-pass forward only; the backward
+    kernels always stream the bias (zeros when maskless) at block_h=1.
     """
     statics = dict(
         num_heads=num_heads, block_q=block_q, block_k=block_k,
@@ -591,10 +656,16 @@ def _flash_core(
 
     @jax.custom_vjp
     def core(q, k, v, bias, cos, sin):
-        return _flash_padded(q, k, v, bias, cos, sin, **statics)
+        return _flash_padded(
+            q, k, v, bias, cos, sin, block_h=block_h, has_bias=has_bias,
+            **statics,
+        )
 
     def fwd(q, k, v, bias, cos, sin):
-        out, lse = _flash_padded(q, k, v, bias, cos, sin, with_lse=True, **statics)
+        out, lse = _flash_padded(
+            q, k, v, bias, cos, sin, with_lse=True, block_h=block_h,
+            has_bias=has_bias, **statics,
+        )
         return out, (q, k, v, bias, cos, sin, out, lse)
 
     def bwd(res, do):
@@ -634,10 +705,11 @@ def flash_attention_with_lse(
     block_k = _pick_block_k(block_k, s)
     qf, kf, vf, bias, tp, sp = _prep_qkv(q, k, v, key_padding_mask, block_q, block_k)
 
+    block_h = _pick_block_h(h, block_q, sp, d) if sp == block_k else 1
     out, lse = _flash_padded(
         qf, kf, vf, bias, None, None,
         num_heads=h, block_q=block_q, block_k=block_k,
-        interpret=interpret, use_rotary=False, with_lse=True,
+        interpret=interpret, use_rotary=False, with_lse=True, block_h=block_h,
     )
     return (
         out[:, :t].reshape(b, h, t, d),
@@ -733,7 +805,11 @@ def flash_attention(
 
         cos, sin = rotary_tables(max(tp, sp), d, q.dtype)
 
-    out = _flash_core(h, block_q, block_k, interpret, rotary)(
-        qf, kf, vf, bias, cos, sin
-    )
+    block_h = _pick_block_h(h, block_q, sp, d) if sp == block_k else 1
+    # the bias stream is also what masks PADDED key rows — it can only be
+    # dropped when there is no user mask AND no key padding
+    has_bias = key_padding_mask is not None or sp != s
+    out = _flash_core(
+        h, block_q, block_k, interpret, rotary, block_h, has_bias
+    )(qf, kf, vf, bias, cos, sin)
     return out[:, :t].reshape(b, h, t, d)

@@ -36,18 +36,25 @@ if which == "esmfold":
         params = quantize_params(params)
         print(f"int8: {before/1e9:.1f} -> {param_bytes(params)/1e9:.1f} GB",
               flush=True)
-    for L in (int(a) for a in (sys.argv[2:] or ["384", "1000"])):
+    args = sys.argv[2:]
+    recycles = 0
+    if "--recycles" in args:
+        i = args.index("--recycles")
+        recycles = int(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    for L in (int(a) for a in (args or ["384", "1000"])):
         seq = "".join("LAGVSERTID"[rng.randint(10)] for _ in range(L))
         t0 = time.time()
-        out = ef.infer(params, cfg, seq, num_recycles=0)
+        out = ef.infer(params, cfg, seq, num_recycles=recycles)
         mp = float(np.asarray(out["mean_plddt"])[0])
-        print(f"esmfold_v1-size L={L}: compile+run {time.time()-t0:.1f}s "
-              f"plddt={mp:.1f}", flush=True)
+        print(f"esmfold_v1-size L={L} recycles={recycles}: compile+run "
+              f"{time.time()-t0:.1f}s plddt={mp:.1f}", flush=True)
         del out
         t0 = time.time()
-        out = ef.infer(params, cfg, seq, num_recycles=0)
+        out = ef.infer(params, cfg, seq, num_recycles=recycles)
         float(np.asarray(out["mean_plddt"])[0])
-        print(f"steady L={L}: {time.time()-t0:.1f}s", flush=True)
+        print(f"steady L={L} recycles={recycles}: {time.time()-t0:.1f}s",
+              flush=True)
         del out
 else:
     from esm_tpu.data import Alphabet

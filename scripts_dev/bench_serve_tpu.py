@@ -129,11 +129,16 @@ def main():
               f"mean_batch {stats['mean_batch_seqs']}  "
               f"p50 {stats['latency_p50_ms']:.0f} ms  p95 {stats['latency_p95_ms']:.0f} ms")
 
-    load_pass("pass1 (cold traces)")
-    if "--open-loop" in flag_vals:
+    if "--open-only" in sys.argv and "--open-loop" in flag_vals:
+        # skip the closed-loop pass so /stats' rolling latency window holds
+        # only the open-loop pass (admission-control p95 measurement)
         open_loop_pass(flag_vals["--open-loop"])
     else:
-        load_pass("pass2 (steady)")
+        load_pass("pass1 (cold traces)")
+        if "--open-loop" in flag_vals:
+            open_loop_pass(flag_vals["--open-loop"])
+        else:
+            load_pass("pass2 (steady)")
     srv.stop()
 
 if __name__ == "__main__":

@@ -98,7 +98,7 @@ def hbm_rate(mb=512):
     return 2 * n * 2 / t / 1e9, t  # GB/s (read + write)
 
 
-def probe_variant_rate(b, h, t_len, d, variant, block_q=1024):
+def probe_variant_rate(b, h, t_len, d, variant, block_q=1024, block_h=1):
     """Single-pass attention probe kernels (whole S in VMEM, like the library
     kernel's S<=1024 path) that isolate cost components:
       nosm  - GEMM pair only (s = q.k^T; o = cast(s).v): in-VMEM MXU rate at
@@ -106,30 +106,33 @@ def probe_variant_rate(b, h, t_len, d, variant, block_q=1024):
       exp   - full fp32 softmax via exp (the library kernel's math)
       exp2  - softmax via exp2 (prescale folded into q: one fewer ALU op in
               the hot transcendental)
+    ``block_h`` batches heads per grid step (the library kernel's small-T
+    fixed-cost amortization) so the ceiling stays structure-matched.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(q_ref, k_ref, v_ref, o_ref):
-        q = q_ref[0]
-        k = k_ref[0]
-        v = v_ref[0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        if variant == "nosm":
-            p = s
-        else:
-            m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp(s - m) if variant == "exp" else jnp.exp2(s - m)
-            l = jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if variant != "nosm":
-            pv = pv / jnp.where(l == 0.0, 1.0, l)
-        o_ref[0] = pv.astype(o_ref.dtype)
+        for j in range(block_h):
+            q = q_ref[j]
+            k = k_ref[j]
+            v = v_ref[j]
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            if variant == "nosm":
+                p = s
+            else:
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m) if variant == "exp" else jnp.exp2(s - m)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if variant != "nosm":
+                pv = pv / jnp.where(l == 0.0, 1.0, l)
+            o_ref[j] = pv.astype(o_ref.dtype)
 
     bh = b * h
     bq = min(block_q, t_len)
@@ -140,13 +143,13 @@ def probe_variant_rate(b, h, t_len, d, variant, block_q=1024):
 
     call = pl.pallas_call(
         kernel,
-        grid=(bh, t_len // bq),
+        grid=(bh // block_h, t_len // bq),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda b_, i: (b_, i, 0)),
-            pl.BlockSpec((1, t_len, d), lambda b_, i: (b_, 0, 0)),
-            pl.BlockSpec((1, t_len, d), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((block_h, bq, d), lambda b_, i: (b_, i, 0)),
+            pl.BlockSpec((block_h, t_len, d), lambda b_, i: (b_, 0, 0)),
+            pl.BlockSpec((block_h, t_len, d), lambda b_, i: (b_, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda b_, i: (b_, i, 0)),
+        out_specs=pl.BlockSpec((block_h, bq, d), lambda b_, i: (b_, i, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
@@ -159,17 +162,27 @@ def probe_variant_rate(b, h, t_len, d, variant, block_q=1024):
     return fl / t / 1e12, t
 
 
-def flash_rate(b, h, t_len, d, block_q, block_k, variant="kernel"):
+def flash_rate(b, h, t_len, d, block_q=1024, block_k=None, masked=False):
+    """The LIBRARY kernel at its production defaults (block_k auto-widens to
+    single-pass for S<=2048; block_h engages at small T; bias stream dropped
+    when maskless)."""
     from esm_tpu.kernels.flash_attention import flash_attention
 
     key = jax.random.PRNGKey(4)
     q = jax.random.normal(key, (b, h, t_len, d), jnp.bfloat16)
     k = jax.random.normal(key, (b, h, t_len, d), jnp.bfloat16)
     v = jax.random.normal(key, (b, h, t_len, d), jnp.bfloat16)
+    mask = None
+    if masked:
+        mask = np.zeros((b, t_len), bool)
+        mask[:, -7:] = True  # a realistic ragged tail
+        mask = jnp.asarray(mask)
 
     @jax.jit
     def run(q, k, v):
-        return flash_attention(q, k, v, block_q=block_q, block_k=block_k)
+        return flash_attention(
+            q, k, v, key_padding_mask=mask, block_q=block_q, block_k=block_k
+        )
 
     fl = 4.0 * b * h * t_len * t_len * d
     iters = min(200, max(8, int(0.4 / (fl / 50e12))))
@@ -192,17 +205,35 @@ def main():
         f"P6 HBM {p6:.1f} GB/s", flush=True,
     )
 
+    from esm_tpu.kernels.flash_attention import _pick_block_h, _pick_block_q
+
     shapes = [(8, 20, 1024, 64), (8, 20, 512, 64), (16, 20, 2048, 64)]
 
     for (B, H, T, D) in shapes:
         BH = B * H
         fl = 4.0 * BH * T * T * D
         naive = 0.5 * p1
+        # structure-match the probes to the library kernel's static choices
+        lib_bq = _pick_block_q(1024, T)
+        lib_bh = _pick_block_h(H, lib_bq, T, D) if T <= 2048 else 1
 
-        r_nosm, t_nosm = probe_variant_rate(B, H, T, D, "nosm")
-        r_exp, t_exp = probe_variant_rate(B, H, T, D, "exp")
-        r_exp2, t_exp2 = probe_variant_rate(B, H, T, D, "exp2")
-        meas, t_meas = flash_rate(B, H, T, D, 1024, 1024)
+        # probe at BOTH head-batchings and keep the best per variant: the
+        # ceiling is "the best GEMM-pair/softmax Mosaic delivers at any of the
+        # library's candidate block structures", not one structure's quirk
+        bh_cands = sorted({1, lib_bh})
+
+        def best_probe(variant):
+            results = [
+                probe_variant_rate(B, H, T, D, variant, lib_bq, c)
+                for c in bh_cands
+            ]
+            return max(results, key=lambda rt: rt[0])
+
+        r_nosm, t_nosm = best_probe("nosm")
+        r_exp, t_exp = best_probe("exp")
+        r_exp2, t_exp2 = best_probe("exp2")
+        meas, t_meas = flash_rate(B, H, T, D)
+        meas_m, t_meas_m = flash_rate(B, H, T, D, masked=True)
 
         # decomposition: softmax VPU cost = t_exp - t_nosm; model it from the
         # ALU probes (1 exp + ~4 elementwise passes per (T,T) element)
@@ -214,7 +245,7 @@ def main():
         ceiling = fl / (t_nosm + max(t_sm_best, 0.0)) / 1e12
 
         print(
-            f"shape B{B} H{H} T{T} d{D}:\n"
+            f"shape B{B} H{H} T{T} d{D} (bq={lib_bq}, block_h={lib_bh}):\n"
             f"  nosm GEMM-pair in-VMEM      : {r_nosm:7.1f} TF/s ({t_nosm*1e3:.3f} ms)"
             f" = {100*r_nosm/naive:5.1f}% of half-MXU\n"
             f"  + exp softmax               : {r_exp:7.1f} TF/s ({t_exp*1e3:.3f} ms)\n"
@@ -224,7 +255,9 @@ def main():
             f"  validated ceiling {ceiling:6.1f} TF/s  (naive half-MXU {naive:6.1f})\n"
             f"  library flash  {meas:6.1f} TF/s ({t_meas*1e3:.3f} ms) = "
             f"{100*meas/ceiling:5.1f}% of validated ceiling, "
-            f"{100*meas/naive:5.1f}% of naive",
+            f"{100*meas/naive:5.1f}% of naive\n"
+            f"  library masked {meas_m:6.1f} TF/s ({t_meas_m*1e3:.3f} ms) = "
+            f"{100*meas_m/ceiling:5.1f}% of (maskless) ceiling",
             flush=True,
         )
 

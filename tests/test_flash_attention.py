@@ -301,3 +301,41 @@ def test_flash_attention_with_lse_direct():
     logits = jnp.where(mask[:, None, None, :], -1e30, logits)
     lse_ref = jax.nn.logsumexp(logits, axis=-1)
     np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref), atol=2e-4)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_flash_multihead_blocks_and_biasless_path(masked):
+    """Single-pass head batching (block_h > 1, the small-T fixed-cost
+    amortization) and the maskless bias-free stream both reproduce the exact
+    path — including under grad and with in-kernel rotary."""
+    from esm_tpu.kernels.flash_attention import _pick_block_h
+
+    b, h, t, d = 2, 20, 512, 64
+    assert _pick_block_h(h, 512, 512, d) > 1  # the path actually engages
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (b, h, t, d), jnp.float32) * 0.3
+    k = jax.random.normal(kk, (b, h, t, d), jnp.float32)
+    v = jax.random.normal(kv, (b, h, t, d), jnp.float32)
+    mask = None
+    if masked:
+        mask = np.zeros((b, t), bool)
+        mask[0, 400:] = True
+        mask = jnp.asarray(mask)
+
+    out = flash_attention(q, k, v, key_padding_mask=mask)
+    ref = _exact(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    rot = flash_attention(q, k, v, key_padding_mask=mask, rotary=True)
+    from esm_tpu.ops.rotary import apply_rotary, rotary_tables
+
+    cos, sin = rotary_tables(t, d, q.dtype)
+    ref_rot = _exact(apply_rotary(q, cos, sin), apply_rotary(k, cos, sin), v, mask)
+    np.testing.assert_allclose(np.asarray(rot), np.asarray(ref_rot), atol=2e-5)
+
+    g_fl = jax.grad(
+        lambda q: flash_attention(q, k, v, key_padding_mask=mask).sum()
+    )(q)
+    g_ex = jax.grad(lambda q: _exact(q, k, v, mask).sum())(q)
+    np.testing.assert_allclose(np.asarray(g_fl), np.asarray(g_ex), atol=1e-3)
