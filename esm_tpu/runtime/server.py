@@ -62,12 +62,15 @@ separately, capped at ``max_fold_batch_seqs`` — pair tensors are O(L^2..L^3).
 from __future__ import annotations
 
 import json
+import logging
 import queue
 import threading
 import time
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, List, Optional, Tuple
+
+logger = logging.getLogger(__name__)
 
 _INCLUDE = ("mean", "per_tok", "logits", "contacts")
 
@@ -163,6 +166,18 @@ class InferenceServer:
         self.truncation_seq_length = truncation_seq_length
         self.max_request_seqs = max_request_seqs
         self.max_queued_seqs = max_queued_seqs
+        if max_queued_seqs < 3 * max_batch_seqs:
+            # the admission cap counts ALL admitted-unfinished sequences —
+            # the dispatch/finalize pipeline alone holds 2 full batches, so a
+            # cap under ~3x max_batch starves batch formation (measured:
+            # cap=24 with max_batch=16 served at 1/4 rate with 2.5x the p95
+            # of cap=48, BENCH_NOTES "Serving under over-saturation")
+            logger.warning(
+                "max_queued_seqs=%d < 3x max_batch_seqs=%d: the in-flight "
+                "pipeline holds 2 batches, a cap this low degrades batch "
+                "formation and tail latency; raise it to >= %d",
+                max_queued_seqs, max_batch_seqs, 3 * max_batch_seqs,
+            )
         # embeds truncate to truncation_seq_length; folds cannot truncate
         # silently (the structure IS the output), so over-long sequences are
         # rejected up front — the O(L^2..L^3) trunk would otherwise OOM and
