@@ -115,6 +115,13 @@ def create_parser():
         help="disable the host/device pipeline (fold, readback and write "
         "strictly in sequence, like the reference CLI)",
     )
+    parser.add_argument(
+        "--plan", action="store_true",
+        help="print the per-device memory plan for the longest input "
+        "sequence under the chosen precision/chunking flags and exit "
+        "without folding (parallel.memory_plan.plan_fold) — answers 'will "
+        "this fit' without a trial OOM",
+    )
     return parser
 
 
@@ -176,6 +183,35 @@ def run(args):
 
     num_completed = 0
     num_sequences = len(all_sequences)
+
+    if args.plan:
+        from ..models.esmfold.esmfold import encode_sequence
+        from ..parallel.memory_plan import max_fold_length, plan_fold
+        from ..parallel.mesh import MeshConfig
+
+        # multimer ':' inputs fold at linker-expanded length
+        longest = max(
+            len(encode_sequence(s)[0]) for _, s in all_sequences
+        )
+        lm_bytes = 1 if args.int8 else 2 if (args.fp16_lm or args.bf16_lm) else 4
+        mesh_cfg = MeshConfig(1, 1, 1)
+        p = plan_fold(cfg, longest, mesh_cfg, lm_dtype_bytes=lm_bytes)
+        max_l = max_fold_length(cfg, mesh_cfg, lm_dtype_bytes=lm_bytes)
+        print(
+            f"memory plan (longest input L={longest}, one device, "
+            f"{'int8' if args.int8 else 'bf16/fp16' if lm_bytes == 2 else 'fp32'} LM):\n"
+            f"  verdict: {p['verdict']}  "
+            f"({p['per_device_bytes']/1e9:.2f} GB of {p['hbm_bytes']/1e9:.2f} GB HBM)\n"
+            f"  params {p['params_bytes']/1e9:.2f} GB | LM activations "
+            f"{p['lm_bytes']/1e9:.2f} GB | pair working set "
+            f"{p['pair_bytes']/1e9:.2f} GB | held outputs "
+            f"{p['output_bytes']/1e9:.2f} GB (frugal={p['frugal']})\n"
+            f"  largest L that fits under these flags: ~{max_l}\n"
+            f"  (accuracy ±20-30% — trust the verdict, not the decimals; "
+            f"'over' at your L: try --int8, --chunk-size 128, or --bf16-trunk)"
+        )
+        return
+
     if args.profile_trace:
         jax.profiler.start_trace(args.profile_trace)
 

@@ -33,8 +33,11 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "slow: long tests (>8s: notebook/example-script compiles, soak, big "
-        "parity runs). Fast tier: pytest -m 'not slow' (~3 min); run the full "
-        "suite before committing kernel/model changes.",
+        "parity runs). Fast tier: pytest -m 'not slow' (~6 min measured on an "
+        "idle box); slow tier: pytest -m slow (~13 min). Run both (as two "
+        "consecutive processes — one ~20-min process can hit an XLA "
+        "compile-under-memory-pressure segfault near the end) before "
+        "committing kernel/model changes.",
     )
 
 

@@ -190,3 +190,26 @@ def test_esmfold_handle_api(tmp_path, monkeypatch):
     q = handle.quantized()
     qpdb = q.infer_pdb(seq, num_recycles=1)
     assert "ATOM" in qpdb
+
+
+def test_fold_cli_plan(tmp_path, monkeypatch, capsys):
+    """--plan prints the plan_fold verdict for the longest (multimer-expanded)
+    input and exits without writing any PDB."""
+    cache, fold_path = _make_cache(tmp_path)
+    monkeypatch.setenv("ESM_TPU_CACHE", str(cache))
+    fasta = tmp_path / "in.fasta"
+    fasta.write_text(">seqA\nMKTVRQERLK\n>dimer\nMKT:RQE\n")
+
+    from esm_tpu.cli import fold
+
+    args = fold.create_parser().parse_args(
+        ["-i", str(fasta), "-o", str(tmp_path / "pdbs"),
+         "-m", str(fold_path), "--plan"]
+    )
+    fold.run(args)
+    out = capsys.readouterr().out
+    # dimer expands to 3 + 25-G linker + 3 = 31 residues > seqA's 10
+    assert "L=31" in out
+    assert "verdict: fits" in out
+    assert "largest L that fits" in out
+    assert not list((tmp_path / "pdbs").glob("*.pdb"))
