@@ -43,6 +43,11 @@ def create_parser():
         help="max time a request waits for batch-mates before dispatch",
     )
     p.add_argument(
+        "--refill-wait-ms", type=float, default=80.0,
+        help="the wait window used right after a FULL batch (saturation: its "
+        "completion releases a wave of re-posts a short window would miss)",
+    )
+    p.add_argument(
         "--batch-bucket", choices=["pow2", "max"], default="max",
         help="batch-dim padding: 'max' pads every multi-request batch to "
         "--max-batch (one compiled shape per length bucket — best under "
@@ -133,6 +138,7 @@ def start_server(args):
         max_batch_seqs=args.max_batch,
         max_fold_batch_seqs=args.max_fold_batch,
         max_wait_ms=args.max_wait_ms,
+        refill_wait_ms=args.refill_wait_ms,
         truncation_seq_length=args.truncation_seq_length,
         max_request_seqs=args.max_request_seqs,
         max_queued_seqs=args.max_queued_seqs,

@@ -128,7 +128,14 @@ class InferenceServer:
 
     ``max_wait_ms`` bounds added latency: the batcher dispatches as soon as
     ``max_batch_seqs`` sequences are pending or the oldest request has waited
-    that long. ``port=0`` picks a free port (see ``.port`` after ``start()``).
+    that long. When the PREVIOUS dispatch went out full, the window extends
+    to ``refill_wait_ms`` — a full batch means the server is saturated and
+    its completion is about to trigger a wave of re-posts/retries that a
+    short window would miss (measured: a 20 ms window under closed-loop load
+    shrinks batches to 14.2 seq/s where an 80 ms one sustains 24.8,
+    BENCH_NOTES "Serving"); under light load the previous batch is small and
+    the short window keeps added latency at ``max_wait_ms``.
+    ``port=0`` picks a free port (see ``.port`` after ``start()``).
     """
 
     def __init__(
@@ -141,6 +148,7 @@ class InferenceServer:
         max_batch_seqs: int = 16,
         max_fold_batch_seqs: int = 4,
         max_wait_ms: float = 10.0,
+        refill_wait_ms: float = 80.0,
         truncation_seq_length: int = 1022,
         max_request_seqs: int = 64,
         max_queued_seqs: int = 256,
@@ -163,6 +171,8 @@ class InferenceServer:
         self.max_fold_batch_seqs = max_fold_batch_seqs
         self.batch_bucket = batch_bucket
         self.max_wait_s = max_wait_ms / 1e3
+        self.refill_wait_s = max(refill_wait_ms, max_wait_ms) / 1e3
+        self._last_batch_full = False
         self.truncation_seq_length = truncation_seq_length
         self.max_request_seqs = max_request_seqs
         self.max_queued_seqs = max_queued_seqs
@@ -304,8 +314,12 @@ class InferenceServer:
                 n += len(req.seqs)
             # then wait out the window for stragglers, counted from the
             # FIRST request's arrival so a lone request never waits longer
-            # than max_wait_ms end-to-end
-            deadline = first.enqueued + self.max_wait_s
+            # than the window end-to-end. A full PREVIOUS batch signals
+            # saturation (its completion is about to release a wave of
+            # re-posts), so the window extends to refill_wait_s there —
+            # light-load requests keep the short max_wait_s bound.
+            wait_s = self.refill_wait_s if self._last_batch_full else self.max_wait_s
+            deadline = first.enqueued + wait_s
             while n < self.max_batch_seqs:
                 remaining = deadline - time.perf_counter()
                 if remaining <= 0:
@@ -316,6 +330,7 @@ class InferenceServer:
                     break
                 window.append(req)
                 n += len(req.seqs)
+            self._last_batch_full = n >= self.max_batch_seqs
             # one device batch per distinct options group
             groups: Dict[Tuple, List[_Request]] = {}
             for req in window:

@@ -24,7 +24,7 @@ from esm_tpu.runtime.server import InferenceServer
 def main():
     argv = sys.argv[1:]
     flag_vals = {}
-    for flag in ("--wait", "--open-loop", "--max-queued"):
+    for flag in ("--wait", "--open-loop", "--max-queued", "--refill"):
         if flag in argv:
             i = argv.index(flag)
             if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
@@ -47,9 +47,10 @@ def main():
     bucket = "max" if "--pow2" not in sys.argv else "pow2"
     wait_ms = flag_vals.get("--wait", 20.0)
     max_queued = int(flag_vals.get("--max-queued", 256))
+    refill_ms = flag_vals.get("--refill", 80.0)
     srv = InferenceServer(
         model, max_batch_seqs=16, max_wait_ms=wait_ms, batch_bucket=bucket,
-        max_queued_seqs=max_queued,
+        max_queued_seqs=max_queued, refill_wait_ms=refill_ms,
     ).start()
     print(f"init {time.perf_counter()-t0:.1f}s  url {srv.url}  bucket={bucket}  "
           f"max_queued={max_queued}")

@@ -4,6 +4,7 @@ into shared device batches, and malformed requests must fail cleanly."""
 
 import json
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -802,3 +803,48 @@ def test_fold_chunk_failure_isolated(fold_server):
     finally:
         srv.fold_model = srv_fold_orig
         srv.max_fold_batch_seqs = old_chunk
+
+
+def test_adaptive_refill_window(tmp_path):
+    """After a FULL batch the wait window extends to refill_wait_ms so the
+    re-post wave coalesces; light-load requests keep the short window.
+    Verified via the _last_batch_full signal plus a coalescing round."""
+    alphabet = Alphabet.from_architecture("ESM-1b")
+    cfg = esm2.ESM2Config.from_alphabet(
+        alphabet, num_layers=1, embed_dim=32, attention_heads=2
+    )
+    params = esm2.init(jax.random.PRNGKey(0), cfg)
+    model = LMHandle("esm2", cfg, params, alphabet)
+    srv = InferenceServer(
+        model, max_batch_seqs=4, max_wait_ms=1.0, refill_wait_ms=400.0,
+        truncation_seq_length=60,
+    ).start()
+    try:
+        assert srv.max_wait_s == pytest.approx(0.001)
+        assert srv.refill_wait_s == pytest.approx(0.4)
+        assert srv._last_batch_full is False
+
+        # a full batch (4 sequences in one request) flips the signal
+        _post(srv, {"sequences": [SEQS[0], SEQS[1], SEQS[2], SEQS[0]],
+                    "include": ["mean"]})
+        assert srv._last_batch_full is True
+
+        # the next round runs under the 400 ms refill window: two requests
+        # posted ~50 ms apart MUST land in one batch despite max_wait_ms=1
+        before = _get(srv, "/stats")
+        results = [None, None]
+
+        def w(j, delay):
+            time.sleep(delay)
+            results[j] = _post(srv, {"sequences": [SEQS[j]], "include": ["mean"]})
+
+        ts = [threading.Thread(target=w, args=(j, 0.05 * j)) for j in range(2)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert all(r is not None for r in results)
+        after = _get(srv, "/stats")
+        assert after["batches"] - before["batches"] == 1, (before, after)
+        # ...and a small batch resets the signal to the short window
+        assert srv._last_batch_full is False
+    finally:
+        srv.stop()
