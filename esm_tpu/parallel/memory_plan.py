@@ -224,6 +224,7 @@ def plan_train(
     *,
     accum_steps: int = 1,
     mu_dtype_bytes: int = 4,
+    factored: bool = False,
     seq_shards: int = 1,
     hbm_bytes: int = 15_750_000_000,
 ) -> Dict:
@@ -242,7 +243,13 @@ def plan_train(
     """
     p = plan_model(cfg, mesh_cfg)
     per_dev_params = p["per_device_bytes"]
-    opt = per_dev_params * (mu_dtype_bytes / 4.0) + per_dev_params  # mu + nu
+    if factored:
+        # adafactor: row/col second-moment stats only (~params/1000), no mu —
+        # the long-context single-chip configuration (650M L=8192 trains at
+        # 7.1k tok/s on one chip where AdamW OOMs, BENCH_NOTES)
+        opt = per_dev_params // 500
+    else:
+        opt = per_dev_params * (mu_dtype_bytes / 4.0) + per_dev_params  # mu + nu
     grads = per_dev_params
     micro_b = max(1, batch // accum_steps)
     accum_buf = per_dev_params if accum_steps > 1 else 0

@@ -5,7 +5,7 @@ remat and (optionally) the flash-attention training path. The reference has
 no trainer at all (SURVEY §1); these numbers document the training surface.
 
 Usage: python scripts_dev/tpu_train_bench.py [size] [batch] [seqlen]
-       [--exact] [--bf16-moments] [--accum N]
+       [--exact] [--bf16-moments] [--adafactor] [--accum N]
 """
 import os
 import sys
@@ -31,6 +31,7 @@ from esm_tpu.models import esm2
 def main():
     use_flash = "--exact" not in sys.argv
     bf16_moments = "--bf16-moments" in sys.argv
+    adafactor = "--adafactor" in sys.argv
     accum = 1
     argv = sys.argv[1:]
     if "--accum" in argv:
@@ -56,12 +57,19 @@ def main():
     t0 = time.perf_counter()
     # init on device
     params = jax.jit(esm2.init, static_argnums=(1,))(jax.random.PRNGKey(0), cfg)
-    tx = optax.adamw(1e-4, mu_dtype=jnp.bfloat16 if bf16_moments else None)
+    if adafactor:
+        # factored second moment (row/col stats instead of a full nu tree):
+        # optimizer state shrinks from 2 x params to ~params/1000 — the
+        # long-context single-chip configuration
+        tx = optax.adafactor(1e-3)
+    else:
+        tx = optax.adamw(1e-4, mu_dtype=jnp.bfloat16 if bf16_moments else None)
     state = training.init_state(params, tx)
     jax.block_until_ready(state)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"init {time.perf_counter()-t0:.1f}s  params {n_params/1e6:.0f}M  "
-          f"flash={use_flash} remat=True bf16 mu_bf16={bf16_moments} accum={accum}")
+          f"flash={use_flash} remat=True bf16 mu_bf16={bf16_moments} "
+          f"adafactor={adafactor} accum={accum}")
 
     rng = np.random.default_rng(0)
     toks = np.full((batch, seqlen), alphabet.padding_idx, dtype=np.int32)

@@ -416,6 +416,11 @@ def test_memory_plan_train_calibration():
     acc = plan_train(cfg, single, 8, 1024, accum_steps=2, mu_dtype_bytes=2)
     assert acc["verdict"] in ("fits", "close")
 
+    # factored second moment (adafactor) drops optimizer state to ~nothing:
+    # the L=8192 single-chip config that AdamW misses fits — and measured
+    # runs at 7.1k tok/s on the chip (BENCH_NOTES, tpu_train_bench --adafactor)
+    assert plan_train(cfg, single, 1, 8192, factored=True)["verdict"] == "fits"
+
     # sequence sharding divides the activation term: the L=8192 config that
     # misses one chip fits when T shards over 4 chips (params replicated here;
     # combine with fsdp in practice)
