@@ -88,4 +88,16 @@ def timed_amortized(
             r = fn(*args, **kw)
         _force(r)
         best = min(best, time.perf_counter() - t0)
+    if best < 3.0 * rt:
+        import warnings
+
+        warnings.warn(
+            f"timed_amortized: total measured time {best*1e3:.1f} ms is < 3x "
+            f"the tunnel roundtrip ({rt*1e3:.1f} ms) — the subtraction is "
+            "noise-dominated and per-dispatch host cost is a comparable "
+            "fraction; raise iters, or use the MARGINAL method (rate from "
+            "dt between two batch sizes, e.g. scripts_dev/tpu_t512_sweep.py) "
+            "for sub-ms kernels",
+            stacklevel=2,
+        )
     return max((best - rt) / iters, 1e-9)
