@@ -207,7 +207,12 @@ def main():
 
     from esm_tpu.kernels.flash_attention import _pick_block_h, _pick_block_q
 
-    shapes = [(8, 20, 1024, 64), (8, 20, 512, 64), (16, 20, 2048, 64)]
+    # T=512 runs at B=64 (same per-head block structure as the B=8 serving
+    # shape): a B=8/T=512 call is ~0.2 ms of device time, the same order as
+    # the tunnel's per-dispatch host cost, and dispatch-loop timing measures
+    # the host there (see tpu_t512_sweep.py, which cross-checks these rows
+    # with the dispatch-free MARGINAL method — the two agree at B>=32)
+    shapes = [(8, 20, 1024, 64), (64, 20, 512, 64), (16, 20, 2048, 64)]
 
     for (B, H, T, D) in shapes:
         BH = B * H
