@@ -48,6 +48,12 @@ def create_parser():
         "completion releases a wave of re-posts a short window would miss)",
     )
     p.add_argument(
+        "--prewarm", action="store_true",
+        help="compile the embed path's standard (batch, length-bucket) "
+        "shapes at startup so first requests skip cold XLA compiles "
+        "(seconds to minutes each on a cold cache)",
+    )
+    p.add_argument(
         "--batch-bucket", choices=["pow2", "max"], default="max",
         help="batch-dim padding: 'max' pads every multi-request batch to "
         "--max-batch (one compiled shape per length bucket — best under "
@@ -149,6 +155,13 @@ def start_server(args):
 
 def run(args):
     server = start_server(args)
+    if args.prewarm:
+        import time
+
+        t0 = time.perf_counter()
+        n = server.prewarm()
+        print(f"esm-serve: prewarmed {n} (B, T) shapes in "
+              f"{time.perf_counter() - t0:.1f}s")
     print(f"esm-serve: lm={args.model_location} fold={args.fold_model} on "
           f"{server.url} (max_batch={args.max_batch}, wait={args.max_wait_ms}ms)")
     try:

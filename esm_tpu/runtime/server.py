@@ -242,6 +242,44 @@ class InferenceServer:
         self._http_thread.start()
         return self
 
+    def prewarm(self, lengths=None, include=("mean",), batch_sizes=None) -> int:
+        """Compile the embed path's standard (B, T) shapes before traffic.
+
+        Every distinct (batch rows, token bucket) pair costs a trace + XLA
+        compile on first use — seconds to minutes each on a cold cache, paid
+        by the first unlucky requests (the serving bench measured up to 65 s
+        of first-request compiles). This walks the exact production dispatch
+        (including the on-device mean reduction) for each T bucket up to
+        ``truncation_seq_length`` at the batch shapes the bucketing policy
+        can produce, so steady-state latency starts at request one. Returns
+        the number of (B, T) shapes warmed. Call after ``start()`` (or
+        before — it only needs the model), e.g. via ``esm-serve --prewarm``.
+        """
+        if self.model is None:
+            return 0
+        if lengths is None:
+            # aa length L occupies the ceil((L + bos + eos)/128) token bucket
+            extra = int(self.alphabet.prepend_bos) + int(self.alphabet.append_eos)
+            buckets = range(128, ((self.truncation_seq_length + extra + 127)
+                                  // 128) * 128 + 1, 128)
+            lengths = [t - extra for t in buckets]
+        if batch_sizes is None:
+            if self.batch_bucket == "max":
+                batch_sizes = (1, self.max_batch_seqs)
+            else:
+                batch_sizes = tuple(
+                    1 << i for i in range((self.max_batch_seqs).bit_length())
+                )
+        layers = [self.model.num_layers]
+        count = 0
+        for L in lengths:
+            for b in batch_sizes:
+                pairs = [(f"warm{i}", "A" * L) for i in range(b)]
+                fin = self._dispatch_embed_chunk(pairs, layers, set(include))
+                fin()  # force the compile + run
+                count += 1
+        return count
+
     def stop(self) -> None:
         self._stop.set()
         self._httpd.shutdown()
@@ -655,11 +693,20 @@ class InferenceServer:
         reps = out.get("representations", {})
         means_dev = {}
         if "mean" in include:
-            # reduce on device: (B, T, D) -> (B, D) per layer before readback
-            lens = np.asarray(lengths, np.int32)
+            # reduce on device: (B, T, D) -> (B, D) per layer before readback.
+            # Reduce the FULL padded batch and slice the real rows after —
+            # slicing to real_b first would compile a distinct reduction
+            # program per distinct real batch count (each a multi-second
+            # remote compile on a cold cache; padded rows copy row 0, so the
+            # extra reduced rows are inert and prewarm() covers every shape)
+            lens = np.ones(toks.shape[0], np.int32)
+            lens[:real_b] = np.asarray(lengths, np.int32)
             for k in layers:
+                # no [:real_b] on device: a device slice is itself a
+                # per-shape compiled program; the (bp, D) mean is ~80 KB,
+                # slice after readback instead
                 means_dev[k] = _device_mean(
-                    reps[k][:real_b], _jnp(lens), toks.shape[1], prepend
+                    reps[k], _jnp(lens), toks.shape[1], prepend
                 )
         per_tok_dev = (
             {k: reps[k][:real_b] for k in layers} if "per_tok" in include else {}
@@ -668,7 +715,7 @@ class InferenceServer:
         contacts_dev = out["contacts"][:real_b] if "contacts" in include else None
 
         def finalize():
-            means = {k: np.asarray(v) for k, v in means_dev.items()}
+            means = {k: np.asarray(v)[:real_b] for k, v in means_dev.items()}
             per_tok = {k: np.asarray(v) for k, v in per_tok_dev.items()}
             logits = np.asarray(logits_dev) if logits_dev is not None else None
             contacts = np.asarray(contacts_dev) if contacts_dev is not None else None

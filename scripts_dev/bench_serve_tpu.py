@@ -72,9 +72,13 @@ def main():
 
     # warm the compile cache for each bucket
     t0 = time.perf_counter()
-    for l in sorted({-(-((l + 2)) // 128) for l in lens}):
-        post(seq(l * 128 - 2))
-    print(f"warmup (compiles): {time.perf_counter()-t0:.1f}s")
+    if "--prewarm" in sys.argv:
+        n = srv.prewarm()   # every (B, T) shape incl. full batches
+        print(f"prewarm: {n} shapes in {time.perf_counter()-t0:.1f}s")
+    else:
+        for l in sorted({-(-((l + 2)) // 128) for l in lens}):
+            post(seq(l * 128 - 2))
+        print(f"warmup (compiles): {time.perf_counter()-t0:.1f}s")
 
     def load_pass(label):
         done = [None] * n_req

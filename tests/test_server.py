@@ -848,3 +848,17 @@ def test_adaptive_refill_window(tmp_path):
         assert srv._last_batch_full is False
     finally:
         srv.stop()
+
+
+def test_prewarm(server):
+    """prewarm() walks the production dispatch for every standard (B, T)
+    shape and leaves request stats untouched (it is not traffic)."""
+    srv, model = server
+    before = _get(srv, "/stats")
+    n = srv.prewarm(lengths=[10, 30], batch_sizes=(1, 2))
+    assert n == 4
+    after = _get(srv, "/stats")
+    assert after["requests"] == before["requests"]
+    # server still serves, and a prewarmed shape returns correct numerics
+    out = _post(srv, {"sequences": [SEQS[0]], "include": ["mean"]})
+    assert len(out["results"]) == 1
