@@ -303,6 +303,7 @@ def infer(
     residue_index_offset: Optional[int] = 512,
     chain_linker: Optional[str] = "G" * 25,
     frugal: Optional[bool] = None,
+    pad_to_multiple: Optional[int] = None,
 ) -> Dict[str, jax.Array]:
     """Sequence(s) -> structure output (reference esmfold.py:281-339).
 
@@ -310,12 +311,30 @@ def infer(
     O(L^2) diagnostic outputs are dropped automatically so back-to-back folds
     never OOM on a held previous result — pass ``frugal=False`` explicitly to
     keep s_z / distogram / pTM logits at any length (and budget for them with
-    ``parallel.memory_plan.plan_fold``)."""
+    ``parallel.memory_plan.plan_fold``).
+
+    ``pad_to_multiple`` rounds the padded length up to a bucket so varied
+    inputs reuse a few compiled programs instead of recompiling per exact
+    length (each fold compile is minutes at production size; the serving
+    path uses 64). Padded positions carry mask=0 — the same mechanism that
+    already pads shorter batch members — so outputs on real rows are
+    unchanged and the PDB writer emits nothing for them."""
     if isinstance(sequences, str):
         sequences = [sequences]
     aatype, mask, residx, linker_mask, chain_index = batch_encode_sequences(
         sequences, residue_index_offset, chain_linker
     )
+    if pad_to_multiple:
+        L = aatype.shape[1]
+        Lp = -(-L // pad_to_multiple) * pad_to_multiple
+        if Lp != L:
+            pad = ((0, 0), (0, Lp - L))
+            aatype = np.pad(aatype, pad)
+            mask = np.pad(mask, pad)
+            # any in-range values do: these positions are masked everywhere
+            residx = np.pad(residx, pad, mode="edge")
+            linker_mask = np.pad(linker_mask, pad)
+            chain_index = np.pad(chain_index, pad, constant_values=-1)
     if frugal is None:
         frugal = auto_frugal(*aatype.shape)
     output = apply(

@@ -466,10 +466,15 @@ class InferenceServer:
 
         def dispatch(idxs):
             chunk = [pairs[i] for i in idxs]
+            # pad_to_multiple: one compiled fold program per 64-length bucket
+            # instead of one per exact max length (a production-size fold
+            # compile is minutes; padded tail positions are mask=0 rows the
+            # whole stack already handles)
             out = self.fold_model.infer(
                 [seq for _, seq in chunk],
                 num_recycles=reqs[0].num_recycles,
                 frugal=True,
+                pad_to_multiple=64,
             )
             return chunk, out
 

@@ -226,6 +226,27 @@ def test_esmfold_end_to_end_smoke():
         )
     assert ef.output_to_pdb(fr)[0] == pdbs[0]
 
+    # pad_to_multiple (the fold server's length bucketing): padded tail
+    # positions are mask=0 rows, so real-row outputs match the unbucketed
+    # fold and the PDB is byte-identical
+    pb = ef.infer(
+        params, cfg, ["MKTVRQERLK", "MKT:RQE"], num_recycles=0,
+        pad_to_multiple=16,
+    )
+    L = out["positions"].shape[-3]
+    assert pb["positions"].shape[-3] == 32  # 31-residue multimer -> 32 bucket
+    np.testing.assert_allclose(
+        np.asarray(pb["positions"])[..., :L, :, :],
+        np.asarray(out["positions"]), atol=2e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pb["mean_plddt"]), np.asarray(out["mean_plddt"]), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(pb["ptm"]), np.asarray(out["ptm"]), atol=1e-3
+    )
+    assert ef.output_to_pdb(pb) == pdbs
+
 
 @pytest.mark.slow
 def test_esmfold_half_precision_lm_modes():
