@@ -116,6 +116,14 @@ def create_parser():
         "strictly in sequence, like the reference CLI)",
     )
     parser.add_argument(
+        "--bucket", action="store_true",
+        help="pad each batch's length to a 64-multiple bucket so mixed-length "
+        "bulk jobs reuse a few compiled fold programs instead of recompiling "
+        "per batch shape (a production-size fold compile is minutes; "
+        "recommended on TPU — outputs are identical, padded positions are "
+        "masked)",
+    )
+    parser.add_argument(
         "--plan", action="store_true",
         help="print the per-device memory plan for the longest input "
         "sequence under the chosen precision/chunking flags and exit "
@@ -232,7 +240,8 @@ def run(args):
         # halves held HBM per batch at long L. Async XLA dispatch: device
         # errors (incl. OOM) surface at readback in consume.
         return ef.infer(
-            params, cfg, sequences, num_recycles=args.num_recycles, frugal=True
+            params, cfg, sequences, num_recycles=args.num_recycles, frugal=True,
+            pad_to_multiple=64 if args.bucket else None,
         )
 
     def consume(batch_idx, item, prepared, output):
