@@ -280,6 +280,34 @@ class InferenceServer:
                 count += 1
         return count
 
+    def prewarm_fold(self, lengths, batch_sizes=(1,), num_recycles=None) -> int:
+        """Compile the fold path for chosen 64-bucket lengths / batch sizes.
+
+        Unlike :meth:`prewarm`, this takes explicit ``lengths`` — a
+        production-size fold compile is minutes per (B, bucket) shape, so
+        warming all 64-buckets up to ``max_fold_seq_len`` is rarely what an
+        operator wants; pass the buckets your traffic actually hits (the
+        given lengths round up to their 64-bucket — warming 300 covers every
+        sequence of 257-320 residues)."""
+        if self.fold_model is None:
+            return 0
+        import numpy as np
+
+        count = 0
+        for L in lengths:
+            for b in batch_sizes:
+                out = self.fold_model.infer(
+                    ["A" * int(L)] * b,
+                    num_recycles=num_recycles,
+                    frugal=True,
+                    pad_to_multiple=64,
+                )
+                # force execution via a cheap readback (block_until_ready
+                # does not block on the tunneled backend)
+                float(np.asarray(out["ptm"])[0])
+                count += 1
+        return count
+
     def stop(self) -> None:
         self._stop.set()
         self._httpd.shutdown()

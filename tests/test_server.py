@@ -862,3 +862,14 @@ def test_prewarm(server):
     # server still serves, and a prewarmed shape returns correct numerics
     out = _post(srv, {"sequences": [SEQS[0]], "include": ["mean"]})
     assert len(out["results"]) == 1
+
+
+def test_prewarm_fold(fold_server):
+    """prewarm_fold compiles chosen 64-bucket fold shapes via the production
+    path (bucketed, frugal) and counts shapes; no stats traffic."""
+    srv, _ = fold_server
+    before = _get(srv, "/stats")
+    n = srv.prewarm_fold(lengths=[10], batch_sizes=(1, 2))
+    assert n == 2
+    after = _get(srv, "/stats")
+    assert after["requests"] == before["requests"]
