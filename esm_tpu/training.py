@@ -44,17 +44,25 @@ def make_optimizer(
     total_steps: int = 100_000,
     grad_clip_norm: Optional[float] = None,
     mu_dtype: Optional[Any] = None,
+    factored: bool = False,
 ) -> optax.GradientTransformation:
     """AdamW with warmup-cosine schedule. ``grad_clip_norm`` prepends global-norm
     clipping; ``mu_dtype`` (e.g. ``jnp.bfloat16``) halves the first-moment HBM —
-    on one 16 GB chip that is the difference between B=4 and B=8 at 650M."""
+    on one 16 GB chip that is the difference between B=4 and B=8 at 650M.
+    ``factored=True`` switches to adafactor (row/col second-moment stats,
+    optimizer state ~params/1000): the long-context single-chip configuration
+    — 650M L=8192 trains on one chip where AdamW misses by 321 MB
+    (BENCH_NOTES; model it with ``memory_plan.plan_train(factored=True)``)."""
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, learning_rate, warmup_steps, total_steps
     )
-    tx = optax.adamw(
-        schedule, b1=0.9, b2=0.98, eps=1e-8, weight_decay=weight_decay,
-        mask=decay_mask, mu_dtype=mu_dtype,
-    )
+    if factored:
+        tx = optax.adafactor(schedule, weight_decay_rate=weight_decay or None)
+    else:
+        tx = optax.adamw(
+            schedule, b1=0.9, b2=0.98, eps=1e-8, weight_decay=weight_decay,
+            mask=decay_mask, mu_dtype=mu_dtype,
+        )
     if grad_clip_norm is not None:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip_norm), tx)
     return tx

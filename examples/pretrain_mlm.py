@@ -59,6 +59,12 @@ def create_parser():
     )
     p.add_argument("--grad-clip", type=float, default=None, help="global-norm gradient clip")
     p.add_argument(
+        "--adafactor", action="store_true",
+        help="factored second-moment optimizer (state ~params/1000 instead "
+        "of 2x params) — the long-context single-chip configuration: 650M "
+        "L=8192 trains on one chip where AdamW runs out of memory",
+    )
+    p.add_argument(
         "--bf16-moments", action="store_true",
         help="store AdamW first moments in bfloat16 (halves optimizer HBM)",
     )
@@ -152,6 +158,7 @@ def run(args):
         args.lr, warmup_steps=warmup, total_steps=max(args.steps, warmup + 1),
         grad_clip_norm=args.grad_clip,
         mu_dtype=jnp.bfloat16 if args.bf16_moments else None,
+        factored=args.adafactor,
     )
     # init on the already-sharded params so the optimizer moments are created
     # with the same mesh placement (zeros_like inherits sharding)

@@ -197,3 +197,37 @@ def test_example_eval_and_accum(tmp_path):
         if "eval masked-ppl" in line
     ]
     assert ppls and all(np.isfinite(p) and p > 1.0 for p in ppls)
+
+
+def test_factored_optimizer_trains():
+    """make_optimizer(factored=True) = adafactor: steps run, loss falls on a
+    fixed batch, and the optimizer state is tiny (the long-context
+    single-chip configuration — 650M L=8192, BENCH_NOTES)."""
+    # d=128: adafactor only factors axes >= 128 (min_dim_size_to_factor),
+    # so the toy d=64 width would store full second moments
+    alphabet = Alphabet.from_architecture("ESM-1b")
+    cfg = esm2.ESM2Config.from_alphabet(
+        alphabet, num_layers=2, embed_dim=128, attention_heads=4
+    )
+    params = esm2.init(jax.random.PRNGKey(0), cfg)
+    seqs = [("s%d" % i, "KALTARQQEVFDLIRDHISQTGMPPTRAEIA"[: 8 + i]) for i in range(4)]
+    _, _, toks = alphabet.get_batch_converter(pad_to_multiple=8)(seqs)
+    toks = jnp.asarray(toks)
+    tx = training.make_optimizer(
+        1e-3, warmup_steps=1, total_steps=50, factored=True, grad_clip_norm=1.0
+    )
+    state = training.init_state(params, tx)
+    param_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
+    opt_bytes = sum(
+        x.size * x.dtype.itemsize
+        for x in jax.tree.leaves(state.opt_state)
+        if hasattr(x, "size")
+    )
+    assert opt_bytes < 0.6 * param_bytes, (opt_bytes, param_bytes)
+
+    losses = []
+    for i in range(6):
+        state, m = training.train_step(state, cfg, tx, jax.random.PRNGKey(3), toks)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0], losses
