@@ -197,26 +197,48 @@ def run(args):
         from ..parallel.memory_plan import max_fold_length, plan_fold
         from ..parallel.mesh import MeshConfig
 
-        # multimer ':' inputs fold at linker-expanded length
-        longest = max(
-            len(encode_sequence(s)[0]) for _, s in all_sequences
-        )
+        # model the run the CLI will ACTUALLY execute: the same token-budget
+        # batches, the CLI's frugal=True outputs, and --in-flight batches of
+        # held outputs — not a generic single-sequence estimate
         lm_bytes = 1 if args.int8 else 2 if (args.fp16_lm or args.bf16_lm) else 4
         mesh_cfg = MeshConfig(1, 1, 1)
-        p = plan_fold(cfg, longest, mesh_cfg, lm_dtype_bytes=lm_bytes)
-        max_l = max_fold_length(cfg, mesh_cfg, lm_dtype_bytes=lm_bytes)
+        worst = None
+        for headers, sequences in create_batched_sequence_dataset(
+            all_sequences, args.max_tokens_per_batch
+        ):
+            # multimer ':' inputs fold at linker-expanded length; the batch
+            # pads to its longest member (plus --bucket rounding when set)
+            l_batch = max(len(encode_sequence(s)[0]) for s in sequences)
+            if args.bucket:
+                l_batch = -(-l_batch // 64) * 64
+            p = plan_fold(
+                cfg, l_batch, mesh_cfg, batch=len(sequences),
+                lm_dtype_bytes=lm_bytes, frugal=True,
+                held_outputs=max(args.in_flight, 1),
+            )
+            p["_shape"] = (len(sequences), l_batch)
+            if worst is None or p["per_device_bytes"] > worst["per_device_bytes"]:
+                worst = p
+        p = worst
+        b, l_batch = p["_shape"]
+        max_l = max_fold_length(
+            cfg, mesh_cfg, lm_dtype_bytes=lm_bytes, frugal=True,
+            held_outputs=max(args.in_flight, 1),
+        )
         print(
-            f"memory plan (longest input L={longest}, one device, "
-            f"{'int8' if args.int8 else 'bf16/fp16' if lm_bytes == 2 else 'fp32'} LM):\n"
+            f"memory plan (worst batch B={b} x L={l_batch}, one device, "
+            f"{'int8' if args.int8 else 'bf16/fp16' if lm_bytes == 2 else 'fp32'} LM, "
+            f"in_flight={max(args.in_flight, 1)}):\n"
             f"  verdict: {p['verdict']}  "
             f"({p['per_device_bytes']/1e9:.2f} GB of {p['hbm_bytes']/1e9:.2f} GB HBM)\n"
             f"  params {p['params_bytes']/1e9:.2f} GB | LM activations "
             f"{p['lm_bytes']/1e9:.2f} GB | pair working set "
             f"{p['pair_bytes']/1e9:.2f} GB | held outputs "
             f"{p['output_bytes']/1e9:.2f} GB (frugal={p['frugal']})\n"
-            f"  largest L that fits under these flags: ~{max_l}\n"
+            f"  largest L that fits (single sequence) under these flags: ~{max_l}\n"
             f"  (accuracy ±20-30% — trust the verdict, not the decimals; "
-            f"'over' at your L: try --int8, --chunk-size 128, or --bf16-trunk)"
+            f"'over': try --int8, --chunk-size 128, --bf16-trunk, or a lower "
+            f"--max-tokens-per-batch / --in-flight 1)"
         )
         return
 

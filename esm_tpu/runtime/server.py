@@ -254,6 +254,12 @@ class InferenceServer:
         can produce, so steady-state latency starts at request one. Returns
         the number of (B, T) shapes warmed. Call after ``start()`` (or
         before — it only needs the model), e.g. via ``esm-serve --prewarm``.
+
+        Defaults warm the ``mean`` hot path at B in {1, max}. per_tok /
+        contacts traffic additionally compiles a tiny device-slice program
+        per distinct real batch count (see _dispatch_embed_chunk); warm
+        those with e.g. ``prewarm(include=("per_tok",),
+        batch_sizes=tuple(range(1, max_batch + 1)))``.
         """
         if self.model is None:
             return 0
@@ -741,6 +747,12 @@ class InferenceServer:
                 means_dev[k] = _device_mean(
                     reps[k], _jnp(lens), toks.shape[1], prepend
                 )
+        # per_tok/logits/contacts DO slice on device, deliberately: these are
+        # the big tensors ((B,T,D)/(B,T,T) — 100s of MB at L=1022), so
+        # transferring padded dummy rows every batch would cost more
+        # steady-state than the one-time tiny slice-program compile per
+        # distinct real batch count. Operators serving such traffic can warm
+        # those shapes too: prewarm(include=("per_tok",), batch_sizes=range(...)).
         per_tok_dev = (
             {k: reps[k][:real_b] for k in layers} if "per_tok" in include else {}
         )

@@ -57,7 +57,12 @@ def make_optimizer(
         0.0, learning_rate, warmup_steps, total_steps
     )
     if factored:
-        tx = optax.adafactor(schedule, weight_decay_rate=weight_decay or None)
+        tx = optax.adafactor(
+            schedule, weight_decay_rate=weight_decay or None,
+            # same decay scope as the adamw branch: >=2D kernels only —
+            # without the mask adafactor would decay LN scales/biases too
+            weight_decay_mask=decay_mask if weight_decay else None,
+        )
     else:
         tx = optax.adamw(
             schedule, b1=0.9, b2=0.98, eps=1e-8, weight_decay=weight_decay,

@@ -60,6 +60,30 @@ CHECKS = {
 }
 
 
+def parse_results(out: str, runnable) -> dict:
+    """Per-check status from '-v' (captured) pytest output: the verdict
+    follows the nodeid on its own line (``...::test_x PASSED  [ 12%]``)."""
+    results: dict[str, dict] = {}
+    for test in CHECKS:
+        m = re.search(
+            rf"::{test}\s+(PASSED|FAILED|SKIPPED|ERROR|XFAIL|XPASS)", out
+        )
+        status = m.group(1) if m else (
+            "NOT-RUN" if test in runnable else "MISSING"
+        )
+        results[test] = {"status": status}
+    return results
+
+
+def parse_metrics(out: str):
+    """Recorded metric lines from the '-rA' captured-stdout summary."""
+    return [
+        ln.strip()
+        for ln in out.splitlines()
+        if re.match(r"\s*(esmfold golden|contact P@L|esm1v BLAT)", ln)
+    ]
+
+
 def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__.split("\n", 1)[0])
     parser.add_argument("--report", type=Path, default=REPO / "GOLDEN_GATE.md")
@@ -79,30 +103,25 @@ def main() -> int:
     runnable = [
         t for t, (ckpts, _) in CHECKS.items() if all(present[c] for c in ckpts)
     ]
+    # NOTE: no '-s' — with capture disabled a test's own prints interleave
+    # between the nodeid and its verdict and the status regex cannot match
+    # (three gated tests print metric lines). Capture stays on; '-rA' emits
+    # every test's captured stdout in the summary so the metric lines are
+    # still recovered below.
     cmd = [
         sys.executable, "-m", "pytest",
-        "tests/test_golden_checkpoints.py", "-v", "-rs", "-s", "--no-header",
+        "tests/test_golden_checkpoints.py", "-v", "-rA", "--no-header",
     ]
     print("+", " ".join(cmd))
     proc = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
     out = proc.stdout + proc.stderr
-
-    results: dict[str, dict] = {}
+    results = parse_results(out, runnable)
     for test, (ckpts, gate) in CHECKS.items():
-        m = re.search(rf"{test}\s+(PASSED|FAILED|SKIPPED|ERROR)", out)
-        status = m.group(1) if m else ("MISSING" if test not in runnable else "NOT-RUN")
-        results[test] = {
-            "status": status,
-            "gate": gate,
-            "requires": ckpts,
-            "weights_present": all(present[c] for c in ckpts),
-        }
-    # metric lines the tests print for the record
-    metrics = [
-        ln.strip()
-        for ln in out.splitlines()
-        if re.match(r"\s*(esmfold golden|contact P@L|esm1v BLAT)", ln)
-    ]
+        results[test].update(
+            gate=gate, requires=ckpts,
+            weights_present=all(present[c] for c in ckpts),
+        )
+    metrics = parse_metrics(out)
 
     now = datetime.now(timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     ok = all(

@@ -5,7 +5,10 @@ Run ALONE on the chip. Measured 2026-08: max|diff| <= 9.4e-4 fp32 (chip
 matmuls round via bf16), 6.1e-3 bf16, all shapes, masked+maskless."""
 import os, sys
 sys.path.insert(0, "/root/repo")
-os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
+if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") != "1":
+    # must be set at interpreter start (CLAUDE.md) — re-exec like bench.py
+    os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "1"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 import jax, jax.numpy as jnp, numpy as np
 from esm_tpu.kernels.flash_attention import flash_attention, _pick_block_h
 print("devices:", jax.devices())

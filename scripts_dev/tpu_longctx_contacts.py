@@ -7,7 +7,10 @@ Measured 2026-08 (650M bf16, B=1, steady): L=2048 0.6 s, L=4096 2.8 s.
 Run ALONE on the chip."""
 import os, sys, time
 sys.path.insert(0, "/root/repo")
-os.environ.setdefault("PALLAS_AXON_REMOTE_COMPILE", "1")
+if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") != "1":
+    # must be set at interpreter start (CLAUDE.md) — re-exec like bench.py
+    os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "1"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
 import jax, jax.numpy as jnp, numpy as np
 from esm_tpu.data import Alphabet
 from esm_tpu.models import esm2

@@ -23,7 +23,43 @@ def _run(cache, report):
     )
 
 
+def test_parse_results_with_passing_printing_tests():
+    """Regression (round-3 review): statuses must parse for PASSING tests
+    that print metric lines. With capture on ('-v', no '-s'), the verdict
+    follows the nodeid on one line and prints land in the '-rA' summary."""
+    sys.path.insert(0, str(REPO / "scripts_dev"))
+    import golden_gate as gg
+
+    out = "\n".join([
+        "tests/test_golden_checkpoints.py::test_esm2_650m_embeddings PASSED [ 16%]",
+        "tests/test_golden_checkpoints.py::test_esmfold_golden_plddt PASSED [ 33%]",
+        "tests/test_golden_checkpoints.py::test_esm2_650m_contact_precision_harness FAILED [ 50%]",
+        "tests/test_golden_checkpoints.py::test_if1_golden_perplexity SKIPPED [ 66%]",
+        "tests/test_golden_checkpoints.py::test_esm2_650m_int8_close_to_fp32 PASSED [ 83%]",
+        "tests/test_golden_checkpoints.py::test_esm1v_blat_zero_shot_spearman PASSED [100%]",
+        "=========================== PASSES ===========================",
+        "___________________ test_esmfold_golden_plddt ___________________",
+        "----------------------- Captured stdout call -----------------------",
+        "esmfold golden: fp16-LM pLDDT 88.31, fp32 pLDDT 88.29",
+        "contact P@L long-range over 10 chains: 0.512",
+        "esm1v BLAT: rho(ours, reference scores) = 0.9991, |rho(ours, DMS 2500)| = 0.571",
+    ])
+    res = gg.parse_results(out, runnable=list(gg.CHECKS))
+    assert res["test_esm2_650m_embeddings"]["status"] == "PASSED"
+    assert res["test_esmfold_golden_plddt"]["status"] == "PASSED"
+    assert res["test_esm2_650m_contact_precision_harness"]["status"] == "FAILED"
+    assert res["test_if1_golden_perplexity"]["status"] == "SKIPPED"
+    metrics = gg.parse_metrics(out)
+    assert len(metrics) == 3 and any("pLDDT 88.31" in m for m in metrics)
+
+
+@pytest.mark.slow
 def test_drill_pending_with_empty_cache(tmp_path):
+    """NOTE on the CLAUDE.md 'never two pytest processes' rule: that rule
+    guards against concurrent XLA compiles under memory pressure. The nested
+    pytest here runs only the weights-gated file with an empty cache — every
+    test SKIPS at collection-time checks, no XLA compile happens — and both
+    subprocess drills are slow-tier so the fast dev loop never nests."""
     cache = tmp_path / "cache"
     cache.mkdir()
     report = tmp_path / "GG.md"
