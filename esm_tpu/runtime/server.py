@@ -153,7 +153,7 @@ class InferenceServer:
         max_request_seqs: int = 64,
         max_queued_seqs: int = 256,
         batch_bucket: str = "pow2",
-        max_fold_seq_len: int = 2048,
+        max_fold_seq_len: Optional[int] = 2048,
     ):
         if batch_bucket not in ("pow2", "max"):
             raise ValueError(f"batch_bucket must be 'pow2' or 'max', got {batch_bucket!r}")
@@ -192,8 +192,23 @@ class InferenceServer:
         # silently (the structure IS the output), so over-long sequences are
         # rejected up front — the O(L^2..L^3) trunk would otherwise OOM and
         # take co-batched requests down with it (2048 = the longest
-        # single-chip fold measured in BENCH_NOTES)
-        self.max_fold_seq_len = max_fold_seq_len
+        # single-chip fold measured in BENCH_NOTES). None = derive the cap
+        # from the memory plan for THIS model's config/precision instead of
+        # the hardcoded default (parallel.memory_plan.max_fold_length;
+        # held_outputs=2 for the dispatch/finalize pipeline).
+        if max_fold_seq_len is None and fold_model is not None:
+            import numpy as _np
+
+            from ..parallel.memory_plan import max_fold_length
+            from ..parallel.mesh import MeshConfig
+
+            lm_bytes = _np.dtype(fold_model.cfg.esm.compute_dtype).itemsize
+            max_fold_seq_len = max_fold_length(
+                fold_model.cfg, MeshConfig(1, 1, 1),
+                lm_dtype_bytes=min(lm_bytes, 4), frugal=True, held_outputs=2,
+            )
+            logger.info("fold length cap from memory plan: %d", max_fold_seq_len)
+        self.max_fold_seq_len = max_fold_seq_len or 2048
         self._inflight_seqs = 0  # admitted but not yet finished/failed
         self._converter = (
             self.alphabet.get_batch_converter(truncation_seq_length, pad_to_multiple=128)

@@ -873,3 +873,26 @@ def test_prewarm_fold(fold_server):
     assert n == 2
     after = _get(srv, "/stats")
     assert after["requests"] == before["requests"]
+
+
+def test_fold_cap_from_memory_plan(tmp_path, monkeypatch):
+    """max_fold_seq_len=None derives the cap from plan_fold for this model's
+    config/precision — memory planning as API, not a hardcoded constant."""
+    from tests.test_fold_cli import _make_cache
+
+    cache, fold_path = _make_cache(tmp_path)
+    monkeypatch.setenv("ESM_TPU_CACHE", str(cache))
+    from esm_tpu import pretrained
+
+    handle = pretrained.load_esmfold(str(fold_path))
+    srv = InferenceServer(fold_model=handle, max_fold_seq_len=None)
+    # unchunked triangle attention is O(L^3): even a tiny model gets a
+    # finite cap from the plan
+    assert isinstance(srv.max_fold_seq_len, int) and srv.max_fold_seq_len > 256
+    # chunking removes the O(L^3) term -> the derived cap grows
+    handle.set_chunk_size(64)
+    srv_chunked = InferenceServer(fold_model=handle, max_fold_seq_len=None)
+    assert srv_chunked.max_fold_seq_len > srv.max_fold_seq_len
+    # explicit cap still honored
+    srv2 = InferenceServer(fold_model=handle, max_fold_seq_len=777)
+    assert srv2.max_fold_seq_len == 777
