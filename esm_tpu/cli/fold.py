@@ -199,8 +199,9 @@ def run(args):
 
         # model the run the CLI will ACTUALLY execute: the same token-budget
         # batches, the CLI's frugal=True outputs, and --in-flight batches of
-        # held outputs — not a generic single-sequence estimate
+        # held outputs (one in --serial mode) — not a generic estimate
         lm_bytes = 1 if args.int8 else 2 if (args.fp16_lm or args.bf16_lm) else 4
+        held = 1 if args.serial else max(args.in_flight, 1)
         mesh_cfg = MeshConfig(1, 1, 1)
         worst = None
         for headers, sequences in create_batched_sequence_dataset(
@@ -210,11 +211,12 @@ def run(args):
             # pads to its longest member (plus --bucket rounding when set)
             l_batch = max(len(encode_sequence(s)[0]) for s in sequences)
             if args.bucket:
-                l_batch = -(-l_batch // 64) * 64
+                from ..models.esmfold.esmfold import FOLD_LENGTH_BUCKET
+
+                l_batch = -(-l_batch // FOLD_LENGTH_BUCKET) * FOLD_LENGTH_BUCKET
             p = plan_fold(
                 cfg, l_batch, mesh_cfg, batch=len(sequences),
-                lm_dtype_bytes=lm_bytes, frugal=True,
-                held_outputs=max(args.in_flight, 1),
+                lm_dtype_bytes=lm_bytes, frugal=True, held_outputs=held,
             )
             p["_shape"] = (len(sequences), l_batch)
             if worst is None or p["per_device_bytes"] > worst["per_device_bytes"]:
@@ -223,12 +225,12 @@ def run(args):
         b, l_batch = p["_shape"]
         max_l = max_fold_length(
             cfg, mesh_cfg, lm_dtype_bytes=lm_bytes, frugal=True,
-            held_outputs=max(args.in_flight, 1),
+            held_outputs=held,
         )
         print(
             f"memory plan (worst batch B={b} x L={l_batch}, one device, "
             f"{'int8' if args.int8 else 'bf16/fp16' if lm_bytes == 2 else 'fp32'} LM, "
-            f"in_flight={max(args.in_flight, 1)}):\n"
+            f"held_outputs={held}):\n"
             f"  verdict: {p['verdict']}  "
             f"({p['per_device_bytes']/1e9:.2f} GB of {p['hbm_bytes']/1e9:.2f} GB HBM)\n"
             f"  params {p['params_bytes']/1e9:.2f} GB | LM activations "
@@ -255,6 +257,8 @@ def run(args):
 
     last_done = [None]  # completion time of the previous batch (writers=1)
 
+    from ..models.esmfold.esmfold import FOLD_LENGTH_BUCKET as ef_bucket
+
     def dispatch(prepared):
         prepared["start"] = timeit.default_timer()
         headers, sequences = prepared["item"]
@@ -263,7 +267,7 @@ def run(args):
         # errors (incl. OOM) surface at readback in consume.
         return ef.infer(
             params, cfg, sequences, num_recycles=args.num_recycles, frugal=True,
-            pad_to_multiple=64 if args.bucket else None,
+            pad_to_multiple=ef_bucket if args.bucket else None,
         )
 
     def consume(batch_idx, item, prepared, output):

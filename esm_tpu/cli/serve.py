@@ -63,7 +63,9 @@ def create_parser():
     p.add_argument(
         "--max-fold-len", type=int, default=2048,
         help="reject /fold sequences longer than this (folds cannot truncate; "
-        "2048 = longest single-chip fold measured)",
+        "2048 = longest single-chip fold measured). 0 = derive the cap from "
+        "the memory plan for the loaded fold model's size and precision "
+        "(memory_plan.max_fold_length at a full fold batch)",
     )
     p.add_argument(
         "--max-request-seqs", type=int, default=64,

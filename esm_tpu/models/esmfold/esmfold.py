@@ -279,6 +279,11 @@ def batch_encode_sequences(
     return aatype, mask, residx, linker_mask, chain_index
 
 
+# One compiled fold program per this many residues of padded length (the
+# serving/CLI bucketing granularity — pad_to_multiple callers share it so
+# the memory plan, the CLI and the server always model the same shapes)
+FOLD_LENGTH_BUCKET = 64
+
 # Auto-frugal threshold: one non-frugal output dict holds ~1284 bytes per
 # (i, j) pair (s_z + distogram/ptm/aligned-confidence logits + PAE — see
 # parallel/memory_plan._held_output_bytes_per_pair). Past ~1.5 GB of held

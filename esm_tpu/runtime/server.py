@@ -75,6 +75,12 @@ logger = logging.getLogger(__name__)
 _INCLUDE = ("mean", "per_tok", "logits", "contacts")
 
 
+def _tree_leaves(tree):
+    import jax
+
+    return jax.tree.leaves(tree)
+
+
 class ServerSaturatedError(RuntimeError):
     """Admission control: the in-flight sequence budget is exhausted.
 
@@ -196,16 +202,25 @@ class InferenceServer:
         # from the memory plan for THIS model's config/precision instead of
         # the hardcoded default (parallel.memory_plan.max_fold_length;
         # held_outputs=2 for the dispatch/finalize pipeline).
-        if max_fold_seq_len is None and fold_model is not None:
-            import numpy as _np
-
+        if not max_fold_seq_len and fold_model is not None:  # None or 0: derive
             from ..parallel.memory_plan import max_fold_length
             from ..parallel.mesh import MeshConfig
 
-            lm_bytes = _np.dtype(fold_model.cfg.esm.compute_dtype).itemsize
+            # true parameter bytes from the live tree — int8-quantized params
+            # keep their fp compute_dtype in cfg, so a dtype-derived estimate
+            # would charge 2-4x the real HBM and under-cap the very
+            # deployment (int8) that folds longest
+            params_bytes = sum(
+                x.size * x.dtype.itemsize
+                for x in _tree_leaves(fold_model.params)
+                if hasattr(x, "size")
+            )
             max_fold_seq_len = max_fold_length(
                 fold_model.cfg, MeshConfig(1, 1, 1),
-                lm_dtype_bytes=min(lm_bytes, 4), frugal=True, held_outputs=2,
+                params_bytes=params_bytes, frugal=True, held_outputs=2,
+                # fold batches co-batch up to max_fold_batch_seqs sequences:
+                # the cap must hold for a FULL batch at this length
+                batch=max_fold_batch_seqs,
             )
             logger.info("fold length cap from memory plan: %d", max_fold_seq_len)
         self.max_fold_seq_len = max_fold_seq_len or 2048
@@ -317,11 +332,13 @@ class InferenceServer:
         count = 0
         for L in lengths:
             for b in batch_sizes:
+                from ..models.esmfold.esmfold import FOLD_LENGTH_BUCKET
+
                 out = self.fold_model.infer(
                     ["A" * int(L)] * b,
                     num_recycles=num_recycles,
                     frugal=True,
-                    pad_to_multiple=64,
+                    pad_to_multiple=FOLD_LENGTH_BUCKET,
                 )
                 # force execution via a cheap readback (block_until_ready
                 # does not block on the tunneled backend)
@@ -515,15 +532,17 @@ class InferenceServer:
 
         def dispatch(idxs):
             chunk = [pairs[i] for i in idxs]
-            # pad_to_multiple: one compiled fold program per 64-length bucket
+            # pad_to_multiple: one compiled fold program per length bucket
             # instead of one per exact max length (a production-size fold
             # compile is minutes; padded tail positions are mask=0 rows the
             # whole stack already handles)
+            from ..models.esmfold.esmfold import FOLD_LENGTH_BUCKET
+
             out = self.fold_model.infer(
                 [seq for _, seq in chunk],
                 num_recycles=reqs[0].num_recycles,
                 frugal=True,
-                pad_to_multiple=64,
+                pad_to_multiple=FOLD_LENGTH_BUCKET,
             )
             return chunk, out
 
