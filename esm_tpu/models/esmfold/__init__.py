@@ -1,6 +1,7 @@
 from .esmfold import (
     ESMFoldConfig,
     apply,
+    apply_sharded,
     auto_frugal,
     batch_encode_sequences,
     encode_sequence,

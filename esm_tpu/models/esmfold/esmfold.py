@@ -76,18 +76,47 @@ def _lm_representations(
     esm_cfg: esm2.ESM2Config,
     esmaa: jax.Array,
     need_attn_map: bool = False,
+    ring=None,
 ):
     """Run the frozen LM with bos/eos handling
     (reference esm/esmfold/v1/esmfold.py:118-145). Returns
-    ((B, L, layers+1, C), optional (B, L, L, layers*H) attention stack)."""
+    ((B, L, layers+1, C), optional (B, L, L, layers*H) attention stack).
+
+    ``ring=(mesh, axis_name)`` runs the LM sequence-parallel (T sharded over
+    the axis, ring attention in every layer — esm2.apply_seq_sharded). The
+    LM's T = L+2 (bos/eos) is padded with <pad> columns up to a multiple of
+    the ring size; padded positions are key-masked everywhere and stripped
+    from the returned stack, so outputs on real positions are unchanged."""
     b, l = esmaa.shape
     bosi, eosi = esm_cfg.cls_idx, esm_cfg.eos_idx
     bos = jnp.full((b, 1), bosi, esmaa.dtype)
     pad_col = jnp.full((b, 1), esm_cfg.padding_idx, esmaa.dtype)
     esmaa = jnp.concatenate([bos, esmaa, pad_col], axis=1)
-    # first padding slot becomes eos
+    # first padding slot becomes eos. Written as an elementwise where over an
+    # iota, NOT a batched scatter (.at[arange(b), eos_pos].set): when the T
+    # axis is sharded (the ring path below), XLA's SPMD partitioner
+    # miscompiles the batched scatter — it overwrites the last element of
+    # every OTHER shard with the scatter target's old value (observed on the
+    # 8-device CPU mesh; tokens at per-shard boundaries became <pad>).
     eos_pos = jnp.sum(esmaa != esm_cfg.padding_idx, axis=1)
-    esmaa = esmaa.at[jnp.arange(b), eos_pos].set(eosi)
+    positions = jnp.arange(esmaa.shape[1], dtype=eos_pos.dtype)[None, :]
+    esmaa = jnp.where(positions == eos_pos[:, None], eosi, esmaa)
+
+    if ring is not None:
+        if need_attn_map:
+            raise ValueError(
+                "use_esm_attn_map materializes T×T attention maps; it cannot "
+                "run with the sequence-parallel (ring) LM"
+            )
+        mesh, axis_name = ring
+        n = dict(zip(mesh.axis_names, mesh.devices.shape))[axis_name]
+        t = esmaa.shape[1]
+        tp_pad = (-t) % n
+        if tp_pad:
+            esmaa = jnp.concatenate(
+                [esmaa, jnp.full((b, tp_pad), esm_cfg.padding_idx, esmaa.dtype)],
+                axis=1,
+            )
 
     res = esm2.apply(
         esm_params,
@@ -95,6 +124,7 @@ def _lm_representations(
         esmaa,
         return_representations=True,
         need_head_weights=need_attn_map,
+        ring=ring,
     )
     reps = res["representations"]                      # (L+1, B, T, C)
     esm_s = jnp.transpose(reps, (1, 2, 0, 3))          # (B, T, layers+1, C)
@@ -106,10 +136,10 @@ def _lm_representations(
         bb, nl, nh, t, _ = att.shape
         esm_z = jnp.transpose(att, (0, 4, 3, 1, 2)).reshape(bb, t, t, nl * nh)
         esm_z = esm_z[:, 1:-1, 1:-1, :]
-    return esm_s[:, 1:-1], esm_z                       # strip bos/eos
+    return esm_s[:, 1 : l + 1], esm_z                  # strip bos/eos(/ring pad)
 
 
-@partial(jax.jit, static_argnames=("cfg", "num_recycles", "frugal"))
+@partial(jax.jit, static_argnames=("cfg", "num_recycles", "frugal", "ring"))
 def apply(
     params,
     cfg: ESMFoldConfig,
@@ -119,6 +149,7 @@ def apply(
     masking_pattern: Optional[jax.Array] = None,
     num_recycles: Optional[int] = None,
     frugal: bool = False,
+    ring=None,
 ) -> Dict[str, jax.Array]:
     """Forward pass on AF2-indexed tokens (reference esmfold.py:152-278).
 
@@ -129,6 +160,15 @@ def apply(
     logits, aligned-confidence probabilities, per-recycle states) from the
     result — XLA then frees them inside the program. ~5 GB less held HBM per
     structure at L=2048; pLDDT/pTM/PAE and coordinates are unaffected.
+
+    ``ring=(mesh, axis_name)`` runs the LM sequence-parallel (ring attention,
+    T sharded over the axis). Combine with ``cfg.trunk.pair_spec`` to shard
+    the L×L pair tensors (trunk AND the distogram/pTM/PAE heads) over the
+    same axis: one fold program whose per-device memory is O(L·L/N) — the
+    multi-chip configuration that replaces the reference's chunking
+    (esm/esmfold/v1/esmfold.py:354-360). Call under ``with mesh:`` (the
+    sharding constraints resolve PartitionSpecs from the context mesh);
+    :func:`apply_sharded` wraps this.
     """
     if mask is None:
         mask = jnp.ones_like(aa)
@@ -141,7 +181,8 @@ def apply(
         esmaa = jnp.where(masking_pattern == 1, cfg.esm.mask_idx, esmaa)
 
     esm_s, esm_z = _lm_representations(
-        params["esm"], cfg.esm, esmaa, need_attn_map=cfg.use_esm_attn_map
+        params["esm"], cfg.esm, esmaa, need_attn_map=cfg.use_esm_attn_map,
+        ring=ring,
     )
     esm_s = jax.lax.stop_gradient(esm_s.astype(jnp.float32))
 
@@ -169,8 +210,16 @@ def apply(
         no_recycles=num_recycles,
     )
 
-    disto_logits = linear(params["distogram_head"], structure["s_z"])
-    disto_logits = (disto_logits + jnp.swapaxes(disto_logits, 1, 2)) / 2
+    # O(L^2) heads: keep them on the trunk's pair sharding — each device
+    # computes its pair shard's head projections; the distogram symmetrize
+    # is the one op XLA must insert a pair-transpose collective for
+    def _constrain(z):
+        if cfg.trunk.pair_spec is not None:
+            z = jax.lax.with_sharding_constraint(z, cfg.trunk.pair_spec)
+        return z
+
+    disto_logits = _constrain(linear(params["distogram_head"], _constrain(structure["s_z"])))
+    disto_logits = _constrain((disto_logits + jnp.swapaxes(disto_logits, 1, 2)) / 2)
     structure["distogram_logits"] = disto_logits
     structure["lm_logits"] = linear(params["lm_head"], structure["s_s"])
     structure["aatype"] = aa
@@ -189,7 +238,7 @@ def apply(
     plddt = categorical_lddt(lddt_head[-1], bins=cfg.lddt_bins)
     structure["plddt"] = 100 * plddt
 
-    ptm_logits = linear(params["ptm_head"], structure["s_z"])
+    ptm_logits = _constrain(linear(params["ptm_head"], _constrain(structure["s_z"])))
     structure["ptm_logits"] = ptm_logits
     maskf = mask.astype(ptm_logits.dtype)
     structure["ptm"] = jax.vmap(
@@ -205,6 +254,36 @@ def apply(
                   "aligned_confidence_probs", "states"):
             structure.pop(k, None)
     return structure
+
+
+def apply_sharded(
+    params,
+    cfg: ESMFoldConfig,
+    aa: jax.Array,
+    *,
+    mesh,
+    seq_axis: str = "tp",
+    **kw,
+) -> Dict[str, jax.Array]:
+    """Full multi-device ESMFold: ONE jitted program with the LM
+    sequence-sharded (ring attention over ``seq_axis``), the trunk's L×L pair
+    tensors row-sharded via ``cfg.trunk.pair_spec``, and the distogram/pTM/PAE
+    heads computed over the sharded s_z. This is the model-level realization of
+    SURVEY §5.7 — sharding, not chunking, as the long-L memory strategy
+    (reference: esm/esmfold/v1/esmfold.py:152-278 + set_chunk_size 354-360).
+
+    ``cfg.trunk.pair_spec`` must shard over ``seq_axis`` (e.g.
+    ``PartitionSpec(None, seq_axis)``); budget with
+    ``parallel.memory_plan.plan_fold(cfg, L, mesh_cfg)`` which models exactly
+    this configuration's per-device bytes."""
+    if cfg.trunk.pair_spec is None:
+        raise ValueError(
+            "apply_sharded needs cfg.trunk.pair_spec set (e.g. "
+            f"PartitionSpec(None, {seq_axis!r})) so the trunk/pair heads "
+            "shard; without it only the LM would be sequence-parallel"
+        )
+    with mesh:
+        return apply(params, cfg, aa, ring=(mesh, seq_axis), **kw)
 
 
 # ---------------------------------------------------------------------------

@@ -202,14 +202,25 @@ def plan_fold(
     }
 
 
-def max_fold_length(fold_cfg, mesh_cfg: MeshConfig = None, **kw) -> int:
-    """Largest L whose plan_fold verdict is not 'over' (binary search)."""
+def max_fold_length(
+    fold_cfg, mesh_cfg: MeshConfig = None, *, include_close: bool = False, **kw
+) -> int:
+    """Largest L whose plan_fold verdict is "fits" (binary search).
+
+    The default EXCLUDES "close": plan_fold's accuracy is ±20-30% and its own
+    calibration contains a "close" that measured OOM (L=2048 1-chip bf16-LM,
+    see plan_fold's docstring) — a cap derived from the not-"over" edge admits
+    folds that die in production (and, co-batched, take innocent requests
+    down with them: the failure mode the reference's OOM-skip exists for,
+    scripts/fold.py:163-178). Pass ``include_close=True`` only for
+    exploratory what-if estimates, never for admission caps."""
+    admit = ("fits", "close") if include_close else ("fits",)
     lo, hi = 64, 16384
-    while plan_fold(fold_cfg, hi, mesh_cfg, **kw)["verdict"] != "over" and hi < 2**20:
+    while plan_fold(fold_cfg, hi, mesh_cfg, **kw)["verdict"] in admit and hi < 2**20:
         lo, hi = hi, hi * 2
     while hi - lo > 16:
         mid = (lo + hi) // 2
-        if plan_fold(fold_cfg, mid, mesh_cfg, **kw)["verdict"] != "over":
+        if plan_fold(fold_cfg, mid, mesh_cfg, **kw)["verdict"] in admit:
             lo = mid
         else:
             hi = mid

@@ -201,7 +201,10 @@ class InferenceServer:
         # single-chip fold measured in BENCH_NOTES). None = derive the cap
         # from the memory plan for THIS model's config/precision instead of
         # the hardcoded default (parallel.memory_plan.max_fold_length;
-        # held_outputs=2 for the dispatch/finalize pipeline).
+        # held_outputs=2 for the dispatch/finalize pipeline). The derivation
+        # admits only "fits" — the plan is ±20-30% accurate and its "close"
+        # band contains a measured OOM, so an admission cap must keep the
+        # 10%-headroom margin (max_fold_length's default).
         if not max_fold_seq_len and fold_model is not None:  # None or 0: derive
             from ..parallel.memory_plan import max_fold_length
             from ..parallel.mesh import MeshConfig

