@@ -120,6 +120,83 @@ def test_esm2_650M_fullsize_roundtrip(tmp_path):
         np.asarray(out["contacts"]), out_ref["contacts"].numpy(), atol=1e-4, rtol=1e-4
     )
 
+    # torch -> jax -> torch round trip (io/export.py): the exported state
+    # dict is BIT-equal to the synthesized original at full 650M size —
+    # the strongest converter validation available without released weights
+    from esm_tpu.io.export import export_contact_regression, export_esm2_state_dict
+
+    exported = export_esm2_state_dict(model.params, model.cfg)
+    ref_sd = ref.state_dict()
+    assert set(exported) == {
+        k for k in ref_sd if not k.startswith("contact_head.")
+    }
+    for k, v in exported.items():
+        if k.endswith("rot_emb.inv_freq"):
+            # analytic buffer, not a weight: allow libm one-ulp pow drift
+            np.testing.assert_allclose(v, ref_sd[k].numpy(), rtol=1e-6, err_msg=k)
+        else:
+            np.testing.assert_array_equal(v, ref_sd[k].numpy(), err_msg=k)
+        del v
+    exported_reg = export_contact_regression(model.params)
+    for k, v in exported_reg.items():
+        np.testing.assert_array_equal(v, ref_sd[k].numpy(), err_msg=k)
+
+
+def test_esm2_export_loads_in_reference(tmp_path):
+    """io/export.save_esm2 output is a real reference checkpoint: a freshly
+    initialized (i.e. 'fine-tuned here') ESM-2 saves to .pt, loads through
+    the reference's load_model_and_alphabet_local with its STRICT key check
+    (esm/pretrained.py:186-219), and the torch model's forward matches the
+    JAX forward."""
+    from esm.pretrained import load_model_and_alphabet_local  # noqa: E402
+
+    from esm_tpu.data import Alphabet
+    from esm_tpu.io.convert import convert_esm2
+    from esm_tpu.io.export import save_esm2
+    from esm_tpu.models import esm2
+
+    alphabet = Alphabet.from_architecture("ESM-1b")
+    cfg = esm2.ESM2Config.from_alphabet(
+        alphabet, num_layers=3, embed_dim=96, attention_heads=4
+    )
+    import jax
+
+    params = esm2.init(jax.random.PRNGKey(9), cfg)
+    # non-zero contact head so the regression file carries real content
+    params["contact_head"]["regression"]["kernel"] = (
+        0.05 * np.arange(12, dtype=np.float32).reshape(12, 1)
+    )
+
+    path, reg_path = save_esm2(params, cfg, tmp_path / "esm2_t3_test.pt")
+    assert reg_path is not None
+
+    # torch>=2.6 defaults torch.load to weights_only, which rejects the
+    # argparse.Namespace cfg ALL released fair-esm checkpoints carry; the
+    # stdlib allowlist below is the standard accommodation for loading them
+    torch.serialization.add_safe_globals([argparse.Namespace])
+    tm, talpha = load_model_and_alphabet_local(str(path))
+    tm.eval()
+    assert tm.num_layers == 3 and tm.embed_dim == 96
+
+    _, _, toks = talpha.get_batch_converter()([("a", "KALTARQQEVFDLIRDHISQTGMPPTRAEIA")])
+    with torch.no_grad():
+        out_t = tm(toks, repr_layers=[3], return_contacts=True)
+    out_j = esm2.apply(
+        params, cfg, np.asarray(toks), repr_layers=(3,), return_contacts=True,
+        need_head_weights=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j["logits"]), out_t["logits"].numpy(), atol=2e-5, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_j["contacts"]), out_t["contacts"].numpy(), atol=1e-5, rtol=1e-4
+    )
+
+    # ...and converting the torch model back reproduces the original pytree
+    back = convert_esm2(tm.state_dict(), attention_heads=4)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 @_huge
 def test_esm2_3B_fullsize_conversion_inmemory():
