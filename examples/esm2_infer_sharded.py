@@ -20,6 +20,7 @@ import jax.numpy as jnp
 
 from esm_tpu import pretrained
 from esm_tpu.parallel.mesh import MeshConfig, make_mesh
+from esm_tpu.parallel.scaling import warn_if_inefficient
 from esm_tpu.parallel.sharding import batch_sharding, shard_params
 
 
@@ -35,8 +36,13 @@ def main():
     model, alphabet = pretrained.load_model_and_alphabet(args.model)
 
     n = len(jax.devices())
-    mesh = make_mesh(MeshConfig.for_devices(n))
+    mesh_cfg = MeshConfig.for_devices(n)
+    mesh = make_mesh(mesh_cfg)
     print(f"mesh: {mesh.shape}")
+    # predicted ICI-vs-MXU balance for this mesh; warns on the documented-bad
+    # configs (ARCHITECTURE.md scaling model — e.g. 15B at B=1 is weight-bound:
+    # the right 15B deployment is weight-resident int8 on ONE chip)
+    warn_if_inefficient(model.cfg, mesh_cfg, batch=2, seqlen=128)
 
     params = shard_params(mesh, model.params)
     model.params = params

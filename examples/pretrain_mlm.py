@@ -132,13 +132,13 @@ def run(args):
     )
     print(f"{len(dataset)} sequences, {len(batches)} batches/epoch")
 
+    est_b = max(
+        mesh_cfg.data * mesh_cfg.fsdp * args.accum_steps,
+        args.toks_per_batch // (args.truncation_seq_length + 2),
+    )
     try:
         from esm_tpu.parallel.memory_plan import plan_train
 
-        est_b = max(
-            mesh_cfg.data * mesh_cfg.fsdp * args.accum_steps,
-            args.toks_per_batch // (args.truncation_seq_length + 2),
-        )
         mp = plan_train(
             cfg, mesh_cfg, est_b, args.truncation_seq_length + 2,
             accum_steps=args.accum_steps,
@@ -152,6 +152,16 @@ def run(args):
         )
     except Exception:  # the plan is advisory; never block training on it
         pass
+
+    from esm_tpu.parallel.scaling import warn_if_inefficient
+
+    # ICI-vs-MXU balance check for the chosen mesh (ARCHITECTURE.md scaling
+    # model, in code): warns when the factorization is comm-bound or has no
+    # nominal-MXU headroom at this width
+    warn_if_inefficient(
+        cfg, mesh_cfg, batch=est_b, seqlen=args.truncation_seq_length + 2,
+        mode="train",
+    )
 
     warmup = min(args.warmup_steps, max(1, args.steps // 5))
     tx = training.make_optimizer(

@@ -1,0 +1,94 @@
+"""The ICI-vs-MXU scaling model (parallel/scaling.py) and its doc pinning.
+
+VERDICT r3 item 5: the ARCHITECTURE.md scaling table is GENERATED from
+plan_scaling, and the documented-bad configs (650M tp=4 nominal-headroom,
+15B B=1 weight-bound) must raise warnings where meshes are chosen — the
+conclusions may not live in prose alone."""
+
+import pathlib
+import warnings
+
+import pytest
+
+from esm_tpu.parallel.mesh import MeshConfig
+from esm_tpu.parallel.scaling import plan_scaling, scaling_table, warn_if_inefficient
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+
+
+def test_architecture_table_matches_generated():
+    """Committed ARCHITECTURE.md table == scaling_table() — no prose drift."""
+    doc = (REPO / "ARCHITECTURE.md").read_text()
+    generated = scaling_table()
+    assert generated in doc, (
+        "ARCHITECTURE.md's scaling table differs from the model's output —"
+        " regenerate it with `python -m esm_tpu.parallel.scaling` and paste"
+    )
+
+
+def test_known_good_configs_have_no_recommendations():
+    good = [
+        dict(cfg=2560, mesh_cfg=MeshConfig(1, 1, 4), batch=8, seqlen=1024),
+        dict(cfg=1280, mesh_cfg=MeshConfig(1, 1, 2), batch=8, seqlen=1024),
+        dict(cfg=1280, mesh_cfg=MeshConfig(1, 1, 1), batch=1, seqlen=8192, ring=4),
+    ]
+    for kw in good:
+        p = plan_scaling(**kw)
+        assert p["recommendations"] == [], (kw, p["recommendations"])
+        assert p["efficiency_overlapped"] >= 0.9
+
+
+def test_documented_bad_configs_flagged():
+    # 650M tp=4: overlap holds only at the measured 96 TF/s GEMM rate
+    p = plan_scaling(1280, MeshConfig(1, 1, 4), batch=8, seqlen=1024)
+    assert p["r"] < 1.0 < p["r_nominal"]
+    assert any("headroom" in r for r in p["recommendations"])
+    # 15B B=1: ZeRO weight gathers exceed compute — int8/batch remedy named
+    p = plan_scaling(5120, MeshConfig(1, 4, 2), batch=1, seqlen=1024)
+    assert p["r"] >= 1.0
+    assert p["weight_gather_bytes"] > 0.5 * p["ici_bytes"]
+    assert any("int8" in r for r in p["recommendations"])
+    assert p["efficiency_overlapped"] < 0.7
+
+
+def test_efficiency_formulas():
+    p = plan_scaling(5120, MeshConfig(1, 4, 2), batch=8, seqlen=1024)
+    assert p["efficiency_overlapped"] == pytest.approx(min(1.0, 1.0 / p["r"]))
+    assert p["efficiency_serial"] == pytest.approx(1.0 / (1.0 + p["r"]))
+    assert p["efficiency_serial"] < p["efficiency_overlapped"]
+
+
+def test_train_mode_multipliers():
+    inf = plan_scaling(1280, MeshConfig(1, 4, 2), batch=8, seqlen=1024)
+    tr = plan_scaling(1280, MeshConfig(1, 4, 2), batch=8, seqlen=1024, mode="train")
+    assert tr["t_mxu_ms"] == pytest.approx(3 * inf["t_mxu_ms"])  # fwd+bwd
+    assert tr["allreduce_bytes"] == pytest.approx(2 * inf["allreduce_bytes"])
+    # gather fwd + gather bwd + grad reduce-scatter
+    assert tr["weight_gather_bytes"] == pytest.approx(3 * inf["weight_gather_bytes"])
+
+
+def test_ring_accounting():
+    """KV-ring bytes follow 4·(N−1)/N·B·T·d; attention FLOPs stay global-T."""
+    p = plan_scaling(1280, MeshConfig(1, 1, 1), batch=1, seqlen=8192, ring=4)
+    assert p["ring_bytes"] == int(4 * 3 / 4 * 8192 * 1280)
+    # per-chip attention work is T_local queries against the full T keys:
+    # quadratic term split ring-ways, dense GEMMs too
+    single = plan_scaling(1280, MeshConfig(1, 1, 1), batch=1, seqlen=8192)
+    assert p["t_mxu_ms"] == pytest.approx(single["t_mxu_ms"] / 4)
+
+
+def test_warn_if_inefficient_warns_and_is_quiet():
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # a good config must be silent
+        warn_if_inefficient(2560, MeshConfig(1, 1, 4), batch=8, seqlen=1024)
+    with pytest.warns(UserWarning, match="weight|int8"):
+        warn_if_inefficient(5120, MeshConfig(1, 4, 2), batch=1, seqlen=1024)
+
+
+def test_accepts_model_config_object():
+    from esm_tpu.models.esm2 import ESM2Config
+
+    cfg = ESM2Config(num_layers=33, embed_dim=1280, attention_heads=20)
+    by_cfg = plan_scaling(cfg, MeshConfig(1, 1, 4), batch=8, seqlen=1024)
+    by_d = plan_scaling(1280, MeshConfig(1, 1, 4), batch=8, seqlen=1024)
+    assert by_cfg["t_mxu_ms"] == by_d["t_mxu_ms"]
