@@ -76,6 +76,13 @@ def create_parser():
         help="admission control: total admitted-but-unfinished sequences before "
         "new requests get 429 + Retry-After (bounds p95 under saturation)",
     )
+    p.add_argument(
+        "--max-queued-seconds", type=float, default=60.0,
+        help="cost-weighted admission: cap on the ESTIMATED chip-seconds of "
+        "admitted-but-unfinished work (folds cost ~1000x embeds, so this — "
+        "not the sequence count — bounds drain time under mixed load); "
+        "0 disables",
+    )
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute (TPU serving default)")
     p.add_argument("--flash", action="store_true", help="Pallas flash attention")
     p.add_argument("--int8", action="store_true", help="weight-only int8 params")
@@ -150,6 +157,7 @@ def start_server(args):
         truncation_seq_length=args.truncation_seq_length,
         max_request_seqs=args.max_request_seqs,
         max_queued_seqs=args.max_queued_seqs,
+        max_queued_seconds=args.max_queued_seconds or None,
         max_fold_seq_len=args.max_fold_len,
         batch_bucket=args.batch_bucket,
     ).start()

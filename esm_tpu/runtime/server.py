@@ -117,6 +117,9 @@ class _Request:
     result: Optional[List[Dict[str, Any]]] = None
     error: Optional[str] = None
     enqueued: float = field(default_factory=time.perf_counter)
+    # estimated chip-seconds this request holds while in flight; fixed at
+    # admission (the estimate may drift later — release what was charged)
+    cost: float = 0.0
 
     @property
     def key(self) -> Tuple:
@@ -141,6 +144,14 @@ class InferenceServer:
     shrinks batches to 14.2 seq/s where an 80 ms one sustains 24.8,
     BENCH_NOTES "Serving"); under light load the previous batch is small and
     the short window keeps added latency at ``max_wait_ms``.
+
+    Admission is COST-WEIGHTED: each request is charged its estimated
+    chip-seconds (per-kind EMAs from completed batches; folds scale
+    quadratically with bucketed length) and total in-flight work is capped
+    at ``max_queued_seconds`` — under a mixed /embed + /fold load the raw
+    sequence count says nothing about drain time (a fold is ~1000x an
+    embed), so the budget, not the count, bounds Retry-After honesty and
+    p95. ``max_queued_seqs`` still bounds host memory for queued payloads.
     ``port=0`` picks a free port (see ``.port`` after ``start()``).
     """
 
@@ -158,6 +169,7 @@ class InferenceServer:
         truncation_seq_length: int = 1022,
         max_request_seqs: int = 64,
         max_queued_seqs: int = 256,
+        max_queued_seconds: Optional[float] = 60.0,
         batch_bucket: str = "pow2",
         max_fold_seq_len: Optional[int] = 2048,
     ):
@@ -228,6 +240,27 @@ class InferenceServer:
             logger.info("fold length cap from memory plan: %d", max_fold_seq_len)
         self.max_fold_seq_len = max_fold_seq_len or 2048
         self._inflight_seqs = 0  # admitted but not yet finished/failed
+        # ---- cost-weighted admission (VERDICT r3 item 2) -------------------
+        # A /fold sequence costs ~1000x an /embed sequence of chip time
+        # (14.1 s at L=1000/3 recycles vs ~15 ms/seq embed, BENCH_NOTES), so
+        # a raw sequence-count cap admits hours of fold backlog or rejects
+        # milliseconds of embeds. Each request is charged its estimated
+        # chip-seconds at admission and the TOTAL estimated backlog is capped
+        # at ``max_queued_seconds`` — which therefore IS the worst-case drain
+        # time (Little's law applied directly: in-flight work / service rate,
+        # with both sides in seconds). Estimates are per-kind EMAs measured
+        # from completed device batches; folds scale quadratically with their
+        # 64-bucketed length around the L=512 reference point (the trunk is
+        # O(L^2) in memory/traffic and between O(L^2) and O(L^3) in FLOPs —
+        # L^2 matches the measured 1.2 s @384 / 14.1 s @1000 pair to ~2x).
+        # Priors (overwritten by the first measured batch of each kind):
+        # embed/score ~20 ms/seq at the serving bucket; fold ~3 s at L=512.
+        self.max_queued_seconds = max_queued_seconds
+        self._inflight_cost = 0.0  # sum of admitted requests' .cost
+        self._cost_unit = {"embed": 0.02, "score": 0.02, "fold": 3.0}
+        self._latencies_by_kind: Dict[str, List[float]] = {
+            "embed": [], "score": [], "fold": [],
+        }
         self._converter = (
             self.alphabet.get_batch_converter(truncation_seq_length, pad_to_multiple=128)
             if model is not None
@@ -377,6 +410,7 @@ class InferenceServer:
             req.error = "server shutting down"
             with self._lock:
                 self._inflight_seqs -= len(req.seqs)
+                self._inflight_cost -= req.cost
             if req.stream_q is not None:
                 req.stream_q.put(("error", req.error))
             req.done.set()
@@ -386,9 +420,15 @@ class InferenceServer:
         with self._lock:
             s = dict(self._stats)
             lat = sorted(self._latencies)
+            by_kind = {k: sorted(v) for k, v in self._latencies_by_kind.items()}
             s["inflight_sequences"] = self._inflight_seqs
+            s["inflight_cost_s"] = round(self._inflight_cost, 3)
+            s["cost_unit_s"] = {
+                k: round(v, 6) for k, v in self._cost_unit.items()
+            }
         s["queue_depth"] = self._queue.qsize()
         s["max_queued_seqs"] = self.max_queued_seqs
+        s["max_queued_seconds"] = self.max_queued_seconds
         s["uptime_s"] = round(time.time() - self._started, 3)
         n_batches = s["batches"] + s["fold_batches"]
         s["mean_batch_seqs"] = (
@@ -397,6 +437,12 @@ class InferenceServer:
         if lat:
             s["latency_p50_ms"] = round(1e3 * lat[len(lat) // 2], 3)
             s["latency_p95_ms"] = round(1e3 * lat[min(len(lat) - 1, int(0.95 * len(lat)))], 3)
+        for kind, kl in by_kind.items():
+            if kl:
+                s[f"latency_{kind}_p50_ms"] = round(1e3 * kl[len(kl) // 2], 3)
+                s[f"latency_{kind}_p95_ms"] = round(
+                    1e3 * kl[min(len(kl) - 1, int(0.95 * len(kl)))], 3
+                )
         return s
 
     # --------------------------------------------------------------- batcher
@@ -470,6 +516,7 @@ class InferenceServer:
         with self._lock:
             self._stats["errors"] += 1
             self._inflight_seqs -= sum(len(r.seqs) for r in failed)
+            self._inflight_cost -= sum(r.cost for r in failed)
         msg = str(e) if isinstance(e, RuntimeError) else f"{type(e).__name__}: {e}"
         for r in failed:
             r.error = msg
@@ -492,9 +539,15 @@ class InferenceServer:
         r.result = results
         with self._lock:
             self._inflight_seqs -= len(r.seqs)
-            self._latencies.append(time.perf_counter() - r.enqueued)
+            self._inflight_cost -= r.cost
+            lat = time.perf_counter() - r.enqueued
+            self._latencies.append(lat)
             if len(self._latencies) > 1024:
                 del self._latencies[:512]
+            by_kind = self._latencies_by_kind[r.kind]
+            by_kind.append(lat)
+            if len(by_kind) > 1024:
+                del by_kind[:512]
         r.done.set()
 
     def _stream_item(self, r: _Request, idx: int, item: Dict[str, Any]) -> None:
@@ -541,13 +594,14 @@ class InferenceServer:
             # whole stack already handles)
             from ..models.esmfold.esmfold import FOLD_LENGTH_BUCKET
 
+            t0 = time.perf_counter()
             out = self.fold_model.infer(
                 [seq for _, seq in chunk],
                 num_recycles=reqs[0].num_recycles,
                 frugal=True,
                 pad_to_multiple=FOLD_LENGTH_BUCKET,
             )
-            return chunk, out
+            return chunk, out, t0
 
         first = dispatch(chunk_idxs[0])  # raises -> _batch_loop fails the group
 
@@ -568,10 +622,19 @@ class InferenceServer:
                 try:
                     if fin_err is not None:
                         raise fin_err
-                    chunk, out = fin
+                    chunk, out, t0 = fin
                     pdbs = self.fold_model.output_to_pdb(out)  # readback
                     mean_plddt = np.asarray(out["mean_plddt"], np.float64)
                     ptm = np.asarray(out["ptm"], np.float64)
+                    # dispatch->readback per chunk feeds the admission cost
+                    # EMA (overlap makes later chunks measure ~the pipeline's
+                    # service interval — a slight overestimate, which admits
+                    # conservatively)
+                    self._observe_cost(
+                        "fold",
+                        time.perf_counter() - t0,
+                        self._fold_units([s for _, s in chunk]),
+                    )
                 except Exception as e:  # noqa: BLE001
                     chunk_reqs = {id(owners[i][0]): owners[i][0] for i in idxs}
                     self._fail(list(chunk_reqs.values()), e)
@@ -618,6 +681,7 @@ class InferenceServer:
         its mutations are host-side post-processing."""
         import numpy as np
 
+        t0 = time.perf_counter()
         pairs = [(r.labels[0], r.seqs[0]) for r in reqs]
         chunks = []
         for s in range(0, len(pairs), self.max_batch_seqs):
@@ -640,6 +704,7 @@ class InferenceServer:
 
             # T may differ across chunks; score rows are read per chunk
             arrays = [np.asarray(c) for c, _ in chunks]
+            self._observe_cost("score", time.perf_counter() - t0, len(reqs))
             for i, r in enumerate(reqs):
                 logits = arrays[i // self.max_batch_seqs][i % self.max_batch_seqs]
                 # stable log-softmax over the vocab axis, host-side
@@ -742,6 +807,8 @@ class InferenceServer:
     def _dispatch_embed_chunk(self, pairs, layers, include):
         import numpy as np
 
+        t0 = time.perf_counter()
+
         # items hold numpy arrays; serialization (json tolist / npz bytes)
         # happens per-request at response time, so json and npz requests
         # share device batches
@@ -801,6 +868,8 @@ class InferenceServer:
             per_tok = {k: np.asarray(v) for k, v in per_tok_dev.items()}
             logits = np.asarray(logits_dev) if logits_dev is not None else None
             contacts = np.asarray(contacts_dev) if contacts_dev is not None else None
+            # dispatch->readback feeds the admission cost EMA (see fold path)
+            self._observe_cost("embed", time.perf_counter() - t0, len(pairs))
 
             items: List[Dict[str, Any]] = []
             for i, (lab, seq) in enumerate(pairs):
@@ -883,6 +952,37 @@ class InferenceServer:
             seqs.append(seq)
         return labels, seqs
 
+    _FOLD_REF_LEN = 512  # fold cost EMA is normalized to this bucketed length
+
+    def _fold_units(self, seqs: List[str]) -> float:
+        """Length-normalized fold work: sum of (L_bucket / 512)^2 per chain
+        set — the fold path pads to 64-buckets (one compiled program each)
+        and the trunk's cost is ~quadratic in the padded length."""
+        from ..models.esmfold.esmfold import FOLD_LENGTH_BUCKET as B
+
+        total = 0.0
+        for seq in seqs:
+            n_res = len(seq) - seq.count(":")
+            lb = -(-max(n_res, 1) // B) * B
+            total += (lb / self._FOLD_REF_LEN) ** 2
+        return total
+
+    def _estimate_cost(self, req: _Request) -> float:
+        """Estimated chip-seconds for a request, from the per-kind EMAs.
+        Caller holds self._lock."""
+        if req.kind == "fold":
+            return self._cost_unit["fold"] * self._fold_units(req.seqs)
+        return self._cost_unit[req.kind] * len(req.seqs)
+
+    def _observe_cost(self, kind: str, seconds: float, units: float) -> None:
+        """Fold a measured device-batch service time into the kind's EMA
+        (units: sequences for embed/score, _fold_units for fold)."""
+        if units <= 0 or seconds <= 0:
+            return
+        with self._lock:
+            prev = self._cost_unit[kind]
+            self._cost_unit[kind] = 0.7 * prev + 0.3 * (seconds / units)
+
     def _enqueue(self, req: _Request) -> _Request:
         if self._stop.is_set():
             raise ValueError("server shutting down")
@@ -896,18 +996,44 @@ class InferenceServer:
                 f"{self.max_queued_seqs} in flight; split the request"
             )
         with self._lock:
-            if self._inflight_seqs + n > self.max_queued_seqs:
+            req.cost = self._estimate_cost(req)
+            cap_s = self.max_queued_seconds
+            if cap_s is not None and req.cost > cap_s:
+                # over-budget even against an empty backlog — a permanent
+                # error (like n > max_queued_seqs above), not a 429 the
+                # client would retry forever
+                raise ValueError(
+                    f"request is estimated at {req.cost:.1f}s of chip time "
+                    f"but the server's backlog budget is {cap_s:.0f}s "
+                    "(--max-queued-seconds); split the request or raise the "
+                    "budget"
+                )
+            over_count = self._inflight_seqs + n > self.max_queued_seqs
+            over_cost = (
+                cap_s is not None and self._inflight_cost + req.cost > cap_s
+            )
+            if over_count or over_cost:
                 self._stats["rejected"] += 1
-                # drain-time estimate: recent p95 latency is roughly what the
-                # oldest queued work is taking end-to-end right now
-                lat = sorted(self._latencies)
+                # Retry-After: for a cost-capped rejection the estimated
+                # chip-seconds already admitted IS the backlog's drain time
+                # (cost-weighted Little's law); count-capped rejections keep
+                # the per-kind p95-latency estimate
+                lat = sorted(self._latencies_by_kind[req.kind] or self._latencies)
                 p95 = lat[min(len(lat) - 1, int(0.95 * len(lat)))] if lat else 1.0
+                retry = self._inflight_cost if over_cost else p95
+                detail = (
+                    f"{self._inflight_cost:.1f}s of estimated work in flight "
+                    f"(budget {cap_s:.0f}s)"
+                    if over_cost
+                    else f"{self._inflight_seqs} sequences in flight "
+                    f"(limit {self.max_queued_seqs})"
+                )
                 raise ServerSaturatedError(
-                    f"server saturated: {self._inflight_seqs} sequences in "
-                    f"flight (limit {self.max_queued_seqs}); retry later",
-                    retry_after_s=max(1, round(p95)),
+                    f"server saturated: {detail}; retry later",
+                    retry_after_s=max(1, round(retry)),
                 )
             self._inflight_seqs += n
+            self._inflight_cost += req.cost
             self._stats["requests"] += 1
             self._stats["sequences"] += n
         self._queue.put(req)

@@ -896,3 +896,116 @@ def test_fold_cap_from_memory_plan(tmp_path, monkeypatch):
     # explicit cap still honored
     srv2 = InferenceServer(fold_model=handle, max_fold_seq_len=777)
     assert srv2.max_fold_seq_len == 777
+
+
+# --------------------------------------------------- cost-weighted admission
+
+
+def test_cost_weighted_admission_429(server):
+    """Admission charges estimated chip-seconds, not sequence counts: with a
+    1-second backlog budget and a 0.4 s/seq cost estimate, two in-flight
+    sequences saturate the server even though the COUNT cap (256) is far
+    away, and the Retry-After reports the backlog's drain estimate."""
+    _, model = server
+    srv = InferenceServer(
+        model,
+        max_wait_ms=2000.0,  # hold the first request in the batch window
+        truncation_seq_length=60,
+        max_queued_seconds=1.0,
+    ).start()
+    srv._cost_unit["embed"] = 0.4  # pretend embeds are expensive
+    try:
+        results = {}
+
+        def post_a():
+            results["a"] = _post(srv, {"sequences": SEQS[:2]})
+
+        t = threading.Thread(target=post_a)
+        t.start()
+        for _ in range(100):
+            if _get(srv, "/stats")["inflight_cost_s"] >= 0.8:
+                break
+            time.sleep(0.02)
+        else:
+            pytest.fail("request A never became in-flight")
+
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(srv, {"sequences": SEQS[2:3]})  # 0.4 + 0.8 > 1.0
+        assert exc_info.value.code == 429
+        body = json.loads(exc_info.value.read())
+        assert "estimated work in flight" in body["error"]
+        # Retry-After = drain time of the admitted backlog (0.8s -> 1)
+        assert int(exc_info.value.headers["Retry-After"]) == 1
+
+        t.join(timeout=120)
+        assert "results" in results["a"]
+        ok = _post(srv, {"sequences": SEQS[2:3]})  # backlog drained
+        assert "results" in ok
+        stats = _get(srv, "/stats")
+        assert stats["rejected"] >= 1
+        assert stats["inflight_cost_s"] == 0
+        assert stats["max_queued_seconds"] == 1.0
+    finally:
+        srv.stop()
+
+
+def test_over_budget_request_is_permanent_400(server):
+    """A single request whose estimated cost exceeds the whole backlog budget
+    can never be admitted — permanent 400, not a retried-forever 429."""
+    _, model = server
+    srv = InferenceServer(
+        model, truncation_seq_length=60, max_queued_seconds=1.0
+    ).start()
+    srv._cost_unit["embed"] = 0.6
+    try:
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(srv, {"sequences": SEQS[:2]})  # 1.2s > 1.0s budget
+        assert exc_info.value.code == 400
+        body = json.loads(exc_info.value.read())
+        assert "split the request or raise" in body["error"]
+        # still healthy for affordable requests
+        ok = _post(srv, {"sequences": SEQS[:1]})
+        assert "results" in ok
+    finally:
+        srv.stop()
+
+
+def test_cost_model_learns_and_reports(server):
+    """Completed batches feed the per-kind EMA; /stats exposes the learned
+    units, the in-flight cost, and per-kind latency percentiles."""
+    _, model = server
+    srv = InferenceServer(model, truncation_seq_length=60).start()
+    try:
+        prior = srv._cost_unit["embed"]
+        _post(srv, {"sequences": SEQS})
+        stats = _get(srv, "/stats")
+        assert stats["cost_unit_s"]["embed"] != prior  # EMA moved
+        assert stats["cost_unit_s"]["embed"] > 0
+        assert stats["inflight_cost_s"] == 0  # released on finish
+        assert "latency_embed_p50_ms" in stats
+        assert "latency_embed_p95_ms" in stats
+        assert "latency_fold_p50_ms" not in stats  # no folds served
+    finally:
+        srv.stop()
+
+
+def test_fold_cost_is_length_quadratic(server):
+    """Fold cost estimates scale with the square of the 64-bucketed length
+    around the L=512 reference (the ~1000x embed/fold spread is the point of
+    cost-weighted admission — a raw count cap admits hours of fold backlog)."""
+    _, model = server
+    srv = InferenceServer(model, truncation_seq_length=60)
+    # 100 residues -> bucket 128; 1000 -> bucket 1024: 64x the work
+    u = srv._fold_units
+    assert u(["A" * 100]) == pytest.approx((128 / 512) ** 2)
+    assert u(["A" * 1000]) == pytest.approx((1024 / 512) ** 2)
+    assert u(["A" * 1000]) / u(["A" * 100]) == pytest.approx(64.0)
+    # multimer linkers (':') don't count as residues
+    assert u(["A" * 60 + ":" + "A" * 60]) == pytest.approx((128 / 512) ** 2)
+    # at the default priors a bucketed-1024 fold costs ~600x an embed seq
+    from esm_tpu.runtime.server import _Request
+
+    fold_cost = srv._estimate_cost(_Request(["x"], ["A" * 1000], kind="fold"))
+    embed_cost = srv._estimate_cost(_Request(["x"], ["A" * 1000]))
+    assert fold_cost / embed_cost > 100
+    srv._httpd.server_close()  # never started; free the socket
