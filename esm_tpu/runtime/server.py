@@ -258,6 +258,10 @@ class InferenceServer:
         self.max_queued_seconds = max_queued_seconds
         self._inflight_cost = 0.0  # sum of admitted requests' .cost
         self._cost_unit = {"embed": 0.02, "score": 0.02, "fold": 3.0}
+        # static copy for the never-admittable (400) decision: the LEARNED
+        # units drift (a cold-start compile can transiently inflate them
+        # 100x), and a permanent rejection must not depend on a transient
+        self._cost_prior = dict(self._cost_unit)
         self._latencies_by_kind: Dict[str, List[float]] = {
             "embed": [], "score": [], "fold": [],
         }
@@ -967,21 +971,27 @@ class InferenceServer:
             total += (lb / self._FOLD_REF_LEN) ** 2
         return total
 
-    def _estimate_cost(self, req: _Request) -> float:
-        """Estimated chip-seconds for a request, from the per-kind EMAs.
-        Caller holds self._lock."""
+    def _estimate_cost(self, req: _Request, units=None) -> float:
+        """Estimated chip-seconds for a request, from the per-kind EMAs
+        (or a given unit table). Caller holds self._lock."""
+        units = units if units is not None else self._cost_unit
         if req.kind == "fold":
-            return self._cost_unit["fold"] * self._fold_units(req.seqs)
-        return self._cost_unit[req.kind] * len(req.seqs)
+            return units["fold"] * self._fold_units(req.seqs)
+        return units[req.kind] * len(req.seqs)
 
     def _observe_cost(self, kind: str, seconds: float, units: float) -> None:
         """Fold a measured device-batch service time into the kind's EMA
-        (units: sequences for embed/score, _fold_units for fold)."""
+        (units: sequences for embed/score, _fold_units for fold). A single
+        update can at most triple the unit: a cold-start XLA compile makes
+        the first observation of a shape 10-1000x the steady state, and an
+        unconstrained EMA would then shed nearly everything until enough
+        fast batches wash it out; decay is unclamped so recovery is fast."""
         if units <= 0 or seconds <= 0:
             return
         with self._lock:
             prev = self._cost_unit[kind]
-            self._cost_unit[kind] = 0.7 * prev + 0.3 * (seconds / units)
+            new = 0.7 * prev + 0.3 * (seconds / units)
+            self._cost_unit[kind] = min(new, 3.0 * prev)
 
     def _enqueue(self, req: _Request) -> _Request:
         if self._stop.is_set():
@@ -998,19 +1008,27 @@ class InferenceServer:
         with self._lock:
             req.cost = self._estimate_cost(req)
             cap_s = self.max_queued_seconds
-            if cap_s is not None and req.cost > cap_s:
+            prior_cost = self._estimate_cost(req, self._cost_prior)
+            if cap_s is not None and prior_cost > cap_s:
                 # over-budget even against an empty backlog — a permanent
                 # error (like n > max_queued_seqs above), not a 429 the
-                # client would retry forever
+                # client would retry forever. Judged at the STATIC priors:
+                # a permanent verdict must not depend on the learned units,
+                # which drift (and transiently spike over cold compiles).
                 raise ValueError(
-                    f"request is estimated at {req.cost:.1f}s of chip time "
+                    f"request is estimated at {prior_cost:.1f}s of chip time "
                     f"but the server's backlog budget is {cap_s:.0f}s "
                     "(--max-queued-seconds); split the request or raise the "
                     "budget"
                 )
             over_count = self._inflight_seqs + n > self.max_queued_seqs
+            # an IDLE server always admits (else nothing could ever run when
+            # an estimate spikes); the budget caps the backlog BEYOND the
+            # request currently being taken on
             over_cost = (
-                cap_s is not None and self._inflight_cost + req.cost > cap_s
+                cap_s is not None
+                and self._inflight_cost > 0
+                and self._inflight_cost + req.cost > cap_s
             )
             if over_count or over_cost:
                 self._stats["rejected"] += 1

@@ -137,3 +137,80 @@ def test_symmetric_two_level_multimer():
     gaps = np.diff(idxs)
     assert (gaps > 1000).sum() == 1 and int(gaps.max()) == 1001
     _anneal(program)
+
+
+# ------------------------------------------- named recipes x the REAL folder
+# The stub tests above validate every recipe's energy stack on synthetic
+# geometry; these anneal named recipes through the real tiny-ESMFold
+# ESMFoldCallback (VERDICT r3 item 7) — exercising the recipe<->folder glue
+# the stub cannot: residue-index ranges through batch_encode/apply, bucketed
+# padding, atom37 extraction, and CRmsd/DRmsd against folder-produced atoms.
+
+
+@pytest.fixture(scope="module")
+def real_callback():
+    import jax
+
+    from esm_tpu.data import Alphabet
+    from esm_tpu.models import esm2, esmfold as ef
+    from esm_tpu.models.esmfold.structure_module import StructureModuleConfig
+    from esm_tpu.models.esmfold.trunk import FoldingTrunkConfig
+
+    alphabet = Alphabet.from_architecture("ESM-1b")
+    lm_cfg = esm2.ESM2Config.from_alphabet(
+        alphabet, num_layers=2, embed_dim=32, attention_heads=2
+    )
+    fold_cfg = ef.ESMFoldConfig(
+        esm=lm_cfg,
+        trunk=FoldingTrunkConfig(
+            num_blocks=1, sequence_state_dim=32, pairwise_state_dim=32,
+            sequence_head_width=16, pairwise_head_width=16, max_recycles=1,
+            structure_module=StructureModuleConfig(
+                c_s=32, c_z=32, c_ipa=8, c_resnet=16, no_heads_ipa=4, no_blocks=1
+            ),
+        ),
+    )
+    fold_params = ef.init_esmfold(jax.random.PRNGKey(1), fold_cfg, alphabet)
+    return ppl.ESMFoldCallback(fold_params, fold_cfg, num_recycles=0, bucket=16)
+
+
+def _anneal_real(program, callback, steps=4):
+    np.random.seed(0)
+    state = ppl.run_simulated_annealing(
+        program, callback, total_num_steps=steps, display_progress=False
+    )
+    assert state.num_steps == steps
+    assert np.isfinite(state.best_energy)
+    # the annealer keeps the best-so-far: never worse than where it stands
+    assert state.best_energy <= state.current_energy or np.isclose(
+        state.best_energy, state.current_energy
+    )
+    assert len(state.energy_trace) == steps
+    return state
+
+
+@pytest.mark.slow
+def test_free_hallucination_real_folder(real_callback):
+    state = _anneal_real(ppl.free_hallucination(12), real_callback)
+    assert len(state.best_sequence) == 12
+    names = [n for n, _, _ in state.best_energy_term_fn_values]
+    assert any("MaximizePTM" in n for n in names)
+    # every term produced a finite value from real folder outputs
+    assert all(np.isfinite(v) for _, _, v in state.best_energy_term_fn_values)
+
+
+@pytest.mark.slow
+def test_functional_site_scaffolding_real_folder(real_callback, template):
+    """The site motif (author residues 10..14 of the synthetic template) is
+    scaffolded between short variable flanks; the constant segment must
+    survive annealing and the CRmsd/DRmsd terms must evaluate against the
+    REAL folder's atom37 output."""
+    program = ppl.functional_site_scaffolding(
+        template, residue_range=(10, 15), flank_length=4
+    )
+    state = _anneal_real(program, real_callback, steps=4)
+    assert "KAVLE" in state.best_sequence  # constant site segment intact
+    names = [n for n, _, _ in state.best_energy_term_fn_values]
+    assert any("MinimizeCRmsd" in n for n in names)
+    assert any("MinimizeDRmsd" in n for n in names)
+    assert all(np.isfinite(v) for _, _, v in state.best_energy_term_fn_values)

@@ -956,6 +956,9 @@ def test_over_budget_request_is_permanent_400(server):
     srv = InferenceServer(
         model, truncation_seq_length=60, max_queued_seconds=1.0
     ).start()
+    # the permanent verdict is judged at the STATIC priors (learned units
+    # drift over cold compiles and must not make a 400 transient)
+    srv._cost_prior["embed"] = 0.6
     srv._cost_unit["embed"] = 0.6
     try:
         with pytest.raises(urllib.error.HTTPError) as exc_info:
@@ -1009,3 +1012,28 @@ def test_fold_cost_is_length_quadratic(server):
     embed_cost = srv._estimate_cost(_Request(["x"], ["A" * 1000]))
     assert fold_cost / embed_cost > 100
     srv._httpd.server_close()  # never started; free the socket
+
+
+def test_idle_server_always_admits_and_ema_clamp(server):
+    """An idle server admits a request even when the learned cost estimate
+    spikes over the budget (cold-compile robustness: something must always
+    run, or an estimate spike would deadlock the server); a single EMA
+    update can at most triple a unit."""
+    _, model = server
+    srv = InferenceServer(
+        model, truncation_seq_length=60, max_queued_seconds=1.0
+    ).start()
+    # learned unit spiked (e.g. over a cold compile): 2 seqs "cost" 100s
+    srv._cost_unit["embed"] = 50.0
+    try:
+        ok = _post(srv, {"sequences": SEQS[:2]})  # idle -> still admitted
+        assert "results" in ok
+        # growth clamp: a compile-dominated observation can't explode the unit
+        srv._cost_unit["embed"] = 0.01
+        srv._observe_cost("embed", seconds=100.0, units=1)
+        assert srv._cost_unit["embed"] == pytest.approx(0.03)  # 3x, not 30+
+        # decay is unclamped
+        srv._observe_cost("embed", seconds=0.001, units=1)
+        assert srv._cost_unit["embed"] < 0.022
+    finally:
+        srv.stop()
