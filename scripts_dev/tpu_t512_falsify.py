@@ -1,0 +1,248 @@
+"""T=512 structure-family falsification probes (VERDICT r3 item 6).
+
+Round 3 concluded the T=512 bucket's ~30 TF/s is a Mosaic/chip-structural
+ceiling — but every probe shared the library kernel's block family
+(single-pass, whole-S VMEM tiles, fp32 (bq, S) score tile, (S, d) operand
+layouts). This script attacks that conclusion with three GENUINELY different
+structures, measured with the dispatch-free marginal method (rate =
+extra_flops / (t(B=64) − t(B=32)); every per-launch constant cancels):
+
+  fp32ref   — the round-3 structure-matched probe (baseline sanity tie-in)
+  bf16score — the score tile s = q·kᵀ is produced AND exponentiated in
+              bfloat16 (fp32 row-max/sum for stability): halves the VREG/VMEM
+              traffic of the (bq, S) tile, and p needs no cast before p·v
+  ktrans    — K is pre-laid-out d-major (d, S): the qkᵀ GEMM becomes a
+              standard (bq,d)x(d,S) contraction whose B-operand minor dim is
+              S=512 (full 128 lanes) instead of d=64 (half-empty tiles) —
+              the layout the T(8,128) tiling actually wants. Pre-transpose
+              happens OUTSIDE the timed region: a real kernel would fold it
+              into the rotary prologue / KV-cache layout.
+  bq256     — 256-row q blocks, 2 grid steps per head-group: Mosaic
+              double-buffers the next q block against the current GEMMs
+              instead of one monolithic (512, S) step.
+
+Each variant also sweeps block_h in {1, 5} (5 = the library's pick). The
+library kernel's marginal rate is re-measured IN THIS PROCESS for a fair
+ratio. Verdict: a variant beating the library's rate by >10% falsifies the
+structural-ceiling claim; all variants landing at/below it confirm it from
+outside the block family. Run ALONE on the chip.
+"""
+import os, sys
+sys.path.insert(0, "/root/repo")
+if os.environ.get("PALLAS_AXON_REMOTE_COMPILE") != "1":
+    os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "1"
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp_cache")
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from esm_tpu.utils.profiling import timed_amortized as timed
+
+H, D = 20, 64
+T = int(sys.argv[sys.argv.index("--t") + 1]) if "--t" in sys.argv else 512
+FAST = "--fast" in sys.argv  # library + ktrans at the best bh only
+
+
+def probe_call(b, variant, block_q, block_h):
+    """Build (jitted_fn, args, per-iter flops) for one probe structure."""
+    bh = b * H
+    bq = min(block_q, T)
+    key = jax.random.PRNGKey(5)
+    q = jax.random.normal(key, (bh, T, D), jnp.bfloat16)
+    k = jax.random.normal(key, (bh, T, D), jnp.bfloat16)
+    v = jax.random.normal(key, (bh, T, D), jnp.bfloat16)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        for j in range(block_h):
+            qj = q_ref[j]
+            vj = v_ref[j]
+            if variant == "ktrans":
+                s = jax.lax.dot_general(
+                    qj, k_ref[j], (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            elif variant == "ktrans_in":
+                # K arrives (S, d); transpose INSIDE the kernel (VREG/VMEM
+                # transpose) then feed the d-major GEMM — tests whether the
+                # win needs a d-major layout in HBM or just in VMEM
+                kt = jnp.swapaxes(k_ref[j], 0, 1)
+                s = jax.lax.dot_general(
+                    qj, kt, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                s = jax.lax.dot_general(
+                    qj, k_ref[j], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,  # MXU acc must be 32-bit
+                )
+            if variant == "bf16score":
+                # fp32 accumulate, then the tile DROPS to bf16: the softmax
+                # transcendental + sum + second-GEMM feed all run on a
+                # half-width tile (stability: fp32 row max subtracted first)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp((s - m).astype(jnp.bfloat16))
+                l = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+                pv = jax.lax.dot_general(
+                    p, vj, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            else:
+                m = jnp.max(s, axis=-1, keepdims=True)
+                p = jnp.exp(s - m)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                pv = jax.lax.dot_general(
+                    p.astype(vj.dtype), vj, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            pv = pv / jnp.where(l == 0.0, 1.0, l)
+            o_ref[j] = pv.astype(o_ref.dtype)
+
+    if variant == "ktrans":
+        k_in = jnp.swapaxes(k, 1, 2)  # (bh, d, S), materialized pre-timing
+        k_spec = pl.BlockSpec((block_h, D, T), lambda b_, i: (b_, 0, 0))
+    else:
+        k_in = k
+        k_spec = pl.BlockSpec((block_h, T, D), lambda b_, i: (b_, 0, 0))
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(bh // block_h, T // bq),
+        in_specs=[
+            pl.BlockSpec((block_h, bq, D), lambda b_, i: (b_, i, 0)),
+            k_spec,
+            pl.BlockSpec((block_h, T, D), lambda b_, i: (b_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((block_h, bq, D), lambda b_, i: (b_, i, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+    )
+    run = jax.jit(lambda q, k, v: call(q, k, v))
+    fl = 4.0 * bh * T * T * D
+    return run, (q, k_in, v), fl
+
+
+def lib_call(b, block_h=None):
+    from esm_tpu.kernels.flash_attention import _flash_padded, _pick_block_h
+
+    bh = b * H
+    if block_h is None:
+        # the shipping path clamps block_q to T BEFORE choosing block_h
+        block_h = _pick_block_h(H, min(1024, T), T, D)
+    key = jax.random.PRNGKey(4)
+    q = jax.random.normal(key, (bh, T, D), jnp.bfloat16)
+    k = jax.random.normal(key, (bh, T, D), jnp.bfloat16)
+    v = jax.random.normal(key, (bh, T, D), jnp.bfloat16)
+    bias = jnp.zeros((b, 1, T), jnp.float32)
+
+    def run(q, k, v):
+        # _flash_padded takes PRE-CLAMPED blocks (callers run _pick_block_q
+        # first); block_q > tq would make the q-grid dimension zero and the
+        # kernel a silent no-op
+        return _flash_padded(
+            q, k, v, bias, None, None, num_heads=H, block_q=min(1024, T),
+            block_k=T, interpret=False, block_h=block_h, has_bias=False,
+        )
+
+    return jax.jit(run), (q, k, v), 4.0 * bh * T * T * D
+
+
+def marginal(build, label):
+    ts = {}
+    for b in (32, 64):
+        run, args, fl = build(b)
+        iters = min(200, max(16, int(0.5 / (fl / 40e12))))
+        ts[b] = timed(run, *args, iters=iters)
+    extra_fl = 4.0 * 32 * H * T * T * D
+    dt = ts[64] - ts[32]
+    rate = extra_fl / dt / 1e12 if dt > 0 else float("nan")
+    print(f"{label:28s} t32 {ts[32]*1e3:7.3f} ms  t64 {ts[64]*1e3:7.3f} ms  "
+          f"marginal {rate:6.1f} TF/s", flush=True)
+    return rate
+
+
+def check_numerics():
+    """Probe outputs vs an XLA reference at B=2 (bf16score tolerance wider)."""
+    b = 2
+    for variant, tol in (("fp32ref", 3e-2), ("bf16score", 1.5e-1),
+                         ("ktrans", 3e-2), ("bq256", 3e-2)):
+        bq = 256 if variant == "bq256" else 1024
+        run, (q, k_in, v), _ = probe_call(b, variant if variant != "bq256" else "fp32ref", bq, 1)
+        got = np.asarray(run(q, k_in, v), np.float32)
+        k = np.swapaxes(k_in, 1, 2) if variant == "ktrans" else k_in
+        s = np.einsum("btd,bsd->bts", np.asarray(q, np.float32), np.asarray(k, np.float32))
+        p = np.exp(s - s.max(-1, keepdims=True))
+        ref = np.einsum("bts,bsd->btd", p / p.sum(-1, keepdims=True),
+                        np.asarray(v, np.float32))
+        err = np.abs(got - ref).max()
+        print(f"numerics {variant}: max|d| {err:.3e}", flush=True)
+        assert err < tol, (variant, err)
+
+
+def check_lib_numerics():
+    run, (q, k, v), _ = lib_call(2, block_h=2)
+    got = np.asarray(run(q, k, v), np.float32)
+    s = np.einsum("btd,bsd->bts", np.asarray(q, np.float32), np.asarray(k, np.float32))
+    p = np.exp(s - s.max(-1, keepdims=True))
+    ref = np.einsum("bts,bsd->btd", p / p.sum(-1, keepdims=True),
+                    np.asarray(v, np.float32))
+    err = np.abs(got - ref).max()
+    print(f"numerics library: max|d| {err:.3e}", flush=True)
+    assert err < 3e-2, err
+
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    check_numerics()
+    check_lib_numerics()
+    rates = {}
+    lib_bhs = ((None,) if FAST else (1, 2, 4, 5))
+    for bh in lib_bhs:
+        label = f"library bh={'auto' if bh is None else bh}"
+        rates[label] = marginal(lambda b, h=bh: lib_call(b, h), label)
+    # standalone cost of materializing K d-major (the price if a caller
+    # cannot produce K transposed from its projection GEMM)
+    key = jax.random.PRNGKey(2)
+    kk = jax.random.normal(key, (64 * H, T, D), jnp.bfloat16)
+    tt = timed(jax.jit(lambda a: jnp.swapaxes(a, 1, 2)), kk, iters=50)
+    print(f"swapaxes(K) B=64: {tt*1e3:.3f} ms "
+          f"({2 * kk.size * 2 / tt / 1e9:.0f} GB/s rw)", flush=True)
+    for variant in (("fp32ref", "ktrans") if FAST
+                    else ("fp32ref", "bf16score", "ktrans", "ktrans_in")):
+        # VMEM bound: bh fp32 (bq, T) score tiles must fit alongside Q/K/V;
+        # at large T shrink the q block (the library's widening path does
+        # the same) rather than dropping the probe
+        bq_probe = min(1024, max(256, (4 * 2**20) // (T * 4) // 256 * 256))
+        fit = [c for c in (1, 2, 4, 5) if c * bq_probe * T * 4 <= 6 * 2**20]
+        for bh in ((fit[-1],) if FAST and fit else tuple(fit)):
+            label = f"{variant} bh={bh} bq={bq_probe}"
+            rates[label] = marginal(
+                lambda b, v=variant, h=bh, bq=bq_probe: probe_call(b, v, bq, h),
+                label,
+            )
+    for bh in (() if FAST else (1, 2, 5)):
+        label = f"bq256 bh={bh}"
+        rates[label] = marginal(
+            lambda b, h=bh: probe_call(b, "fp32ref", 256, h), label
+        )
+    lib = max(rates[k] for k in rates if k.startswith("library"))
+    best = max(rates, key=rates.get)
+    print(f"\nbest: {best} at {rates[best]:.1f} TF/s "
+          f"({rates[best]/lib:.2f}x library)", flush=True)
+    verdict = (
+        "FALSIFIED: a different structure beats the library by >10% — "
+        "the 'structural ceiling' was a block-family artifact"
+        if rates[best] > 1.10 * lib and not best.startswith("library")
+        else "CONFIRMED from outside the block family: no structure beats "
+        "the library's rate by >10%"
+    )
+    print(verdict, flush=True)
+
+
+if __name__ == "__main__":
+    main()
