@@ -252,7 +252,7 @@ def _flash_kernel(*refs, use_rotary: bool, with_lse: bool = False):
 
 def _single_pass_kernel(
     *refs, use_rotary: bool, with_lse: bool = False, block_h: int = 1,
-    has_bias: bool = True,
+    has_bias: bool = True, k_dmajor: bool = False,
 ):
     """One (bh/block_h, qi) step with the WHOLE source in VMEM: plain fused
     softmax-attention — no online-softmax state, no scratch. ~11% faster than
@@ -263,13 +263,21 @@ def _single_pass_kernel(
     of MXU work and per-step grid/DMA fixed costs dominate — batching heads
     amortizes them (the T=512 roofline residual, BENCH_NOTES). ``has_bias``
     False removes the key-bias stream + add entirely (mask-free calls).
+
+    ``k_dmajor``: K arrives (d, S) — minor dim S fills all 128 lanes where
+    the (S, d=64) layout half-fills every tile; measured worth 8-18% on the
+    qk^T GEMM (BENCH_NOTES "T=512 structure falsification"; the layout must
+    exist in HBM — an in-VMEM transpose costs exactly what it gains, which
+    is why rotary here uses PRE-TRANSPOSED (d, S) tables for K).
     """
     it = iter(refs)
     q_ref, k_ref, v_ref = next(it), next(it), next(it)
     bias_ref = next(it) if has_bias else None
-    cos_ref = sin_ref = None
+    cos_ref = sin_ref = cosT_ref = sinT_ref = None
     if use_rotary:
         cos_ref, sin_ref = next(it), next(it)
+        if k_dmajor:
+            cosT_ref, sinT_ref = next(it), next(it)
     outs = list(it)
     o_ref = outs[0]
     for j in range(block_h):
@@ -278,19 +286,30 @@ def _single_pass_kernel(
 
             qi = pl.program_id(1)
             bq = q_ref.shape[1]
-            bk = k_ref.shape[1]
             cq = cos_ref[pl.dslice(qi * bq, bq), :]
             sq = sin_ref[pl.dslice(qi * bq, bq), :]
-            ck = cos_ref[pl.dslice(0, bk), :]
-            sk = sin_ref[pl.dslice(0, bk), :]
             q = q_ref[j] * cq + rotate_half(q_ref[j]) * sq
-            k = k_ref[j] * ck + rotate_half(k_ref[j]) * sk
+            if k_dmajor:
+                bk = k_ref.shape[2]
+                ckT = cosT_ref[:, pl.dslice(0, bk)]
+                skT = sinT_ref[:, pl.dslice(0, bk)]
+                kj = k_ref[j]
+                half = kj.shape[0] // 2
+                rot = jnp.concatenate([-kj[half:], kj[:half]], axis=0)
+                k = kj * ckT + rot * skT
+            else:
+                bk = k_ref.shape[1]
+                ck = cos_ref[pl.dslice(0, bk), :]
+                sk = sin_ref[pl.dslice(0, bk), :]
+                k = k_ref[j] * ck + rotate_half(k_ref[j]) * sk
         else:
             q = q_ref[j]
             k = k_ref[j]
         v = v_ref[j]
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            q, k,
+            (((1,), (0 if k_dmajor else 1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
         if has_bias:
             s = s + bias_ref[0, 0][None, :]
@@ -311,7 +330,7 @@ def _single_pass_kernel(
     jax.jit,
     static_argnames=(
         "num_heads", "block_q", "block_k", "interpret", "use_rotary", "with_lse",
-        "block_h", "has_bias",
+        "block_h", "has_bias", "k_dmajor",
     ),
 )
 def _flash_padded(
@@ -330,14 +349,17 @@ def _flash_padded(
     with_lse: bool = False,
     block_h: int = 1,
     has_bias: bool = True,
+    k_dmajor: bool = False,
 ):
     """q: (BH, Tq, d), k/v: (BH, S, d), bias: (B, 1, S) fp32 — shared across
     the ``num_heads`` heads of each batch row via the index map (no H-fold
     replication in HBM); shapes already padded to block multiples.
     cos/sin: (max(Tq, S), d) rotary tables. With ``with_lse`` also returns
     the per-row log-sum-exp (BH, Tq) fp32 (flash-backward residual).
-    ``block_h``/``has_bias`` apply to the single-pass path only (see
-    _single_pass_kernel)."""
+    ``block_h``/``has_bias``/``k_dmajor`` apply to the single-pass path only
+    (see _single_pass_kernel; ``k_dmajor`` relays K through HBM as (d, S) —
+    the transpose happens HERE, inside the jitted graph, and buys 8-18% on
+    the qk^T GEMM, BENCH_NOTES "T=512 structure falsification")."""
     bh, tq, d = q.shape
     s_len = k.shape[1]
     h = num_heads
@@ -356,8 +378,25 @@ def _flash_padded(
 
     if s_len == block_k:
         bhb = block_h if (block_h > 1 and h % block_h == 0) else 1
+        k_in = k
+        k_spec = pl.BlockSpec((bhb, s_len, d), lambda b, i: (b, 0, 0))
+        if k_dmajor:
+            # materialize K as (BH, d, S) in HBM: S fills all 128 lanes where
+            # (S, d=64) half-fills every (8, 128) tile (8-18% on the GEMM —
+            # the transpose cost lives in this same jitted graph)
+            k_in = jnp.swapaxes(k, 1, 2)
+            k_spec = pl.BlockSpec((bhb, d, s_len), lambda b, i: (b, 0, 0))
+            if use_rotary:
+                rot_in = rot_in + [
+                    jnp.swapaxes(cos, 0, 1), jnp.swapaxes(sin, 0, 1)
+                ]
         rot_specs = (
             [pl.BlockSpec((table_len, d), lambda b, i: (0, 0))] * 2
+            + (
+                [pl.BlockSpec((d, table_len), lambda b, i: (0, 0))] * 2
+                if k_dmajor
+                else []
+            )
             if use_rotary
             else []
         )
@@ -372,12 +411,12 @@ def _flash_padded(
         return pl.pallas_call(
             functools.partial(
                 _single_pass_kernel, use_rotary=use_rotary, with_lse=with_lse,
-                block_h=bhb, has_bias=has_bias,
+                block_h=bhb, has_bias=has_bias, k_dmajor=k_dmajor,
             ),
             grid=(bh // bhb, tq // block_q),
             in_specs=[
                 pl.BlockSpec((bhb, block_q, d), lambda b, i: (b, i, 0)),
-                pl.BlockSpec((bhb, s_len, d), lambda b, i: (b, 0, 0)),
+                k_spec,
                 pl.BlockSpec((bhb, s_len, d), lambda b, i: (b, 0, 0)),
             ]
             + bias_specs
@@ -389,7 +428,7 @@ def _flash_padded(
             ),
             interpret=interpret,
             cost_estimate=cost,
-        )(q, k, v, *bias_in, *rot_in)
+        )(q, k_in, v, *bias_in, *rot_in)
 
     grid = (bh, tq // block_q, s_len // block_k)
     rot_specs = (
@@ -639,6 +678,7 @@ def _flash_bwd_padded(
 def _flash_core(
     num_heads: int, block_q: int, block_k: int, interpret: bool,
     use_rotary: bool, block_h: int = 1, has_bias: bool = True,
+    k_dmajor: bool = False,
 ):
     """custom_vjp-wrapped padded flash core for one static configuration.
 
@@ -648,6 +688,8 @@ def _flash_core(
     path pays one extra (BH, T) fp32 write and the inference path nothing.
     ``block_h``/``has_bias`` shape the single-pass forward only; the backward
     kernels always stream the bias (zeros when maskless) at block_h=1.
+    ``k_dmajor`` re-lays K (d, S) inside the forward only — the interface
+    (and the residuals the backward sees) stay (BH, S, d).
     """
     statics = dict(
         num_heads=num_heads, block_q=block_q, block_k=block_k,
@@ -658,13 +700,13 @@ def _flash_core(
     def core(q, k, v, bias, cos, sin):
         return _flash_padded(
             q, k, v, bias, cos, sin, block_h=block_h, has_bias=has_bias,
-            **statics,
+            k_dmajor=k_dmajor, **statics,
         )
 
     def fwd(q, k, v, bias, cos, sin):
         out, lse = _flash_padded(
             q, k, v, bias, cos, sin, with_lse=True, block_h=block_h,
-            has_bias=has_bias, **statics,
+            has_bias=has_bias, k_dmajor=k_dmajor, **statics,
         )
         return out, (q, k, v, bias, cos, sin, out, lse)
 
@@ -809,7 +851,11 @@ def flash_attention(
     # the bias stream is also what masks PADDED key rows — it can only be
     # dropped when there is no user mask AND no key padding
     has_bias = key_padding_mask is not None or sp != s
+    # single-pass path: relay K d-major when the half-width (d < 128 lanes)
+    # layout penalty applies (measured +8-18%, BENCH_NOTES "T=512 structure
+    # falsification"); the blockwise path keeps the classic layout
+    k_dmajor = sp == block_k and d < 128
     out = _flash_core(
-        h, block_q, block_k, interpret, rotary, block_h, has_bias
+        h, block_q, block_k, interpret, rotary, block_h, has_bias, k_dmajor
     )(qf, kf, vf, bias, cos, sin)
     return out[:, :t].reshape(b, h, t, d)
