@@ -752,6 +752,7 @@ def flash_attention_with_lse(
         qf, kf, vf, bias, None, None,
         num_heads=h, block_q=block_q, block_k=block_k,
         interpret=interpret, use_rotary=False, with_lse=True, block_h=block_h,
+        k_dmajor=sp == block_k and d < 128,
     )
     return (
         out[:, :t].reshape(b, h, t, d),
