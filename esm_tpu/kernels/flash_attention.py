@@ -264,11 +264,12 @@ def _single_pass_kernel(
     amortizes them (the T=512 roofline residual, BENCH_NOTES). ``has_bias``
     False removes the key-bias stream + add entirely (mask-free calls).
 
-    ``k_dmajor``: K arrives (d, S) — minor dim S fills all 128 lanes where
-    the (S, d=64) layout half-fills every tile; measured worth 8-18% on the
-    qk^T GEMM (BENCH_NOTES "T=512 structure falsification"; the layout must
-    exist in HBM — an in-VMEM transpose costs exactly what it gains, which
-    is why rotary here uses PRE-TRANSPOSED (d, S) tables for K).
+    ``k_dmajor``: K AND V arrive (d, S) — minor dim S fills all 128 lanes
+    where the (S, d=64) layout half-fills every tile; measured worth
+    +27%/+35% at T=512/1024 on the GEMM pair (BENCH_NOTES "T=512 structure
+    falsification"; the layout must exist in HBM — an in-VMEM transpose
+    costs exactly what it gains, which is why rotary here uses
+    PRE-TRANSPOSED (d, S) tables for K).
     """
     it = iter(refs)
     q_ref, k_ref, v_ref = next(it), next(it), next(it)
@@ -317,7 +318,8 @@ def _single_pass_kernel(
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
         pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v,
+            (((1,), (1 if k_dmajor else 0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         o_ref[j] = (pv / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
@@ -378,14 +380,18 @@ def _flash_padded(
 
     if s_len == block_k:
         bhb = block_h if (block_h > 1 and h % block_h == 0) else 1
-        k_in = k
+        k_in, v_in = k, v
         k_spec = pl.BlockSpec((bhb, s_len, d), lambda b, i: (b, 0, 0))
+        v_spec = pl.BlockSpec((bhb, s_len, d), lambda b, i: (b, 0, 0))
         if k_dmajor:
-            # materialize K as (BH, d, S) in HBM: S fills all 128 lanes where
-            # (S, d=64) half-fills every (8, 128) tile (8-18% on the GEMM —
-            # the transpose cost lives in this same jitted graph)
+            # materialize K and V as (BH, d, S) in HBM: S fills all 128
+            # lanes where (S, d=64) half-fills every (8, 128) tile
+            # (+27%/+35% on the GEMM pair at T=512/1024 — the transpose cost
+            # lives in this same jitted graph)
             k_in = jnp.swapaxes(k, 1, 2)
+            v_in = jnp.swapaxes(v, 1, 2)
             k_spec = pl.BlockSpec((bhb, d, s_len), lambda b, i: (b, 0, 0))
+            v_spec = pl.BlockSpec((bhb, d, s_len), lambda b, i: (b, 0, 0))
             if use_rotary:
                 rot_in = rot_in + [
                     jnp.swapaxes(cos, 0, 1), jnp.swapaxes(sin, 0, 1)
@@ -417,7 +423,7 @@ def _flash_padded(
             in_specs=[
                 pl.BlockSpec((bhb, block_q, d), lambda b, i: (b, i, 0)),
                 k_spec,
-                pl.BlockSpec((bhb, s_len, d), lambda b, i: (b, 0, 0)),
+                v_spec,
             ]
             + bias_specs
             + rot_specs,
@@ -428,7 +434,7 @@ def _flash_padded(
             ),
             interpret=interpret,
             cost_estimate=cost,
-        )(q, k_in, v, *bias_in, *rot_in)
+        )(q, k_in, v_in, *bias_in, *rot_in)
 
     grid = (bh, tq // block_q, s_len // block_k)
     rot_specs = (

@@ -60,7 +60,7 @@ def probe_call(b, variant, block_q, block_h):
         for j in range(block_h):
             qj = q_ref[j]
             vj = v_ref[j]
-            if variant == "ktrans":
+            if variant in ("ktrans", "kvtrans"):
                 s = jax.lax.dot_general(
                     qj, k_ref[j], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -95,18 +95,30 @@ def probe_call(b, variant, block_q, block_h):
                 p = jnp.exp(s - m)
                 l = jnp.sum(p, axis=-1, keepdims=True)
                 pv = jax.lax.dot_general(
-                    p.astype(vj.dtype), vj, (((1,), (0,)), ((), ())),
+                    p.astype(vj.dtype), vj,
+                    (((1,), (1 if variant == "kvtrans" else 0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+                if variant == "kvtrans":
+                    pass  # output already (bq, d): contraction on v's S axis
             pv = pv / jnp.where(l == 0.0, 1.0, l)
             o_ref[j] = pv.astype(o_ref.dtype)
 
-    if variant == "ktrans":
+    # kvtrans: d-major K AND V — v (d, S) with the contraction on v's minor
+    # dim (transposed-B form), output (bq, d) built from full-lane v tiles
+
+    if variant in ("ktrans", "kvtrans"):
         k_in = jnp.swapaxes(k, 1, 2)  # (bh, d, S), materialized pre-timing
         k_spec = pl.BlockSpec((block_h, D, T), lambda b_, i: (b_, 0, 0))
     else:
         k_in = k
         k_spec = pl.BlockSpec((block_h, T, D), lambda b_, i: (b_, 0, 0))
+    if variant == "kvtrans":
+        v_in = jnp.swapaxes(v, 1, 2)
+        v_spec = pl.BlockSpec((block_h, D, T), lambda b_, i: (b_, 0, 0))
+    else:
+        v_in = v
+        v_spec = pl.BlockSpec((block_h, T, D), lambda b_, i: (b_, 0, 0))
 
     call = pl.pallas_call(
         kernel,
@@ -114,7 +126,7 @@ def probe_call(b, variant, block_q, block_h):
         in_specs=[
             pl.BlockSpec((block_h, bq, D), lambda b_, i: (b_, i, 0)),
             k_spec,
-            pl.BlockSpec((block_h, T, D), lambda b_, i: (b_, 0, 0)),
+            v_spec,
         ],
         out_specs=pl.BlockSpec((block_h, bq, D), lambda b_, i: (b_, i, 0)),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -124,7 +136,7 @@ def probe_call(b, variant, block_q, block_h):
     )
     run = jax.jit(lambda q, k, v: call(q, k, v))
     fl = 4.0 * bh * T * T * D
-    return run, (q, k_in, v), fl
+    return run, (q, k_in, v_in), fl
 
 
 def lib_call(b, block_h=None):
@@ -170,11 +182,12 @@ def check_numerics():
     """Probe outputs vs an XLA reference at B=2 (bf16score tolerance wider)."""
     b = 2
     for variant, tol in (("fp32ref", 3e-2), ("bf16score", 1.5e-1),
-                         ("ktrans", 3e-2), ("bq256", 3e-2)):
+                         ("ktrans", 3e-2), ("kvtrans", 3e-2), ("bq256", 3e-2)):
         bq = 256 if variant == "bq256" else 1024
-        run, (q, k_in, v), _ = probe_call(b, variant if variant != "bq256" else "fp32ref", bq, 1)
-        got = np.asarray(run(q, k_in, v), np.float32)
-        k = np.swapaxes(k_in, 1, 2) if variant == "ktrans" else k_in
+        run, (q, k_in, v_in), _ = probe_call(b, variant if variant != "bq256" else "fp32ref", bq, 1)
+        got = np.asarray(run(q, k_in, v_in), np.float32)
+        k = np.swapaxes(k_in, 1, 2) if variant in ("ktrans", "kvtrans") else k_in
+        v = np.swapaxes(v_in, 1, 2) if variant == "kvtrans" else v_in
         s = np.einsum("btd,bsd->bts", np.asarray(q, np.float32), np.asarray(k, np.float32))
         p = np.exp(s - s.max(-1, keepdims=True))
         ref = np.einsum("bts,bsd->btd", p / p.sum(-1, keepdims=True),
@@ -212,8 +225,9 @@ def main():
     tt = timed(jax.jit(lambda a: jnp.swapaxes(a, 1, 2)), kk, iters=50)
     print(f"swapaxes(K) B=64: {tt*1e3:.3f} ms "
           f"({2 * kk.size * 2 / tt / 1e9:.0f} GB/s rw)", flush=True)
-    for variant in (("fp32ref", "ktrans") if FAST
-                    else ("fp32ref", "bf16score", "ktrans", "ktrans_in")):
+    for variant in (("fp32ref", "ktrans", "kvtrans") if FAST
+                    else ("fp32ref", "bf16score", "ktrans", "ktrans_in",
+                          "kvtrans")):
         # VMEM bound: bh fp32 (bq, T) score tiles must fit alongside Q/K/V;
         # at large T shrink the q block (the library's widening path does
         # the same) rather than dropping the probe
