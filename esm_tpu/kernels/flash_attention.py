@@ -264,44 +264,51 @@ def _single_pass_kernel(
     amortizes them (the T=512 roofline residual, BENCH_NOTES). ``has_bias``
     False removes the key-bias stream + add entirely (mask-free calls).
 
-    ``k_dmajor``: K AND V arrive (d, S) — minor dim S fills all 128 lanes
-    where the (S, d=64) layout half-fills every tile; measured worth
-    +27%/+35% at T=512/1024 on the GEMM pair (BENCH_NOTES "T=512 structure
-    falsification"; the layout must exist in HBM — an in-VMEM transpose
-    costs exactly what it gains, which is why rotary here uses
-    PRE-TRANSPOSED (d, S) tables for K).
+    ``k_dmajor``: Q, K, V AND the output all travel (d, X) — minor dim T/S
+    fills all 128 lanes where the (X, d=64) layout half-fills every (8, 128)
+    tile, on the q/o sides the GEMM operands/results are lane-dense too, and
+    the p·v product is emitted (d, bq) wide instead of (bq, 64) narrow.
+    Measured at the chip's full LM-GEMM rate: 98/96 TF/s marginal at
+    T=512/1024 vs 30/47 classic (BENCH_NOTES "T=512 structure
+    falsification"). The layouts must exist in HBM (an in-VMEM transpose
+    costs what it gains), so rotary uses PRE-TRANSPOSED (d, L) tables and
+    the wrapper re-lays q/k/v and un-lays the output in the same graph.
     """
     it = iter(refs)
     q_ref, k_ref, v_ref = next(it), next(it), next(it)
     bias_ref = next(it) if has_bias else None
-    cos_ref = sin_ref = cosT_ref = sinT_ref = None
+    cos_ref = sin_ref = None
     if use_rotary:
-        cos_ref, sin_ref = next(it), next(it)
-        if k_dmajor:
-            cosT_ref, sinT_ref = next(it), next(it)
+        cos_ref, sin_ref = next(it), next(it)  # (d, L) tables when k_dmajor
     outs = list(it)
     o_ref = outs[0]
+
+    def _rot0(x):  # rotate_half along axis 0 (the d axis of a (d, X) tile)
+        half = x.shape[0] // 2
+        return jnp.concatenate([-x[half:], x[:half]], axis=0)
+
     for j in range(block_h):
         if use_rotary:
             from ..ops.rotary import rotate_half
 
             qi = pl.program_id(1)
-            bq = q_ref.shape[1]
-            cq = cos_ref[pl.dslice(qi * bq, bq), :]
-            sq = sin_ref[pl.dslice(qi * bq, bq), :]
-            q = q_ref[j] * cq + rotate_half(q_ref[j]) * sq
             if k_dmajor:
+                bq = q_ref.shape[2]
                 bk = k_ref.shape[2]
-                ckT = cosT_ref[:, pl.dslice(0, bk)]
-                skT = sinT_ref[:, pl.dslice(0, bk)]
-                kj = k_ref[j]
-                half = kj.shape[0] // 2
-                rot = jnp.concatenate([-kj[half:], kj[:half]], axis=0)
-                k = kj * ckT + rot * skT
+                cqT = cos_ref[:, pl.dslice(qi * bq, bq)]
+                sqT = sin_ref[:, pl.dslice(qi * bq, bq)]
+                ckT = cos_ref[:, pl.dslice(0, bk)]
+                skT = sin_ref[:, pl.dslice(0, bk)]
+                q = q_ref[j] * cqT + _rot0(q_ref[j]) * sqT
+                k = k_ref[j] * ckT + _rot0(k_ref[j]) * skT
             else:
+                bq = q_ref.shape[1]
                 bk = k_ref.shape[1]
+                cq = cos_ref[pl.dslice(qi * bq, bq), :]
+                sq = sin_ref[pl.dslice(qi * bq, bq), :]
                 ck = cos_ref[pl.dslice(0, bk), :]
                 sk = sin_ref[pl.dslice(0, bk), :]
+                q = q_ref[j] * cq + rotate_half(q_ref[j]) * sq
                 k = k_ref[j] * ck + rotate_half(k_ref[j]) * sk
         else:
             q = q_ref[j]
@@ -309,7 +316,7 @@ def _single_pass_kernel(
         v = v_ref[j]
         s = jax.lax.dot_general(
             q, k,
-            (((1,), (0 if k_dmajor else 1,)), ((), ())),
+            (((0 if k_dmajor else 1,), (0 if k_dmajor else 1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if has_bias:
@@ -317,12 +324,19 @@ def _single_pass_kernel(
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p, axis=-1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(v.dtype), v,
-            (((1,), (1 if k_dmajor else 0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[j] = (pv / jnp.where(l == 0.0, 1.0, l)).astype(o_ref.dtype)
+        if k_dmajor:
+            pv = jax.lax.dot_general(
+                v, p.astype(v.dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (d, bq) — lane-dense output
+            scale = jnp.where(l == 0.0, 1.0, l).reshape(1, -1)
+        else:
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            scale = jnp.where(l == 0.0, 1.0, l)
+        o_ref[j] = (pv / scale).astype(o_ref.dtype)
         if with_lse:
             lse = m[:, 0] + jnp.log(jnp.maximum(l[:, 0], 1e-37))
             outs[1][j] = jnp.broadcast_to(lse[None, :], outs[1].shape[1:])
@@ -380,29 +394,36 @@ def _flash_padded(
 
     if s_len == block_k:
         bhb = block_h if (block_h > 1 and h % block_h == 0) else 1
-        k_in, v_in = k, v
+        q_in, k_in, v_in = q, k, v
+        q_spec = pl.BlockSpec((bhb, block_q, d), lambda b, i: (b, i, 0))
         k_spec = pl.BlockSpec((bhb, s_len, d), lambda b, i: (b, 0, 0))
         v_spec = pl.BlockSpec((bhb, s_len, d), lambda b, i: (b, 0, 0))
+        o_spec = pl.BlockSpec((bhb, block_q, d), lambda b, i: (b, i, 0))
+        o_shape = out_shape
         if k_dmajor:
-            # materialize K and V as (BH, d, S) in HBM: S fills all 128
-            # lanes where (S, d=64) half-fills every (8, 128) tile
-            # (+27%/+35% on the GEMM pair at T=512/1024 — the transpose cost
-            # lives in this same jitted graph)
+            # relay Q, K, V (and emit O) as (BH, d, X) in HBM: X fills all
+            # 128 lanes where (X, d=64) half-fills every (8, 128) tile, and
+            # the p·v product writes (d, bq) wide — attention then runs at
+            # the chip's LM-GEMM rate (96-98 TF/s vs 30-47 classic,
+            # BENCH_NOTES). The transposes live in this same jitted graph.
+            q_in = jnp.swapaxes(q, 1, 2)
             k_in = jnp.swapaxes(k, 1, 2)
             v_in = jnp.swapaxes(v, 1, 2)
+            q_spec = pl.BlockSpec((bhb, d, block_q), lambda b, i: (b, 0, i))
             k_spec = pl.BlockSpec((bhb, d, s_len), lambda b, i: (b, 0, 0))
             v_spec = pl.BlockSpec((bhb, d, s_len), lambda b, i: (b, 0, 0))
+            o_spec = pl.BlockSpec((bhb, d, block_q), lambda b, i: (b, 0, i))
+            o_shape = jax.ShapeDtypeStruct((bh, d, tq), q.dtype)
             if use_rotary:
-                rot_in = rot_in + [
-                    jnp.swapaxes(cos, 0, 1), jnp.swapaxes(sin, 0, 1)
-                ]
+                rot_in = [jnp.swapaxes(cos, 0, 1), jnp.swapaxes(sin, 0, 1)]
         rot_specs = (
-            [pl.BlockSpec((table_len, d), lambda b, i: (0, 0))] * 2
-            + (
-                [pl.BlockSpec((d, table_len), lambda b, i: (0, 0))] * 2
-                if k_dmajor
-                else []
-            )
+            [
+                pl.BlockSpec(
+                    (d, table_len) if k_dmajor else (table_len, d),
+                    lambda b, i: (0, 0),
+                )
+            ]
+            * 2
             if use_rotary
             else []
         )
@@ -412,29 +433,34 @@ def _flash_padded(
             else []
         )
         bias_in = [bias] if has_bias else []
-        o_spec = pl.BlockSpec((bhb, block_q, d), lambda b, i: (b, i, 0))
         lse_spec = pl.BlockSpec((bhb, 8, block_q), lambda b, i: (b, 0, i))
-        return pl.pallas_call(
+        res = pl.pallas_call(
             functools.partial(
                 _single_pass_kernel, use_rotary=use_rotary, with_lse=with_lse,
                 block_h=bhb, has_bias=has_bias, k_dmajor=k_dmajor,
             ),
             grid=(bh // bhb, tq // block_q),
             in_specs=[
-                pl.BlockSpec((bhb, block_q, d), lambda b, i: (b, i, 0)),
+                q_spec,
                 k_spec,
                 v_spec,
             ]
             + bias_specs
             + rot_specs,
             out_specs=[o_spec, lse_spec] if with_lse else o_spec,
-            out_shape=[out_shape, lse_shape] if with_lse else out_shape,
+            out_shape=[o_shape, lse_shape] if with_lse else o_shape,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel"),
             ),
             interpret=interpret,
             cost_estimate=cost,
-        )(q, k_in, v_in, *bias_in, *rot_in)
+        )(q_in, k_in, v_in, *bias_in, *rot_in)
+        if k_dmajor:  # back to the callers' (BH, Tq, d) contract
+            if with_lse:
+                res = (jnp.swapaxes(res[0], 1, 2), res[1])
+            else:
+                res = jnp.swapaxes(res, 1, 2)
+        return res
 
     grid = (bh, tq // block_q, s_len // block_k)
     rot_specs = (

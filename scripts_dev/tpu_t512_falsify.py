@@ -60,7 +60,14 @@ def probe_call(b, variant, block_q, block_h):
         for j in range(block_h):
             qj = q_ref[j]
             vj = v_ref[j]
-            if variant in ("ktrans", "kvtrans"):
+            if variant == "alltrans":
+                # q arrives (d, bq) too: contraction on BOTH majors; the
+                # output stays (bq, d)-logical but is WRITTEN (d, bq)
+                s = jax.lax.dot_general(
+                    qj, k_ref[j], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            elif variant in ("ktrans", "kvtrans"):
                 s = jax.lax.dot_general(
                     qj, k_ref[j], (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
@@ -94,49 +101,65 @@ def probe_call(b, variant, block_q, block_h):
                 m = jnp.max(s, axis=-1, keepdims=True)
                 p = jnp.exp(s - m)
                 l = jnp.sum(p, axis=-1, keepdims=True)
-                pv = jax.lax.dot_general(
-                    p.astype(vj.dtype), vj,
-                    (((1,), (1 if variant == "kvtrans" else 0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                if variant == "kvtrans":
-                    pass  # output already (bq, d): contraction on v's S axis
+                if variant == "alltrans":
+                    # (d, S) x (S->minor of p): produce O d-major directly
+                    pv = jax.lax.dot_general(
+                        vj, p.astype(vj.dtype), (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (d, bq)
+                    l = l.reshape(1, -1)  # broadcast over rows of (d, bq)
+                else:
+                    pv = jax.lax.dot_general(
+                        p.astype(vj.dtype), vj,
+                        (((1,), (1 if variant == "kvtrans" else 0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
             pv = pv / jnp.where(l == 0.0, 1.0, l)
             o_ref[j] = pv.astype(o_ref.dtype)
 
     # kvtrans: d-major K AND V — v (d, S) with the contraction on v's minor
     # dim (transposed-B form), output (bq, d) built from full-lane v tiles
 
-    if variant in ("ktrans", "kvtrans"):
+    if variant in ("ktrans", "kvtrans", "alltrans"):
         k_in = jnp.swapaxes(k, 1, 2)  # (bh, d, S), materialized pre-timing
         k_spec = pl.BlockSpec((block_h, D, T), lambda b_, i: (b_, 0, 0))
     else:
         k_in = k
         k_spec = pl.BlockSpec((block_h, T, D), lambda b_, i: (b_, 0, 0))
-    if variant == "kvtrans":
+    if variant in ("kvtrans", "alltrans"):
         v_in = jnp.swapaxes(v, 1, 2)
         v_spec = pl.BlockSpec((block_h, D, T), lambda b_, i: (b_, 0, 0))
     else:
         v_in = v
         v_spec = pl.BlockSpec((block_h, T, D), lambda b_, i: (b_, 0, 0))
+    if variant == "alltrans":
+        q_in = jnp.swapaxes(q, 1, 2)  # (bh, d, T)
+        q_spec = pl.BlockSpec((block_h, D, bq), lambda b_, i: (b_, 0, i))
+        o_spec = pl.BlockSpec((block_h, D, bq), lambda b_, i: (b_, 0, i))
+        o_shape = jax.ShapeDtypeStruct((bh, D, T), q.dtype)
+    else:
+        q_in = q
+        q_spec = pl.BlockSpec((block_h, bq, D), lambda b_, i: (b_, i, 0))
+        o_spec = pl.BlockSpec((block_h, bq, D), lambda b_, i: (b_, i, 0))
+        o_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
 
     call = pl.pallas_call(
         kernel,
         grid=(bh // block_h, T // bq),
         in_specs=[
-            pl.BlockSpec((block_h, bq, D), lambda b_, i: (b_, i, 0)),
+            q_spec,
             k_spec,
             v_spec,
         ],
-        out_specs=pl.BlockSpec((block_h, bq, D), lambda b_, i: (b_, i, 0)),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=o_spec,
+        out_shape=o_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
     )
     run = jax.jit(lambda q, k, v: call(q, k, v))
     fl = 4.0 * bh * T * T * D
-    return run, (q, k_in, v_in), fl
+    return run, (q_in, k_in, v_in), fl
 
 
 def lib_call(b, block_h=None):
@@ -182,12 +205,16 @@ def check_numerics():
     """Probe outputs vs an XLA reference at B=2 (bf16score tolerance wider)."""
     b = 2
     for variant, tol in (("fp32ref", 3e-2), ("bf16score", 1.5e-1),
-                         ("ktrans", 3e-2), ("kvtrans", 3e-2), ("bq256", 3e-2)):
+                         ("ktrans", 3e-2), ("kvtrans", 3e-2),
+                         ("alltrans", 3e-2), ("bq256", 3e-2)):
         bq = 256 if variant == "bq256" else 1024
-        run, (q, k_in, v_in), _ = probe_call(b, variant if variant != "bq256" else "fp32ref", bq, 1)
-        got = np.asarray(run(q, k_in, v_in), np.float32)
-        k = np.swapaxes(k_in, 1, 2) if variant in ("ktrans", "kvtrans") else k_in
-        v = np.swapaxes(v_in, 1, 2) if variant == "kvtrans" else v_in
+        run, (q_in, k_in, v_in), _ = probe_call(b, variant if variant != "bq256" else "fp32ref", bq, 1)
+        got = np.asarray(run(q_in, k_in, v_in), np.float32)
+        q = np.swapaxes(q_in, 1, 2) if variant == "alltrans" else q_in
+        if variant == "alltrans":
+            got = np.swapaxes(got, 1, 2)
+        k = np.swapaxes(k_in, 1, 2) if variant in ("ktrans", "kvtrans", "alltrans") else k_in
+        v = np.swapaxes(v_in, 1, 2) if variant in ("kvtrans", "alltrans") else v_in
         s = np.einsum("btd,bsd->bts", np.asarray(q, np.float32), np.asarray(k, np.float32))
         p = np.exp(s - s.max(-1, keepdims=True))
         ref = np.einsum("bts,bsd->btd", p / p.sum(-1, keepdims=True),
@@ -195,6 +222,19 @@ def check_numerics():
         err = np.abs(got - ref).max()
         print(f"numerics {variant}: max|d| {err:.3e}", flush=True)
         assert err < tol, (variant, err)
+    # the timed configs run block_h=2: pin the head-indexing there too
+    run, (q_in, k_in, v_in), _ = probe_call(2, "alltrans", 1024, 2)
+    got = np.swapaxes(np.asarray(run(q_in, k_in, v_in), np.float32), 1, 2)
+    q = np.swapaxes(q_in, 1, 2)
+    k = np.swapaxes(k_in, 1, 2)
+    v = np.swapaxes(v_in, 1, 2)
+    sc = np.einsum("btd,bsd->bts", np.asarray(q, np.float32), np.asarray(k, np.float32))
+    pr = np.exp(sc - sc.max(-1, keepdims=True))
+    ref = np.einsum("bts,bsd->btd", pr / pr.sum(-1, keepdims=True),
+                    np.asarray(v, np.float32))
+    err = np.abs(got - ref).max()
+    print(f"numerics alltrans bh=2: max|d| {err:.3e}", flush=True)
+    assert err < 3e-2, err
 
 
 def check_lib_numerics():
@@ -225,9 +265,9 @@ def main():
     tt = timed(jax.jit(lambda a: jnp.swapaxes(a, 1, 2)), kk, iters=50)
     print(f"swapaxes(K) B=64: {tt*1e3:.3f} ms "
           f"({2 * kk.size * 2 / tt / 1e9:.0f} GB/s rw)", flush=True)
-    for variant in (("fp32ref", "ktrans", "kvtrans") if FAST
+    for variant in (("fp32ref", "kvtrans", "alltrans") if FAST
                     else ("fp32ref", "bf16score", "ktrans", "ktrans_in",
-                          "kvtrans")):
+                          "kvtrans", "alltrans")):
         # VMEM bound: bh fp32 (bq, T) score tiles must fit alongside Q/K/V;
         # at large T shrink the q block (the library's widening path does
         # the same) rather than dropping the probe
