@@ -181,7 +181,9 @@ def _unrotate(x, cos, sin):
     return x * cos - rotate_half(x) * sin
 
 
-def _flash_kernel(*refs, use_rotary: bool, with_lse: bool = False):
+def _flash_kernel(
+    *refs, use_rotary: bool, with_lse: bool = False, k_dmajor: bool = False,
+):
     """One (bh, qi, ki) grid step of the blockwise online-softmax reduction.
 
     q_ref: (1, bq, d); k_ref/v_ref: (1, bk, d); bias_ref: (1, 1, bk);
@@ -189,6 +191,9 @@ def _flash_kernel(*refs, use_rotary: bool, with_lse: bool = False):
     With ``use_rotary`` the cos/sin table refs follow bias_ref and rotary is
     applied to q/k in VMEM. With ``with_lse`` a (1, bq) log-sum-exp output
     follows o_ref (the flash-backward residual).
+
+    ``k_dmajor``: q/k/v/o and the acc scratch all travel (d, X) — the same
+    lane-dense layouts as the single-pass kernel (see there; tables (d, L)).
     """
     lse_ref = None
     if use_rotary:
@@ -209,7 +214,22 @@ def _flash_kernel(*refs, use_rotary: bool, with_lse: bool = False):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     if use_rotary:
-        q, k, _ = _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, ki)
+        if k_dmajor:
+            def _rot0(x):
+                half = x.shape[0] // 2
+                return jnp.concatenate([-x[half:], x[:half]], axis=0)
+
+            qi = pl.program_id(1)
+            bq = q_ref.shape[2]
+            bk = k_ref.shape[2]
+            cqT = cos_ref[:, pl.dslice(qi * bq, bq)]
+            sqT = sin_ref[:, pl.dslice(qi * bq, bq)]
+            ckT = cos_ref[:, pl.dslice(ki * bk, bk)]
+            skT = sin_ref[:, pl.dslice(ki * bk, bk)]
+            q = q_ref[0] * cqT + _rot0(q_ref[0]) * sqT
+            k = k_ref[0] * ckT + _rot0(k_ref[0]) * skT
+        else:
+            q, k, _ = _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, ki)
     else:
         q = q_ref[0]
         k = k_ref[0]
@@ -217,7 +237,9 @@ def _flash_kernel(*refs, use_rotary: bool, with_lse: bool = False):
     b = bias_ref[0, 0]                                    # (bk,)
 
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, k,
+        (((0 if k_dmajor else 1,), (0 if k_dmajor else 1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )                                                     # (bq, bk) fp32
     s = s + b[None, :]
 
@@ -232,17 +254,27 @@ def _flash_kernel(*refs, use_rotary: bool, with_lse: bool = False):
     m_ref[...] = jnp.broadcast_to(m_next, m_ref.shape)
     l_ref[...] = jnp.broadcast_to(l_next, l_ref.shape)
 
-    pv = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    acc_ref[...] = acc_ref[...] * alpha + pv
+    if k_dmajor:
+        pv = jax.lax.dot_general(
+            v, p.astype(v.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                 # (d, bq)
+        acc_ref[...] = acc_ref[...] * alpha.reshape(1, -1) + pv
+    else:
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[...] = acc_ref[...] * alpha + pv
 
     @pl.when(ki == nk - 1)
     def _store():
         l_final = l_ref[:, :1]
         inv = jnp.where(l_final == 0.0, 1.0, 1.0 / l_final)
-        o_ref[0] = (acc_ref[...] * inv).astype(o_ref.dtype)
+        if k_dmajor:
+            o_ref[0] = (acc_ref[...] * inv.reshape(1, -1)).astype(o_ref.dtype)
+        else:
+            o_ref[0] = (acc_ref[...] * inv).astype(o_ref.dtype)
         if with_lse:
             lse = m_ref[:, 0] + jnp.log(jnp.maximum(l_ref[:, 0], 1e-37))
             # (1, 8, bq) block: sublane dim broadcast to satisfy the TPU
@@ -372,10 +404,11 @@ def _flash_padded(
     replication in HBM); shapes already padded to block multiples.
     cos/sin: (max(Tq, S), d) rotary tables. With ``with_lse`` also returns
     the per-row log-sum-exp (BH, Tq) fp32 (flash-backward residual).
-    ``block_h``/``has_bias``/``k_dmajor`` apply to the single-pass path only
-    (see _single_pass_kernel; ``k_dmajor`` relays K through HBM as (d, S) —
-    the transpose happens HERE, inside the jitted graph, and buys 8-18% on
-    the qk^T GEMM, BENCH_NOTES "T=512 structure falsification")."""
+    ``block_h``/``has_bias`` apply to the single-pass path only;
+    ``k_dmajor`` applies to both forward paths and relays q/k/v/o through
+    HBM as (BH, d, X) — the transposes happen HERE, inside the jitted
+    graph, and take the GEMM pair to the chip's LM-GEMM rate (BENCH_NOTES
+    "T=512 structure falsification")."""
     bh, tq, d = q.shape
     s_len = k.shape[1]
     h = num_heads
@@ -463,39 +496,73 @@ def _flash_padded(
         return res
 
     grid = (bh, tq // block_q, s_len // block_k)
+    q_in, k_in, v_in = q, k, v
+    q_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))
+    k_spec = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0))
+    v_spec = pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0))
+    o_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))
+    o_shape = out_shape
+    acc_shape = (block_q, d)
+    if k_dmajor:
+        # same lane-dense (d, X) relays as the single-pass path, with the
+        # fp32 accumulator scratch (d, bq) so partial p·v products add in
+        # their wide layout
+        q_in = jnp.swapaxes(q, 1, 2)
+        k_in = jnp.swapaxes(k, 1, 2)
+        v_in = jnp.swapaxes(v, 1, 2)
+        q_spec = pl.BlockSpec((1, d, block_q), lambda b, i, j: (b, 0, i))
+        k_spec = pl.BlockSpec((1, d, block_k), lambda b, i, j: (b, 0, j))
+        v_spec = pl.BlockSpec((1, d, block_k), lambda b, i, j: (b, 0, j))
+        o_spec = pl.BlockSpec((1, d, block_q), lambda b, i, j: (b, 0, i))
+        o_shape = jax.ShapeDtypeStruct((bh, d, tq), q.dtype)
+        acc_shape = (d, block_q)
+        if use_rotary:
+            rot_in = [jnp.swapaxes(cos, 0, 1), jnp.swapaxes(sin, 0, 1)]
     rot_specs = (
-        [pl.BlockSpec((table_len, d), lambda b, i, j: (0, 0))] * 2
+        [
+            pl.BlockSpec(
+                (d, table_len) if k_dmajor else (table_len, d),
+                lambda b, i, j: (0, 0),
+            )
+        ]
+        * 2
         if use_rotary
         else []
     )
-    o_spec = pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0))
     lse_spec = pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i))
 
-    return pl.pallas_call(
+    res = pl.pallas_call(
         functools.partial(
-            _flash_kernel, use_rotary=use_rotary, with_lse=with_lse
+            _flash_kernel, use_rotary=use_rotary, with_lse=with_lse,
+            k_dmajor=k_dmajor,
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            q_spec,
+            k_spec,
+            v_spec,
             pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // h, 0, j)),
         ]
         + rot_specs,
         out_specs=[o_spec, lse_spec] if with_lse else o_spec,
-        out_shape=[out_shape, lse_shape] if with_lse else out_shape,
+        out_shape=[o_shape, lse_shape] if with_lse else o_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),
             pltpu.VMEM((block_q, _LANES), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM(acc_shape, jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
         cost_estimate=cost,
-    )(q, k, v, bias, *rot_in)
+    )(q_in, k_in, v_in, bias, *rot_in)
+    if k_dmajor:  # back to the callers' (BH, Tq, d) contract
+        if with_lse:
+            res = (jnp.swapaxes(res[0], 1, 2), res[1])
+        else:
+            res = jnp.swapaxes(res, 1, 2)
+    return res
 
 
 def _dq_kernel(*refs, use_rotary: bool):
@@ -784,7 +851,7 @@ def flash_attention_with_lse(
         qf, kf, vf, bias, None, None,
         num_heads=h, block_q=block_q, block_k=block_k,
         interpret=interpret, use_rotary=False, with_lse=True, block_h=block_h,
-        k_dmajor=sp == block_k and d < 128,
+        k_dmajor=d < 128,
     )
     return (
         out[:, :t].reshape(b, h, t, d),
@@ -884,10 +951,10 @@ def flash_attention(
     # the bias stream is also what masks PADDED key rows — it can only be
     # dropped when there is no user mask AND no key padding
     has_bias = key_padding_mask is not None or sp != s
-    # single-pass path: relay K d-major when the half-width (d < 128 lanes)
-    # layout penalty applies (measured +8-18%, BENCH_NOTES "T=512 structure
-    # falsification"); the blockwise path keeps the classic layout
-    k_dmajor = sp == block_k and d < 128
+    # relay q/k/v/o d-major whenever the half-width (d < 128 lanes) layout
+    # penalty applies — attention then runs at the chip's LM-GEMM rate
+    # (BENCH_NOTES "T=512 structure falsification")
+    k_dmajor = d < 128
     out = _flash_core(
         h, block_q, block_k, interpret, rotary, block_h, has_bias, k_dmajor
     )(qf, kf, vf, bias, cos, sin)

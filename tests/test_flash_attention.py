@@ -339,3 +339,33 @@ def test_flash_multihead_blocks_and_biasless_path(masked):
     )(q)
     g_ex = jax.grad(lambda q: _exact(q, k, v, mask).sum())(q)
     np.testing.assert_allclose(np.asarray(g_fl), np.asarray(g_ex), atol=1e-3)
+
+
+def test_blockwise_dmajor_rotary_masked():
+    """The blockwise (S > single-pass max) path with the d-major relays:
+    masked + rotary + online-softmax accumulation in the (d, bq) scratch
+    must match the exact XLA reference (covers the lane-dense layout on the
+    long-context route, BENCH_NOTES "T=512 structure falsification")."""
+    import jax
+    import jax.numpy as jnp
+
+    from esm_tpu.kernels.flash_attention import flash_attention
+    from esm_tpu.ops.rotary import apply_rotary, rotary_tables
+
+    B, H, T, D = 1, 2, 2560, 64  # S=2560 > 2048 -> blockwise grid
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, H, T, D), jnp.float32) * 0.1
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, H, T, D), jnp.float32) * 0.1
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, H, T, D), jnp.float32)
+    mask = jnp.zeros((B, T), bool).at[:, -5:].set(True)
+
+    for rot in (False, True):
+        out = flash_attention(q, k, v, key_padding_mask=mask, rotary=rot)
+        if rot:
+            cos, sin = rotary_tables(T, D)
+            qr, kr = apply_rotary(q, cos, sin), apply_rotary(k, cos, sin)
+        else:
+            qr, kr = q, k
+        s = jnp.einsum("bhtd,bhsd->bhts", qr, kr)
+        s = jnp.where(mask[:, None, None, :], -1e30, s)
+        ref = jnp.einsum("bhts,bhsd->bhtd", jax.nn.softmax(s, axis=-1), v)
+        assert float(jnp.abs(out - ref).max()) < 2e-5
