@@ -171,6 +171,33 @@ def _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, ki, qi=None):
     return q, k, (cq, sq, ck, sk)
 
 
+def _rot0(x):
+    """rotate_half along axis 0 — the d axis of a d-major (d, X) tile."""
+    half = x.shape[0] // 2
+    return jnp.concatenate([-x[half:], x[:half]], axis=0)
+
+
+def _rotated_qk_dmajor(q_ref, k_ref, cos_ref, sin_ref, ki, qi=None):
+    """d-major twin of :func:`_rotated_qk`: (1, d, X) blocks, (d, L) tables.
+    Returns (q, k, (cqT, sqT, ckT, skT))."""
+    if qi is None:
+        qi = pl.program_id(1)
+    bq = q_ref.shape[2]
+    bk = k_ref.shape[2]
+    cqT = cos_ref[:, pl.dslice(qi * bq, bq)]
+    sqT = sin_ref[:, pl.dslice(qi * bq, bq)]
+    ckT = cos_ref[:, pl.dslice(ki * bk, bk)]
+    skT = sin_ref[:, pl.dslice(ki * bk, bk)]
+    q = q_ref[0] * cqT + _rot0(q_ref[0]) * sqT
+    k = k_ref[0] * ckT + _rot0(k_ref[0]) * skT
+    return q, k, (cqT, sqT, ckT, skT)
+
+
+def _unrotate0(y, cosT, sinT):
+    """d-major twin of :func:`_unrotate` (same adjoint identity, axis 0)."""
+    return y * cosT - _rot0(y) * sinT
+
+
 def _unrotate(x, cos, sin):
     """Transpose of the rotary map: rot(x) = cos⊙x + sin⊙rotate_half(x) is
     orthogonal, and because both halves of the cos/sin tables are equal the
@@ -215,19 +242,7 @@ def _flash_kernel(
 
     if use_rotary:
         if k_dmajor:
-            def _rot0(x):
-                half = x.shape[0] // 2
-                return jnp.concatenate([-x[half:], x[:half]], axis=0)
-
-            qi = pl.program_id(1)
-            bq = q_ref.shape[2]
-            bk = k_ref.shape[2]
-            cqT = cos_ref[:, pl.dslice(qi * bq, bq)]
-            sqT = sin_ref[:, pl.dslice(qi * bq, bq)]
-            ckT = cos_ref[:, pl.dslice(ki * bk, bk)]
-            skT = sin_ref[:, pl.dslice(ki * bk, bk)]
-            q = q_ref[0] * cqT + _rot0(q_ref[0]) * sqT
-            k = k_ref[0] * ckT + _rot0(k_ref[0]) * skT
+            q, k, _ = _rotated_qk_dmajor(q_ref, k_ref, cos_ref, sin_ref, ki)
         else:
             q, k, _ = _rotated_qk(q_ref, k_ref, cos_ref, sin_ref, ki)
     else:
@@ -314,11 +329,6 @@ def _single_pass_kernel(
         cos_ref, sin_ref = next(it), next(it)  # (d, L) tables when k_dmajor
     outs = list(it)
     o_ref = outs[0]
-
-    def _rot0(x):  # rotate_half along axis 0 (the d axis of a (d, X) tile)
-        half = x.shape[0] // 2
-        return jnp.concatenate([-x[half:], x[:half]], axis=0)
-
     for j in range(block_h):
         if use_rotary:
             from ..ops.rotary import rotate_half
@@ -565,10 +575,12 @@ def _flash_padded(
     return res
 
 
-def _dq_kernel(*refs, use_rotary: bool):
+def _dq_kernel(*refs, use_rotary: bool, k_dmajor: bool = False):
     """Flash backward, dq pass. Grid (bh, qi, ki): each q block accumulates
     dq = Σ_k [p ⊙ (do·vᵀ - δ)]·k over the kv steps in fp32 scratch, where
     p = exp(s - lse) is recomputed from the forward residual (never stored).
+    With ``k_dmajor`` q/k/v/do and the dq output/scratch travel (d, X) —
+    the same lane-dense layouts as the forward kernels.
     """
     if use_rotary:
         (q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
@@ -585,9 +597,8 @@ def _dq_kernel(*refs, use_rotary: bool):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     if use_rotary:
-        q, kk, (cq, sq, _, _) = _rotated_qk(
-            q_ref, k_ref, cos_ref, sin_ref, ki, qi=qi
-        )
+        rot = _rotated_qk_dmajor if k_dmajor else _rotated_qk
+        q, kk, (cq, sq, _, _) = rot(q_ref, k_ref, cos_ref, sin_ref, ki, qi=qi)
     else:
         q = q_ref[0]
         kk = k_ref[0]
@@ -595,31 +606,41 @@ def _dq_kernel(*refs, use_rotary: bool):
     do = do_ref[0]
     b = bias_ref[0, 0]
 
+    cdim = 0 if k_dmajor else 1
     s = jax.lax.dot_general(
-        q, kk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, kk, (((cdim,), (cdim,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     s = s + b[None, :]
     p = jnp.exp(s - lse_ref[0, 0][:, None])                # (bq, bk) fp32
     dov = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    ds = p * (dov - delta_ref[0, 0][:, None])
-    acc_ref[...] += jax.lax.dot_general(
-        ds.astype(kk.dtype), kk, (((1,), (0,)), ((), ())),
+        do, v, (((cdim,), (cdim,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
+    ds = p * (dov - delta_ref[0, 0][:, None])
+    if k_dmajor:
+        acc_ref[...] += jax.lax.dot_general(
+            kk, ds.astype(kk.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (d, bq)
+    else:
+        acc_ref[...] += jax.lax.dot_general(
+            ds.astype(kk.dtype), kk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(ki == nk - 1)
     def _store():
         dq = acc_ref[...]
         if use_rotary:
-            dq = _unrotate(dq, cq, sq)
+            dq = _unrotate0(dq, cq, sq) if k_dmajor else _unrotate(dq, cq, sq)
         dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
-def _dkv_kernel(*refs, use_rotary: bool):
+def _dkv_kernel(*refs, use_rotary: bool, k_dmajor: bool = False):
     """Flash backward, dk/dv pass. Grid (bh, ki, qi): each kv block
-    accumulates dv = Σ_q pᵀ·do and dk = Σ_q dsᵀ·q across the q steps."""
+    accumulates dv = Σ_q pᵀ·do and dk = Σ_q dsᵀ·q across the q steps.
+    ``k_dmajor`` as in :func:`_dq_kernel` (dk/dv emitted (d, bk))."""
     if use_rotary:
         (q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, delta_ref,
          cos_ref, sin_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
@@ -636,9 +657,8 @@ def _dkv_kernel(*refs, use_rotary: bool):
         dv_acc[...] = jnp.zeros_like(dv_acc)
 
     if use_rotary:
-        q, kk, (_, _, ck, sk) = _rotated_qk(
-            q_ref, k_ref, cos_ref, sin_ref, ki, qi=qi
-        )
+        rot = _rotated_qk_dmajor if k_dmajor else _rotated_qk
+        q, kk, (_, _, ck, sk) = rot(q_ref, k_ref, cos_ref, sin_ref, ki, qi=qi)
     else:
         q = q_ref[0]
         kk = k_ref[0]
@@ -646,36 +666,54 @@ def _dkv_kernel(*refs, use_rotary: bool):
     do = do_ref[0]
     b = bias_ref[0, 0]
 
+    cdim = 0 if k_dmajor else 1
     s = jax.lax.dot_general(
-        q, kk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        q, kk, (((cdim,), (cdim,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     s = s + b[None, :]
     p = jnp.exp(s - lse_ref[0, 0][:, None])                # (bq, bk) fp32
-    dv_acc[...] += jax.lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if k_dmajor:
+        dv_acc[...] += jax.lax.dot_general(
+            do, p.astype(do.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (d, bk)
+    else:
+        dv_acc[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
     dov = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        do, v, (((cdim,), (cdim,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
     ds = p * (dov - delta_ref[0, 0][:, None])
-    dk_acc[...] += jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    if k_dmajor:
+        dk_acc[...] += jax.lax.dot_general(
+            q, ds.astype(q.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                  # (d, bk)
+    else:
+        dk_acc[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
 
     @pl.when(qi == nq - 1)
     def _store():
         dk = dk_acc[...]
         if use_rotary:
-            dk = _unrotate(dk, ck, sk)
+            dk = _unrotate0(dk, ck, sk) if k_dmajor else _unrotate(dk, ck, sk)
         dk_ref[0] = dk.astype(dk_ref.dtype)
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "block_q", "block_k", "interpret", "use_rotary"),
+    static_argnames=(
+        "num_heads", "block_q", "block_k", "interpret", "use_rotary",
+        "k_dmajor",
+    ),
 )
 def _flash_bwd_padded(
     q, k, v, bias, cos, sin, out, lse, do,
@@ -685,10 +723,14 @@ def _flash_bwd_padded(
     block_k: int,
     interpret: bool,
     use_rotary: bool,
+    k_dmajor: bool = False,
 ):
     """dq/dk/dv for the padded flash core. δ = rowsum(do ⊙ out) is a cheap
     fused XLA reduction; the T×T probabilities are recomputed blockwise from
-    (q, k, bias, lse) in both passes — nothing quadratic ever hits HBM."""
+    (q, k, bias, lse) in both passes — nothing quadratic ever hits HBM.
+    ``k_dmajor`` relays q/k/v/do and emits dq/dk/dv as (BH, d, X) inside this
+    graph (the interface stays (BH, X, d)) — the lane-dense layouts of the
+    forward, applied to the recompute GEMMs."""
     bh, tq, d = q.shape
     s_len = k.shape[1]
     h = num_heads
@@ -703,10 +745,36 @@ def _flash_bwd_padded(
 
     rot_in = [cos, sin] if use_rotary else []
     table_len = cos.shape[0] if use_rotary else 0
+    if k_dmajor:
+        q = jnp.swapaxes(q, 1, 2)
+        k = jnp.swapaxes(k, 1, 2)
+        v = jnp.swapaxes(v, 1, 2)
+        do = jnp.swapaxes(do, 1, 2)
+        if use_rotary:
+            rot_in = [jnp.swapaxes(cos, 0, 1), jnp.swapaxes(sin, 0, 1)]
+
+    def xd_spec(block, index_map):
+        """(1, block, d) classic / (1, d, block) d-major spec; the index
+        map receives the block position on the X axis."""
+        if k_dmajor:
+            return pl.BlockSpec(
+                (1, d, block), lambda b, i, j, _m=index_map: _swap_xd(_m(b, i, j))
+            )
+        return pl.BlockSpec((1, block, d), index_map)
+
+    def _swap_xd(idx):
+        return (idx[0], idx[2], idx[1])
 
     def rot_specs(index_map):
         return (
-            [pl.BlockSpec((table_len, d), index_map)] * 2 if use_rotary else []
+            [
+                pl.BlockSpec(
+                    (d, table_len) if k_dmajor else (table_len, d), index_map
+                )
+            ]
+            * 2
+            if use_rotary
+            else []
         )
 
     cost = pl.CostEstimate(
@@ -715,22 +783,29 @@ def _flash_bwd_padded(
         transcendentals=2 * bh * tq * s_len,
     )
 
+    dq_shape = (
+        jax.ShapeDtypeStruct((bh, d, tq), q.dtype)
+        if k_dmajor
+        else jax.ShapeDtypeStruct((bh, tq, d), q.dtype)
+    )
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, use_rotary=use_rotary),
+        functools.partial(_dq_kernel, use_rotary=use_rotary, k_dmajor=k_dmajor),
         grid=(bh, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            xd_spec(block_q, lambda b, i, j: (b, i, 0)),
+            xd_spec(block_k, lambda b, i, j: (b, j, 0)),
+            xd_spec(block_k, lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // h, 0, j)),
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
+            xd_spec(block_q, lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i)),
             pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, i)),
         ]
         + rot_specs(lambda b, i, j: (0, 0)),
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        out_specs=xd_spec(block_q, lambda b, i, j: (b, i, 0)),
+        out_shape=dq_shape,
+        scratch_shapes=[
+            pltpu.VMEM((d, block_q) if k_dmajor else (block_q, d), jnp.float32)
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
@@ -738,30 +813,34 @@ def _flash_bwd_padded(
         cost_estimate=cost,
     )(q, k, v, bias, do, lse, delta, *rot_in)
 
+    dkv_shape = (
+        jax.ShapeDtypeStruct((bh, d, s_len), k.dtype)
+        if k_dmajor
+        else jax.ShapeDtypeStruct((bh, s_len, d), k.dtype)
+    )
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, use_rotary=use_rotary),
+        functools.partial(
+            _dkv_kernel, use_rotary=use_rotary, k_dmajor=k_dmajor
+        ),
         grid=(bh, nk, nq),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, i, 0)),
+            xd_spec(block_q, lambda b, i, j: (b, j, 0)),
+            xd_spec(block_k, lambda b, i, j: (b, i, 0)),
+            xd_spec(block_k, lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // h, 0, i)),
-            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, j, 0)),
+            xd_spec(block_q, lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, j)),
             pl.BlockSpec((1, 8, block_q), lambda b, i, j: (b, 0, j)),
         ]
         + rot_specs(lambda b, i, j: (0, 0)),
         out_specs=[
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, i, 0)),
+            xd_spec(block_k, lambda b, i, j: (b, i, 0)),
+            xd_spec(block_k, lambda b, i, j: (b, i, 0)),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
-        ],
+        out_shape=[dkv_shape, dkv_shape],
         scratch_shapes=[
-            pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((d, block_k) if k_dmajor else (block_k, d), jnp.float32),
+            pltpu.VMEM((d, block_k) if k_dmajor else (block_k, d), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
@@ -770,6 +849,10 @@ def _flash_bwd_padded(
         cost_estimate=cost,
     )(q, k, v, bias, do, lse, delta, *rot_in)
 
+    if k_dmajor:  # back to the callers' (BH, X, d) contract
+        dq = jnp.swapaxes(dq, 1, 2)
+        dk = jnp.swapaxes(dk, 1, 2)
+        dv = jnp.swapaxes(dv, 1, 2)
     return dq, dk, dv
 
 
@@ -812,7 +895,8 @@ def _flash_core(
     def bwd(res, do):
         q, k, v, bias, cos, sin, out, lse = res
         dq, dk, dv = _flash_bwd_padded(
-            q, k, v, bias, cos, sin, out, lse, do, **statics
+            q, k, v, bias, cos, sin, out, lse, do, k_dmajor=k_dmajor,
+            **statics,
         )
         dcos = None if cos is None else jnp.zeros_like(cos)
         dsin = None if sin is None else jnp.zeros_like(sin)
