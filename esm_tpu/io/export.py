@@ -173,4 +173,17 @@ def save_esm2(params, cfg, path) -> Tuple[str, Optional[str]]:
         root, _ = os.path.splitext(path)
         reg_path = root + "-contact-regression.pt"
         torch.save({"model": {k: torch.from_numpy(v) for k, v in reg.items()}}, reg_path)
+    elif not ("270K" in stem or "500K" in stem):
+        # load_model_and_alphabet_local unconditionally torch.load's the
+        # co-located regression file for any other esm2* stem
+        # (esm/pretrained.py:18-21, 72-77) — a checkpoint written without it
+        # would FileNotFoundError at load time, so fail at SAVE time with
+        # the two ways out
+        raise ValueError(
+            "params have no contact_head, but the reference loader requires "
+            f"{os.path.basename(path).rsplit('.', 1)[0]}-contact-regression"
+            ".pt for this stem; keep the contact head in the exported tree, "
+            "or include '270K'/'500K' in the file name (the reference's "
+            "no-regression marker, esm/pretrained.py:18-21)"
+        )
     return path, reg_path

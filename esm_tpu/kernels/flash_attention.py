@@ -870,8 +870,10 @@ def _flash_core(
     path pays one extra (BH, T) fp32 write and the inference path nothing.
     ``block_h``/``has_bias`` shape the single-pass forward only; the backward
     kernels always stream the bias (zeros when maskless) at block_h=1.
-    ``k_dmajor`` re-lays K (d, S) inside the forward only — the interface
-    (and the residuals the backward sees) stay (BH, S, d).
+    ``k_dmajor`` re-lays q/k/v/o (and the backward's recompute operands and
+    emitted grads) as (BH, d, X) inside the respective jitted graphs — the
+    core's INTERFACE, the saved residuals, and the returned grads all stay
+    (BH, X, d).
     """
     statics = dict(
         num_heads=num_heads, block_q=block_q, block_k=block_k,
@@ -985,7 +987,7 @@ def flash_attention_block_bwd(
     dq, dk, dv = _flash_bwd_padded(
         qf, kf, vf, bias, None, None, outf, lse8, dof,
         num_heads=h, block_q=block_q, block_k=block_k,
-        interpret=interpret, use_rotary=False,
+        interpret=interpret, use_rotary=False, k_dmajor=d < 128,
     )
     return (
         dq[:, :t].reshape(b, h, t, d),

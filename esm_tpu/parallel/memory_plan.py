@@ -216,6 +216,11 @@ def max_fold_length(
     exploratory what-if estimates, never for admission caps."""
     admit = ("fits", "close") if include_close else ("fits",)
     lo, hi = 64, 16384
+    if plan_fold(fold_cfg, lo, mesh_cfg, **kw)["verdict"] not in admit:
+        # even the shortest length is not admitted — return 0 rather than
+        # presenting lo as "the largest L that fits" (callers deriving
+        # admission caps must treat 0 as "folding does not fit here")
+        return 0
     while plan_fold(fold_cfg, hi, mesh_cfg, **kw)["verdict"] in admit and hi < 2**20:
         lo, hi = hi, hi * 2
     while hi - lo > 16:

@@ -237,6 +237,16 @@ class InferenceServer:
                 # the cap must hold for a FULL batch at this length
                 batch=max_fold_batch_seqs,
             )
+            if not max_fold_seq_len:
+                # the plan says no length fits this config on this chip —
+                # refuse to start rather than silently fall back to the
+                # hardcoded default cap (which would admit guaranteed OOMs)
+                raise ValueError(
+                    "memory plan: no fold length fits this model/precision "
+                    "on this device (max_fold_length returned 0); use int8 "
+                    "weights, a smaller fold batch, or pass an explicit "
+                    "max_fold_seq_len to override"
+                )
             logger.info("fold length cap from memory plan: %d", max_fold_seq_len)
         self.max_fold_seq_len = max_fold_seq_len or 2048
         self._inflight_seqs = 0  # admitted but not yet finished/failed
@@ -255,7 +265,9 @@ class InferenceServer:
         # L^2 matches the measured 1.2 s @384 / 14.1 s @1000 pair to ~2x).
         # Priors (overwritten by the first measured batch of each kind):
         # embed/score ~20 ms/seq at the serving bucket; fold ~3 s at L=512.
-        self.max_queued_seconds = max_queued_seconds
+        # 0 disables like None (the CLI documents '0 disables'; a literal
+        # 0-second budget would permanently 400 every request)
+        self.max_queued_seconds = max_queued_seconds or None
         self._inflight_cost = 0.0  # sum of admitted requests' .cost
         self._cost_unit = {"embed": 0.02, "score": 0.02, "fold": 3.0}
         # static copy for the never-admittable (400) decision: the LEARNED
@@ -938,10 +950,13 @@ class InferenceServer:
                     )
                 if any(not chain for chain in seq.split(":")):
                     raise ValueError(f"sequences[{j}] ({lab!r}): empty chain around ':'")
-                n_res = len(seq) - seq.count(":")
+                # the trunk folds chain residues + a 25-G linker per ':' —
+                # the memory-plan-derived cap must bound THAT length
+                n_res = self._fold_effective_len(seq)
                 if n_res > self.max_fold_seq_len:
                     raise ValueError(
-                        f"sequences[{j}] ({lab!r}): {n_res} residues exceeds "
+                        f"sequences[{j}] ({lab!r}): {n_res} residues "
+                        "(incl. 25-glycine linkers per ':') exceeds "
                         f"the fold limit ({self.max_fold_seq_len}); folding "
                         "cannot truncate — split the chain or raise "
                         "--max-fold-len"
@@ -957,6 +972,14 @@ class InferenceServer:
         return labels, seqs
 
     _FOLD_REF_LEN = 512  # fold cost EMA is normalized to this bucketed length
+    _CHAIN_LINKER_LEN = 25  # encode_sequence joins chains with 'G'*25
+
+    @classmethod
+    def _fold_effective_len(cls, seq: str) -> int:
+        """Residues the trunk actually folds: chain residues PLUS the
+        25-glycine linker inserted per ':' (esmfold.encode_sequence) — a
+        multimer's cost and memory are set by this, not by len(seq)."""
+        return len(seq) - seq.count(":") + cls._CHAIN_LINKER_LEN * seq.count(":")
 
     def _fold_units(self, seqs: List[str]) -> float:
         """Length-normalized fold work: sum of (L_bucket / 512)^2 per chain
@@ -966,8 +989,7 @@ class InferenceServer:
 
         total = 0.0
         for seq in seqs:
-            n_res = len(seq) - seq.count(":")
-            lb = -(-max(n_res, 1) // B) * B
+            lb = -(-max(self._fold_effective_len(seq), 1) // B) * B
             total += (lb / self._FOLD_REF_LEN) ** 2
         return total
 

@@ -92,3 +92,23 @@ def test_accepts_model_config_object():
     by_cfg = plan_scaling(cfg, MeshConfig(1, 1, 4), batch=8, seqlen=1024)
     by_d = plan_scaling(1280, MeshConfig(1, 1, 4), batch=8, seqlen=1024)
     assert by_cfg["t_mxu_ms"] == by_d["t_mxu_ms"]
+
+
+def test_max_fold_length_returns_zero_when_nothing_fits():
+    """A config too big for the device must yield 0 (callers treat it as
+    'folding does not fit'), never the bisection floor presented as a cap."""
+    from esm_tpu.models import esm2, esmfold as ef
+    from esm_tpu.models.esmfold.trunk import FoldingTrunkConfig
+    from esm_tpu.parallel.memory_plan import max_fold_length
+
+    from esm_tpu.data import Alphabet
+
+    alphabet = Alphabet.from_architecture("ESM-1b")
+    cfg = ef.ESMFoldConfig(
+        esm=esm2.ESM2Config.from_alphabet(
+            alphabet, **esm2.ESM2_SIZES["esm2_t36_3B_UR50D"]
+        ),
+        trunk=FoldingTrunkConfig(),
+    )
+    # a 1 GB device: even L=64 cannot fit the 3B-LM fold stack
+    assert max_fold_length(cfg, hbm_bytes=1_000_000_000) == 0

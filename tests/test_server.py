@@ -755,9 +755,15 @@ def test_fold_length_cap(fold_server):
             _post(srv, {"sequences": ["A" * 31]}, path="/fold")
         assert exc_info.value.code == 400
         assert "fold limit" in json.loads(exc_info.value.read())["error"]
-        # multimer linker ':' does not count as residues
-        ok = _post(srv, {"sequences": ["A" * 15 + ":" + "A" * 15]}, path="/fold")
+        # a multimer is bounded by what the trunk FOLDS: chain residues plus
+        # the 25-glycine linker per ':' (2+25+2 = 29 <= 30 admitted; 4+25+4
+        # = 33 rejected even though only 8 letters are residues)
+        ok = _post(srv, {"sequences": ["AA:AA"]}, path="/fold")
         assert len(ok["results"]) == 1
+        with pytest.raises(urllib.error.HTTPError) as exc_info:
+            _post(srv, {"sequences": ["AAAA:AAAA"]}, path="/fold")
+        assert exc_info.value.code == 400
+        assert "linker" in json.loads(exc_info.value.read())["error"]
     finally:
         srv.max_fold_seq_len = old
 
@@ -1003,8 +1009,9 @@ def test_fold_cost_is_length_quadratic(server):
     assert u(["A" * 100]) == pytest.approx((128 / 512) ** 2)
     assert u(["A" * 1000]) == pytest.approx((1024 / 512) ** 2)
     assert u(["A" * 1000]) / u(["A" * 100]) == pytest.approx(64.0)
-    # multimer linkers (':') don't count as residues
-    assert u(["A" * 60 + ":" + "A" * 60]) == pytest.approx((128 / 512) ** 2)
+    # multimers are charged for the 25-G linker the fold path inserts per
+    # ':' (encode_sequence): 60+25+60 = 145 residues -> bucket 192
+    assert u(["A" * 60 + ":" + "A" * 60]) == pytest.approx((192 / 512) ** 2)
     # at the default priors a bucketed-1024 fold costs ~600x an embed seq
     from esm_tpu.runtime.server import _Request
 
@@ -1035,5 +1042,20 @@ def test_idle_server_always_admits_and_ema_clamp(server):
         # decay is unclamped
         srv._observe_cost("embed", seconds=0.001, units=1)
         assert srv._cost_unit["embed"] < 0.022
+    finally:
+        srv.stop()
+
+
+def test_zero_budget_disables_cost_cap(server):
+    """max_queued_seconds=0 means 'disabled' (as the CLI documents), not a
+    literal zero-second budget that would permanently 400 every request."""
+    _, model = server
+    srv = InferenceServer(
+        model, truncation_seq_length=60, max_queued_seconds=0
+    ).start()
+    try:
+        assert srv.max_queued_seconds is None
+        ok = _post(srv, {"sequences": SEQS[:2]})
+        assert "results" in ok
     finally:
         srv.stop()
