@@ -162,7 +162,7 @@ def probe_call(b, variant, block_q, block_h):
     return run, (q_in, k_in, v_in), fl
 
 
-def lib_call(b, block_h=None):
+def lib_call(b, block_h=None, dmajor=False):
     from esm_tpu.kernels.flash_attention import _flash_padded, _pick_block_h
 
     bh = b * H
@@ -182,6 +182,7 @@ def lib_call(b, block_h=None):
         return _flash_padded(
             q, k, v, bias, None, None, num_heads=H, block_q=min(1024, T),
             block_k=T, interpret=False, block_h=block_h, has_bias=False,
+            k_dmajor=dmajor,
         )
 
     return jax.jit(run), (q, k, v), 4.0 * bh * T * T * D
@@ -258,6 +259,12 @@ def main():
     for bh in lib_bhs:
         label = f"library bh={'auto' if bh is None else bh}"
         rates[label] = marginal(lambda b, h=bh: lib_call(b, h), label)
+    if "--dmajor-bh" in sys.argv:  # tune block_h for the SHIPPING (d-major) config
+        for bh in (1, 2, 4, 5, 10):
+            label = f"lib-dmajor bh={bh}"
+            rates[label] = marginal(
+                lambda b, h=bh: lib_call(b, h, dmajor=True), label
+            )
     # standalone cost of materializing K d-major (the price if a caller
     # cannot produce K transposed from its projection GEMM)
     key = jax.random.PRNGKey(2)
