@@ -187,3 +187,97 @@ def save_esm2(params, cfg, path) -> Tuple[str, Optional[str]]:
             "no-regression marker, esm/pretrained.py:18-21)"
         )
     return path, reg_path
+
+
+def export_esm1b_state_dict(params, cfg) -> Dict[str, np.ndarray]:
+    """ESM-1b/1v param pytree -> the reference's canonical state dict
+    (inverse of io/convert.convert_esm1 for model_version="ESM-1b" — the
+    "roberta_large" arch that covers esm1b_t33_650M and every esm1v model).
+    ESM-1 proper ("protein_bert_base": bias_kv, sinusoidal positions, untied
+    embed_out) is not exported — no fine-tuning story targets it."""
+    if getattr(cfg, "model_version", "ESM-1b") != "ESM-1b":
+        raise ValueError(
+            "only model_version='ESM-1b' (roberta_large: ESM-1b/ESM-1v) "
+            "exports; ESM-1's protein_bert_base layout is not supported"
+        )
+    emb = _as_np(params["embed_tokens"]["weight"])
+    sd: Dict[str, np.ndarray] = {
+        "embed_tokens.weight": emb,
+        "embed_positions.weight": _as_np(params["embed_positions"]["weight"]),
+    }
+    layers = params["layers"]
+    n = int(np.asarray(layers["fc1"]["kernel"]).shape[0])
+    for i in range(n):
+        p = f"layers.{i}"
+        for name in ("k_proj", "v_proj", "q_proj", "out_proj"):
+            _linear_out(sd, f"{p}.self_attn.{name}", layers["self_attn"][name], i)
+        _ln_out(sd, f"{p}.self_attn_layer_norm", layers["self_attn_layer_norm"], i)
+        _linear_out(sd, f"{p}.fc1", layers["fc1"], i)
+        _linear_out(sd, f"{p}.fc2", layers["fc2"], i)
+        _ln_out(sd, f"{p}.final_layer_norm", layers["final_layer_norm"], i)
+    if "emb_layer_norm_before" in params:
+        _ln_out(sd, "emb_layer_norm_before", params["emb_layer_norm_before"])
+    _ln_out(sd, "emb_layer_norm_after", params["emb_layer_norm_after"])
+    head = params["lm_head"]
+    _linear_out(sd, "lm_head.dense", head["dense"])
+    _ln_out(sd, "lm_head.layer_norm", head["layer_norm"])
+    sd["lm_head.weight"] = emb  # tied (reference esm/modules.py:303-308)
+    sd["lm_head.bias"] = _as_np(head["bias"])
+    return sd
+
+
+def save_esm1b(params, cfg, path) -> Tuple[str, Optional[str]]:
+    """Write ``<path>`` (+ co-located ``-contact-regression.pt``) loadable by
+    the reference's v1 path (_load_model_and_alphabet_core_v1 with
+    arch="roberta_large", esm/pretrained.py:85-103: the encoder-prefix strip
+    lambdas are no-ops on canonical keys, the loader zeroes the mask-token
+    embedding row — idempotent for weights that came from a v1 checkpoint —
+    and recomputes emb_layer_norm_before from the state's key set).
+
+    ``path``'s stem must start with ``esm1`` so load_model_and_alphabet_local
+    routes it to the v1 loader (anything not starting 'esm2')."""
+    import argparse
+    import os
+
+    import torch
+
+    path = os.fspath(path)
+    stem = os.path.basename(path)
+    if not stem.startswith("esm1"):
+        raise ValueError(
+            f"file name {stem!r} must start with 'esm1' — the reference "
+            "routes non-'esm2' names to the v1 loader (esm/pretrained.py:190)"
+        )
+    sd = export_esm1b_state_dict(params, cfg)
+    model_data = {
+        # the v1 loader reads args.arch for routing + the constructor's
+        # surface (esm/model/esm1.py:60-105); emb_layer_norm_before is
+        # recomputed from the state dict, not read from args
+        "args": argparse.Namespace(
+            arch="roberta_large",
+            layers=cfg.num_layers,
+            embed_dim=cfg.embed_dim,
+            ffn_embed_dim=cfg.ffn_embed_dim,
+            attention_heads=cfg.attention_heads,
+            max_positions=cfg.max_positions,
+            final_bias=True,
+            token_dropout=getattr(cfg, "token_dropout", False),
+        ),
+        "model": {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+    }
+    torch.save(model_data, path)
+
+    reg = export_contact_regression(params)
+    reg_path = None
+    if reg is not None:
+        root, _ = os.path.splitext(path)
+        reg_path = root + "-contact-regression.pt"
+        torch.save({"model": {k: torch.from_numpy(v) for k, v in reg.items()}}, reg_path)
+    elif not ("270K" in stem or "500K" in stem):
+        raise ValueError(
+            "params have no contact_head, but the reference loader requires "
+            "the co-located -contact-regression.pt for this stem "
+            "(esm/pretrained.py:18-21, 72-77); keep the contact head in the "
+            "exported tree"
+        )
+    return path, reg_path
