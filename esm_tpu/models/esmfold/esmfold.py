@@ -42,6 +42,9 @@ class ESMFoldConfig:
     use_esm_attn_map: bool = False
     distogram_bins: int = 64
     lddt_bins: int = 50
+    # the checkpoint's LM registry name (reference esm/esmfold/v1/esmfold.py:
+    # 35-47,59) — carried so io/export.save_esmfold can round-trip it
+    esm_type: Optional[str] = None
 
     @property
     def n_tokens_embed(self) -> int:

@@ -683,6 +683,7 @@ def load_esmfold(model_name: str, fast: bool = False):
         ),
         use_esm_attn_map=getattr(cfg_ck, "use_esm_attn_map", False),
         lddt_head_hid_dim=getattr(cfg_ck, "lddt_head_hid_dim", 128),
+        esm_type=cfg_ck.esm_type,
     )
     if fast:
         import dataclasses

@@ -259,17 +259,19 @@ class InferenceServer:
         # at ``max_queued_seconds`` — which therefore IS the worst-case drain
         # time (Little's law applied directly: in-flight work / service rate,
         # with both sides in seconds). Estimates are per-kind EMAs measured
-        # from completed device batches; folds scale quadratically with their
-        # 64-bucketed length around the L=512 reference point (the trunk is
-        # O(L^2) in memory/traffic and between O(L^2) and O(L^3) in FLOPs —
-        # L^2 matches the measured 1.2 s @384 / 14.1 s @1000 pair to ~2x).
+        # from completed device batches; fold work follows the calibrated
+        # quadratic+cubic length polynomial times trunk passes (_fold_units
+        # — fit to BENCH_NOTES' own measured O(L^2)->O(L^3) scaling; one
+        # unit = one trunk pass of a bucket-512 fold).
         # Priors (overwritten by the first measured batch of each kind):
-        # embed/score ~20 ms/seq at the serving bucket; fold ~3 s at L=512.
+        # embed/score ~20 ms/seq at the serving bucket; fold ~1 s per
+        # 512-bucket trunk pass (between the 0.68 s measured bf16+fused
+        # single pass and the ~3x slower fp32 path).
         # 0 disables like None (the CLI documents '0 disables'; a literal
         # 0-second budget would permanently 400 every request)
         self.max_queued_seconds = max_queued_seconds or None
         self._inflight_cost = 0.0  # sum of admitted requests' .cost
-        self._cost_unit = {"embed": 0.02, "score": 0.02, "fold": 3.0}
+        self._cost_unit = {"embed": 0.02, "score": 0.02, "fold": 1.0}
         # static copy for the never-admittable (400) decision: the LEARNED
         # units drift (a cold-start compile can transiently inflate them
         # 100x), and a permanent rejection must not depend on a transient
@@ -649,7 +651,9 @@ class InferenceServer:
                     self._observe_cost(
                         "fold",
                         time.perf_counter() - t0,
-                        self._fold_units([s for _, s in chunk]),
+                        self._fold_units(
+                            [s for _, s in chunk], reqs[0].num_recycles
+                        ),
                     )
                 except Exception as e:  # noqa: BLE001
                     chunk_reqs = {id(owners[i][0]): owners[i][0] for i in idxs}
@@ -973,6 +977,19 @@ class InferenceServer:
 
     _FOLD_REF_LEN = 512  # fold cost EMA is normalized to this bucketed length
     _CHAIN_LINKER_LEN = 25  # encode_sequence joins chains with 'G'*25
+    # Per-trunk-pass cost shape, calibrated against the repo's own measured
+    # single-pass fold times (BENCH_NOTES: 0.18 s @ bucket 256 / 3.5 s @ 1024
+    # / 9.7 s @ 1536 / 21.7 s @ 2048, bf16 trunk + fused triangle kernels):
+    # t(L) ~ a*L^2 + b*L^3 + c — the L^2 term is the pair tensor's HBM
+    # traffic (tri-mul, LN, MLP stages), the L^3 term the triangle GEMMs, c
+    # the per-structure fixed cost. In units of the single-pass L=512 cost
+    # (y = L_bucket/512): 0.576*y^2 + 0.352*y^3 + 0.072 reproduces all four
+    # measured points within 5%. The round-4 pure quadratic under-counted an
+    # L=2048 fold ~2.3x (charged 16 units, costs ~32) — precisely the
+    # requests the chip-seconds budget exists to police.
+    _FOLD_UNIT_L2 = 0.576
+    _FOLD_UNIT_L3 = 0.352
+    _FOLD_UNIT_FIXED = 0.072
 
     @classmethod
     def _fold_effective_len(cls, seq: str) -> int:
@@ -981,24 +998,43 @@ class InferenceServer:
         multimer's cost and memory are set by this, not by len(seq)."""
         return len(seq) - seq.count(":") + cls._CHAIN_LINKER_LEN * seq.count(":")
 
-    def _fold_units(self, seqs: List[str]) -> float:
-        """Length-normalized fold work: sum of (L_bucket / 512)^2 per chain
-        set — the fold path pads to 64-buckets (one compiled program each)
-        and the trunk's cost is ~quadratic in the padded length."""
+    def _fold_passes(self, num_recycles: Optional[int]) -> int:
+        """Trunk passes a fold request runs — the trunk's None/explicit-R
+        semantics verbatim (models/esmfold/trunk.py:127-131, mirroring the
+        reference trunk.py:190-194): explicit R -> R+1 passes, None -> the
+        checkpoint's max_recycles."""
+        if num_recycles is None:
+            try:
+                return max(int(self.fold_model.cfg.trunk.max_recycles), 1)
+            except AttributeError:
+                return 4
+        return int(num_recycles) + 1
+
+    def _fold_units(self, seqs: List[str], num_recycles: Optional[int] = None) -> float:
+        """Length- and recycle-normalized fold work: per chain set, the
+        calibrated quadratic+cubic polynomial of the 64-bucketed folded
+        length (the fold path pads to buckets — one compiled program each),
+        times the number of trunk passes. One unit = one trunk pass of a
+        bucket-512 fold; the EMA learns seconds per that unit."""
         from ..models.esmfold.esmfold import FOLD_LENGTH_BUCKET as B
 
         total = 0.0
         for seq in seqs:
             lb = -(-max(self._fold_effective_len(seq), 1) // B) * B
-            total += (lb / self._FOLD_REF_LEN) ** 2
-        return total
+            y = lb / self._FOLD_REF_LEN
+            total += (
+                self._FOLD_UNIT_L2 * y * y
+                + self._FOLD_UNIT_L3 * y * y * y
+                + self._FOLD_UNIT_FIXED
+            )
+        return total * self._fold_passes(num_recycles)
 
     def _estimate_cost(self, req: _Request, units=None) -> float:
         """Estimated chip-seconds for a request, from the per-kind EMAs
         (or a given unit table). Caller holds self._lock."""
         units = units if units is not None else self._cost_unit
         if req.kind == "fold":
-            return units["fold"] * self._fold_units(req.seqs)
+            return units["fold"] * self._fold_units(req.seqs, req.num_recycles)
         return units[req.kind] * len(req.seqs)
 
     def _observe_cost(self, kind: str, seconds: float, units: float) -> None:

@@ -39,10 +39,6 @@ def main():
     mesh_cfg = MeshConfig.for_devices(n)
     mesh = make_mesh(mesh_cfg)
     print(f"mesh: {mesh.shape}")
-    # predicted ICI-vs-MXU balance for this mesh; warns on the documented-bad
-    # configs (ARCHITECTURE.md scaling model — e.g. 15B at B=1 is weight-bound:
-    # the right 15B deployment is weight-resident int8 on ONE chip)
-    warn_if_inefficient(model.cfg, mesh_cfg, batch=2, seqlen=128)
 
     params = shard_params(mesh, model.params)
     model.params = params
@@ -52,6 +48,14 @@ def main():
         ("protein2", "KALTARQQEVFDLIRDHISQTGMPPTRAEIAQRLGFRSPNAAEEHLKALARKGVIEIVSGASRGIRLLQEE"),
     ]
     _, _, tokens = alphabet.get_batch_converter(pad_to_multiple=128)(data)
+    # predicted ICI-vs-MXU balance for this mesh AT THE ACTUAL workload shape
+    # (a hardcoded shape can mischaracterize the run — e.g. flag a
+    # weight-gather bound that a larger batch amortizes); warns on the
+    # documented-bad configs (ARCHITECTURE.md scaling model — e.g. 15B at
+    # B=1 is weight-bound: the right 15B deployment is int8 on ONE chip)
+    warn_if_inefficient(
+        model.cfg, mesh_cfg, batch=int(tokens.shape[0]), seqlen=int(tokens.shape[1])
+    )
     tokens = jax.device_put(jnp.asarray(tokens), batch_sharding(mesh))
 
     out = model(tokens, repr_layers=[model.num_layers])

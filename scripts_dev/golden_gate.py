@@ -49,6 +49,11 @@ CHECKS = {
         ["esm_if1_gvp4_t16_142M_UR50"],
         "IF1 fixture perplexity 4.40 +/- 0.02",
     ),
+    "test_esm2_650m_export_bit_roundtrip": (
+        ["esm2_t33_650M_UR50D"],
+        "convert->export byte-identical to the released state dict (inv_freq "
+        "ulp-tolerant) + re-exported file passes the reference's strict load",
+    ),
     "test_esm2_650m_int8_close_to_fp32": (
         ["esm2_t33_650M_UR50D"],
         "int8 quantization drift bound on released weights",
@@ -80,7 +85,7 @@ def parse_metrics(out: str):
     return [
         ln.strip()
         for ln in out.splitlines()
-        if re.match(r"\s*(esmfold golden|contact P@L|esm1v BLAT)", ln)
+        if re.match(r"\s*(esmfold golden|contact P@L|esm1v BLAT|esm2 export)", ln)
     ]
 
 

@@ -328,6 +328,30 @@ def test_esm_msa1b_fullsize_fairseq_layout(tmp_path):
         np.asarray(out["contacts"]), out_ref["contacts"].numpy(), atol=1e-4, rtol=1e-4
     )
 
+    # torch -> jax -> torch round trip at full msa1b size (io/export.py):
+    # canonical export is BIT-equal to the oracle's state dict, and the
+    # written v1-layout file (swapped keys) reloads through the reference's
+    # own strict loader
+    from esm_tpu.io.export import export_msa_state_dict, save_msa
+
+    exported = export_msa_state_dict(model.params, model.cfg)
+    ref_sd = ref.state_dict()
+    assert set(exported) == {k for k in ref_sd if not k.startswith("contact_head.")}
+    for k, v in exported.items():
+        np.testing.assert_array_equal(v, ref_sd[k].numpy(), err_msg=k)
+        del v
+    from esm.pretrained import load_model_and_alphabet_local as ref_load
+
+    epath, ereg = save_msa(model.params, model.cfg, tmp_path / "esm_msa1b_exported.pt")
+    assert ereg is not None
+    torch.serialization.add_safe_globals([argparse.Namespace])
+    reloaded, _ = ref_load(epath)
+    np.testing.assert_array_equal(
+        reloaded.state_dict()["layers.7.row_self_attention.layer.q_proj.weight"].numpy(),
+        ref_sd["layers.7.row_self_attention.layer.q_proj.weight"].numpy(),
+    )
+    assert reloaded.msa_position_embedding.shape == (1, 1024, 1, 768)
+
 
 def test_esm_if1_fullsize_conversion():
     """esm_if1 scale (4 GVP layers w/ 1024/256 hidden, 8+8 transformer layers
@@ -394,6 +418,32 @@ def test_esm_if1_fullsize_conversion():
     ref_ll_coord = -np.sum(loss_ref * cm) / np.sum(cm)
     np.testing.assert_allclose(ll_full, float(ref_ll_full), atol=2e-3)
     np.testing.assert_allclose(ll_coord, float(ref_ll_coord), atol=2e-3)
+
+    # torch -> jax -> torch round trip at full esm_if1 size (io/export.py):
+    # canonical export BIT-equal to the oracle state dict; the written file
+    # reloads through the reference's v1 invariant_gvp loader (which applies
+    # its historical update_name renames — no-ops on canonical keys)
+    import tempfile
+
+    from esm_tpu.io.export import export_if1_state_dict, save_if1
+
+    exported = export_if1_state_dict(handle.params, handle.cfg)
+    ref_sd = ref.state_dict()
+    assert set(exported) == set(ref_sd)
+    for k, v in exported.items():
+        if not k.endswith("_float_tensor"):
+            np.testing.assert_array_equal(v, ref_sd[k].numpy(), err_msg=k)
+        del v
+    torch.serialization.add_safe_globals([argparse.Namespace])
+    with tempfile.TemporaryDirectory() as td:
+        epath = save_if1(handle.params, handle.cfg, td + "/esm_if1_exported.pt")
+        from esm.pretrained import load_model_and_alphabet_local as ref_load
+
+        reloaded, _ = ref_load(epath)
+        np.testing.assert_array_equal(
+            reloaded.state_dict()["decoder.layers.5.encoder_attn.k_proj.weight"].numpy(),
+            ref_sd["decoder.layers.5.encoder_attn.k_proj.weight"].numpy(),
+        )
 
 
 @_huge
@@ -511,7 +561,19 @@ def test_esmfold_v1_fullsize_conversion(tmp_path, monkeypatch):
         np.testing.assert_array_equal(got, want, err_msg=f"block {b}")
     # LM landed inside the fold params at full shape
     assert handle.params["esm"]["layers"]["fc1"]["kernel"].shape == (36, 2560, 10240)
-    del sd, trunk
+
+    # jax -> torch export at the full 48-block v1 size (io/export.py):
+    # BIT-equal to the synthesized checkpoint, esm.* keys correctly absent
+    from esm_tpu.io.export import export_esmfold_state_dict
+
+    exported = export_esmfold_state_dict(handle.params)
+    assert set(exported) == set(sd)
+    for b in (0, 47):
+        k = f"trunk.blocks.{b}.tri_att_end.mha.linear_g.weight"
+        np.testing.assert_array_equal(exported[k], sd[k].numpy(), err_msg=k)
+    k = "trunk.structure_module.ipa.linear_kv_points.weight"
+    np.testing.assert_array_equal(exported[k], sd[k].numpy(), err_msg=k)
+    del exported, sd, trunk
 
     out = handle.infer(["MKTVRQER"], num_recycles=0)
     assert np.isfinite(np.asarray(out["positions"])).all()

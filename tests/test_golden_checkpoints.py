@@ -138,6 +138,66 @@ def test_if1_golden_perplexity():
 
 
 @pytest.mark.skipif(not _have("esm2_t33_650M_UR50D"), reason="weights not downloaded")
+def test_esm2_650m_export_bit_roundtrip(tmp_path):
+    """Interop certification for the export path (io/export.py): released
+    .pt -> convert -> export is BYTE-identical to the original state dict —
+    tensor-for-tensor equality on the post-upgrade canonical keys (modulo
+    the analytic rotary inv_freq buffer's documented one-ulp pow drift) —
+    and the re-exported FILE loads through the reference's own
+    load_model_and_alphabet_local with its strict key check
+    (/root/reference/esm/pretrained.py:164-219)."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from esm.pretrained import load_model_and_alphabet_local as ref_load
+
+    from esm_tpu import pretrained
+    from esm_tpu.io.export import (
+        export_contact_regression,
+        export_esm2_state_dict,
+        save_esm2,
+    )
+
+    model, alphabet = pretrained.esm2_t33_650M_UR50D()
+    orig = torch.load(
+        CACHE / "esm2_t33_650M_UR50D.pt", map_location="cpu", weights_only=False
+    )["model"]
+    # the reference's own prefix strip -> canonical keys (esm/pretrained.py:165-171)
+    import re
+
+    pat = re.compile("^" + "|".join(["encoder.sentence_encoder.", "encoder."]))
+    orig = {pat.sub("", k): v for k, v in orig.items()}
+
+    exported = export_esm2_state_dict(model.params, model.cfg)
+    assert set(exported) == set(orig)
+    for k, v in exported.items():
+        want = orig[k].float().numpy()
+        if k.endswith("rot_emb.inv_freq"):
+            np.testing.assert_allclose(v, want, rtol=1e-6, err_msg=k)
+        else:
+            np.testing.assert_array_equal(v, want, err_msg=k)
+        del v, want
+    reg = torch.load(
+        CACHE / "esm2_t33_650M_UR50D-contact-regression.pt",
+        map_location="cpu", weights_only=False,
+    )["model"]
+    for k, v in export_contact_regression(model.params).items():
+        np.testing.assert_array_equal(v, reg[k].float().numpy(), err_msg=k)
+
+    # the re-exported file is a valid reference checkpoint (strict load)
+    path, reg_path = save_esm2(model.params, model.cfg, tmp_path / "esm2_t33_650M_UR50D.pt")
+    assert reg_path is not None
+    import argparse
+
+    torch.serialization.add_safe_globals([argparse.Namespace])
+    reloaded, _ = ref_load(path)
+    assert reloaded.num_layers == 33
+    print("esm2 export roundtrip: byte-identical (inv_freq ulp-tolerant), reference strict load OK")
+
+
+@pytest.mark.skipif(not _have("esm2_t33_650M_UR50D"), reason="weights not downloaded")
 def test_esm2_650m_int8_close_to_fp32():
     """Weight-only int8 vs fp32 on released weights: logits argmax agreement
     and bounded drift (quantization gate for the 15B-on-one-chip path)."""

@@ -998,21 +998,37 @@ def test_cost_model_learns_and_reports(server):
         srv.stop()
 
 
-def test_fold_cost_is_length_quadratic(server):
-    """Fold cost estimates scale with the square of the 64-bucketed length
-    around the L=512 reference (the ~1000x embed/fold spread is the point of
-    cost-weighted admission — a raw count cap admits hours of fold backlog)."""
+def test_fold_cost_matches_measured_scaling(server):
+    """The fold admission cost model must match the repo's OWN measured fold
+    times (BENCH_NOTES single-pass rows: 0.18 s @ bucket 256 / 3.5 s @ 1024 /
+    9.7 s @ 1536 / 21.7 s @ 2048): unit * units(L) reproduces the measured
+    seconds at every calibration length, the long-L scaling is cubic (the
+    round-4 quadratic under-counted an L=2048 fold ~2.3x), and the unit
+    scales with trunk passes."""
     _, model = server
     srv = InferenceServer(model, truncation_seq_length=60)
-    # 100 residues -> bucket 128; 1000 -> bucket 1024: 64x the work
     u = srv._fold_units
-    assert u(["A" * 100]) == pytest.approx((128 / 512) ** 2)
-    assert u(["A" * 1000]) == pytest.approx((1024 / 512) ** 2)
-    assert u(["A" * 1000]) / u(["A" * 100]) == pytest.approx(64.0)
+    # unit = the measured single-pass bucket-512 cost the polynomial is
+    # normalized to (0.684 s, bf16 trunk + fused triangle kernels)
+    unit = 0.684
+    for n_res, seconds in ((200, 0.18), (1000, 3.5), (1500, 9.7), (2000, 21.7)):
+        est = unit * u(["A" * n_res], 0)  # num_recycles=0 -> one trunk pass
+        assert est == pytest.approx(seconds, rel=0.11), (n_res, est, seconds)
+    # long-L ratio is cubic-dominated, NOT quadratic: measured 21.7/9.7=2.24
+    ratio = u(["A" * 2000], 0) / u(["A" * 1500], 0)
+    assert ratio == pytest.approx(21.7 / 9.7, rel=0.05)
+    assert ratio > (2048 / 1536) ** 2 * 1.1  # a pure quadratic is ruled out
+    # recycles multiply work: explicit R -> R+1 trunk passes (trunk.py
+    # semantics); None -> the checkpoint's max_recycles passes
+    assert u(["A" * 100], 3) == pytest.approx(4 * u(["A" * 100], 0))
+    passes_default = srv._fold_passes(None)
+    assert passes_default >= 1
+    assert u(["A" * 100]) == pytest.approx(passes_default * u(["A" * 100], 0))
     # multimers are charged for the 25-G linker the fold path inserts per
-    # ':' (encode_sequence): 60+25+60 = 145 residues -> bucket 192
-    assert u(["A" * 60 + ":" + "A" * 60]) == pytest.approx((192 / 512) ** 2)
-    # at the default priors a bucketed-1024 fold costs ~600x an embed seq
+    # ':' (encode_sequence): 60+25+60 = 145 residues -> bucket 192, which
+    # costs more than a 128-bucket monomer
+    assert u(["A" * 60 + ":" + "A" * 60], 0) > u(["A" * 100], 0)
+    # at the default priors a bucketed-1024 fold costs >>100x an embed seq
     from esm_tpu.runtime.server import _Request
 
     fold_cost = srv._estimate_cost(_Request(["x"], ["A" * 1000], kind="fold"))
