@@ -276,9 +276,14 @@ def apply_sharded(
     (reference: esm/esmfold/v1/esmfold.py:152-278 + set_chunk_size 354-360).
 
     ``cfg.trunk.pair_spec`` must shard over ``seq_axis`` (e.g.
-    ``PartitionSpec(None, seq_axis)``); budget with
-    ``parallel.memory_plan.plan_fold(cfg, L, mesh_cfg)`` which models exactly
-    this configuration's per-device bytes."""
+    ``PartitionSpec(None, seq_axis)``); ``cfg.trunk.chunk_size`` composes
+    with the sharding (triangle attention chunks rows WITHIN each shard —
+    the long-L configuration). Budget memory with
+    ``parallel.memory_plan.plan_fold(cfg, L, mesh_cfg)`` and predict the
+    ICI-vs-MXU balance with ``parallel.scaling.plan_scaling_fold(cfg,
+    mesh_cfg, L)`` — pair sharding is a long-L tool: at L<=1024 the
+    per-block resharding can exceed the triangle compute (see
+    ARCHITECTURE.md's fold scaling table)."""
     if cfg.trunk.pair_spec is None:
         raise ValueError(
             "apply_sharded needs cfg.trunk.pair_spec set (e.g. "

@@ -156,6 +156,125 @@ def plan_scaling(
     }
 
 
+def plan_scaling_fold(
+    fcfg,
+    mesh_cfg: MeshConfig,
+    seqlen: int,
+    batch: int = 1,
+    *,
+    num_recycles=None,
+    mxu_tflops: float = MXU_TFLOPS_MEASURED,
+    ici_gbps: float = ICI_GBPS,
+) -> Dict:
+    """Scaling model for the COMPOSED sharded fold (esmfold.apply_sharded:
+    ring-sharded LM + pair-sharded trunk + sharded O(L²) heads) — the fold
+    counterpart of :func:`plan_scaling` (VERDICT r4 item 7; plan_fold models
+    its memory, this models its time).
+
+    ``fcfg``: an ESMFoldConfig (reads .trunk.{num_blocks, pairwise_state_dim,
+    sequence_state_dim, max_recycles, compute_dtype} and .esm.{embed_dim,
+    num_layers}). Pair rows are sharded tp-ways (the axis apply_sharded
+    uses); fsdp/data axes do not help a single fold (batch=1 dominant case).
+
+    Per-chip accounting per trunk block, L rows sharded over tp:
+
+      MXU   the O(L³) triangle terms (two tri-muls 4·L³·c_z + two tri
+            attentions 8·L³·c_z FLOPs) and the O(L²) pair projections/MLP
+            (aggregate 44·L²·c_z²), divided by tp; the sequence track
+            (~24·L·c_s²) is replicated, not divided.
+      ICI   the row↔col orientation changes the pair tensor forces:
+            * tri_mul_out/in each all-gather the opposite orientation of one
+              projected (L², 128) operand: (tp−1)/tp · B·L²·128·bytes each;
+            * tri_att_end needs a col-major view in and row-major out: two
+              all-to-alls at (tp−1)/tp² · B·L²·c_z·bytes (send side) each.
+            Per recycle the whole block stack repeats; the final symmetrize
+            in the distogram head (z + zᵀ, esmfold.py) is one more
+            all-to-all, once. The LM contributes its ring-attention bytes
+            (:func:`plan_scaling` with ring=tp) per LM layer.
+
+    Returns t_mxu_ms / t_ici_ms / r / efficiencies for the WHOLE program
+    (passes × blocks + LM), plus the per-component byte breakdown."""
+    tcfg = fcfg.trunk
+    c_z = tcfg.pairwise_state_dim
+    c_s = tcfg.sequence_state_dim
+    n_blocks = tcfg.num_blocks
+    passes = tcfg.max_recycles if num_recycles is None else num_recycles + 1
+    # jnp.bfloat16 the class strs as "<class 'jax.numpy.bfloat16'>" — match
+    # the substring, not an exact name
+    zbytes = 2 if "bfloat16" in str(getattr(tcfg, "compute_dtype", "float32")) else 4
+    tp = mesh_cfg.tp
+    b, l = batch, seqlen
+    c_hidden = 128  # tri-mul projection width (c_z at the reference config)
+
+    # --- trunk block: MXU
+    flops_tri = 12.0 * b * l**3 * c_z / tp
+    flops_pair = 44.0 * b * l**2 * c_z**2 / tp
+    flops_seq = 24.0 * b * l * c_s**2  # replicated sequence track
+    t_mxu_block = (flops_tri + flops_pair + flops_seq) / (mxu_tflops * 1e12)
+    t_mxu_block_nominal = (flops_tri + flops_pair + flops_seq) / (
+        MXU_TFLOPS_NOMINAL * 1e12
+    )
+
+    # --- trunk block: ICI
+    gather_bytes = 2.0 * (tp - 1) / tp * b * l * l * c_hidden * zbytes
+    a2a_bytes = 2.0 * (tp - 1) / tp**2 * b * l * l * c_z * zbytes
+    block_ici = gather_bytes + a2a_bytes
+
+    # --- heads: the distogram symmetrize transpose (fp32 logits path), once
+    head_a2a = (tp - 1) / tp**2 * b * l * l * c_z * 4.0
+
+    # --- LM: ring-attention bytes + its own MXU time, per LM layer
+    lm = plan_scaling(
+        fcfg.esm.embed_dim, MeshConfig(1, 1, 1), batch, seqlen,
+        ring=tp, mxu_tflops=mxu_tflops, ici_gbps=ici_gbps,
+    )
+    n_lm = fcfg.esm.num_layers
+
+    t_mxu = passes * n_blocks * t_mxu_block + n_lm * lm["t_mxu_ms"] / 1e3
+    t_mxu_nominal = passes * n_blocks * t_mxu_block_nominal + n_lm * lm[
+        "t_mxu_ms"
+    ] / 1e3 * (mxu_tflops / MXU_TFLOPS_NOMINAL)
+    ici_bytes = passes * n_blocks * block_ici + head_a2a + n_lm * lm["ring_bytes"]
+    t_ici = ici_bytes / (ici_gbps * 1e9)
+
+    r = t_ici / t_mxu if t_mxu > 0 else math.inf
+    r_nominal = t_ici / t_mxu_nominal if t_mxu_nominal > 0 else math.inf
+    recs: List[str] = []
+    if r >= 1.0:
+        recs.append(
+            f"comm-bound fold (r={r:.2f}): the pair-tensor resharding "
+            f"exceeds the trunk's compute even with perfect overlap — use "
+            f"fewer pair shards (tp={max(tp // 2, 1)}) or a longer L"
+        )
+    elif r_nominal >= 1.0:
+        recs.append(
+            f"no nominal-MXU headroom for the fold (r={r:.2f} measured, "
+            f"{r_nominal:.2f} at {MXU_TFLOPS_NOMINAL:.0f} TF/s)"
+        )
+    elif r > 0.9:
+        recs.append(f"marginal fold overlap (r={r:.2f})")
+
+    return {
+        "mesh": mesh_cfg.shape,
+        "seqlen": seqlen,
+        "batch": batch,
+        "passes": passes,
+        "n_blocks": n_blocks,
+        "t_mxu_ms": t_mxu * 1e3,
+        "t_ici_ms": t_ici * 1e3,
+        "block_gather_bytes": int(gather_bytes),
+        "block_a2a_bytes": int(a2a_bytes),
+        "head_a2a_bytes": int(head_a2a),
+        "lm_ring_bytes": int(n_lm * lm["ring_bytes"]),
+        "ici_bytes": int(ici_bytes),
+        "r": r,
+        "r_nominal": r_nominal,
+        "efficiency_overlapped": min(1.0, 1.0 / r) if r > 0 else 1.0,
+        "efficiency_serial": 1.0 / (1.0 + r),
+        "recommendations": recs,
+    }
+
+
 # The five configurations ARCHITECTURE.md's table documents. label -> kwargs.
 DOC_ROWS = (
     ("650M (d=1280) B=8 T=1024, tp=4", dict(cfg=1280, mesh_cfg=MeshConfig(1, 1, 4), batch=8, seqlen=1024)),
@@ -197,6 +316,52 @@ def scaling_table(rows=DOC_ROWS) -> str:
     return "\n".join(lines)
 
 
+def _fold_dims(lm_width: int, lm_layers: int, n_blocks: int = 48,
+               c_z: int = 128, c_s: int = 1024) -> object:
+    """Duck-typed ESMFoldConfig for table rows (avoids importing the model
+    package here): the reference trunk shape (trunk.py:35-51), bf16 compute."""
+    from types import SimpleNamespace as NS
+
+    return NS(
+        trunk=NS(num_blocks=n_blocks, pairwise_state_dim=c_z,
+                 sequence_state_dim=c_s, max_recycles=4,
+                 compute_dtype="bfloat16"),
+        esm=NS(embed_dim=lm_width, num_layers=lm_layers),
+    )
+
+
+# Composed-fold configurations ARCHITECTURE.md documents. label -> args.
+FOLD_DOC_ROWS = (
+    ("esmfold_v1 (3B LM, 48 blk) L=1024, pair tp=4, 4 passes",
+     dict(fcfg=_fold_dims(2560, 36), mesh_cfg=MeshConfig(1, 1, 4), seqlen=1024)),
+    ("650M-LM 48-blk L=2048, pair tp=4, 4 passes",
+     dict(fcfg=_fold_dims(1280, 33), mesh_cfg=MeshConfig(1, 1, 4), seqlen=2048)),
+    ("650M-LM 48-blk L=512, pair tp=8, 4 passes",
+     dict(fcfg=_fold_dims(1280, 33), mesh_cfg=MeshConfig(1, 1, 8), seqlen=512)),
+)
+
+
+def fold_scaling_table(rows=FOLD_DOC_ROWS) -> str:
+    """The composed-fold markdown table ARCHITECTURE.md embeds (generated;
+    drift-pinned by tests/test_scaling_model.py)."""
+    lines = [
+        "| fold config | t_mxu | t_ici | reshard GB (gather/a2a/LM ring) | r | eff. |",
+        "|---|---|---|---|---|---|",
+    ]
+    for label, kw in rows:
+        p = plan_scaling_fold(**kw)
+        gb = lambda b: f"{b / 1e9:.2f}"  # noqa: E731
+        n_passes = p["passes"]
+        lines.append(
+            f"| {label} | {p['t_mxu_ms'] / 1e3:.2f} s | {p['t_ici_ms'] / 1e3:.2f} s "
+            f"| {gb(n_passes * p['n_blocks'] * p['block_gather_bytes'])} / "
+            f"{gb(n_passes * p['n_blocks'] * p['block_a2a_bytes'] + p['head_a2a_bytes'])} / "
+            f"{gb(p['lm_ring_bytes'])} "
+            f"| {p['r']:.2f} | {p['efficiency_overlapped'] * 100:.0f}% |"
+        )
+    return "\n".join(lines)
+
+
 def warn_if_inefficient(
     cfg, mesh_cfg: MeshConfig, batch: int, seqlen: int, **kw
 ) -> Dict:
@@ -211,3 +376,5 @@ def warn_if_inefficient(
 
 if __name__ == "__main__":
     print(scaling_table())
+    print()
+    print(fold_scaling_table())
