@@ -388,7 +388,7 @@ def _single_pass_kernel(
     jax.jit,
     static_argnames=(
         "num_heads", "block_q", "block_k", "interpret", "use_rotary", "with_lse",
-        "block_h", "has_bias", "k_dmajor",
+        "block_h", "has_bias", "k_dmajor", "io_dmajor",
     ),
 )
 def _flash_padded(
@@ -408,6 +408,7 @@ def _flash_padded(
     block_h: int = 1,
     has_bias: bool = True,
     k_dmajor: bool = False,
+    io_dmajor: bool = False,
 ):
     """q: (BH, Tq, d), k/v: (BH, S, d), bias: (B, 1, S) fp32 — shared across
     the ``num_heads`` heads of each batch row via the index map (no H-fold
@@ -418,9 +419,17 @@ def _flash_padded(
     ``k_dmajor`` applies to both forward paths and relays q/k/v/o through
     HBM as (BH, d, X) — the transposes happen HERE, inside the jitted
     graph, and take the GEMM pair to the chip's LM-GEMM rate (BENCH_NOTES
-    "T=512 structure falsification")."""
-    bh, tq, d = q.shape
-    s_len = k.shape[1]
+    "T=512 structure falsification"). With ``io_dmajor`` (implies
+    ``k_dmajor``) q/k/v arrive ALREADY (BH, d, X) and the output stays
+    (BH, d, Tq) — no relays at all; the caller produced the layout
+    upstream (e.g. straight out of the QKV projection GEMMs)."""
+    if io_dmajor:
+        k_dmajor = True
+        bh, d, tq = q.shape
+        s_len = k.shape[2]
+    else:
+        bh, tq, d = q.shape
+        s_len = k.shape[1]
     h = num_heads
 
     rot_in = [cos, sin] if use_rotary else []
@@ -448,10 +457,12 @@ def _flash_padded(
             # 128 lanes where (X, d=64) half-fills every (8, 128) tile, and
             # the p·v product writes (d, bq) wide — attention then runs at
             # the chip's LM-GEMM rate (96-98 TF/s vs 30-47 classic,
-            # BENCH_NOTES). The transposes live in this same jitted graph.
-            q_in = jnp.swapaxes(q, 1, 2)
-            k_in = jnp.swapaxes(k, 1, 2)
-            v_in = jnp.swapaxes(v, 1, 2)
+            # BENCH_NOTES). The transposes live in this same jitted graph —
+            # unless io_dmajor, in which case the operands arrived laid out.
+            if not io_dmajor:
+                q_in = jnp.swapaxes(q, 1, 2)
+                k_in = jnp.swapaxes(k, 1, 2)
+                v_in = jnp.swapaxes(v, 1, 2)
             q_spec = pl.BlockSpec((bhb, d, block_q), lambda b, i: (b, 0, i))
             k_spec = pl.BlockSpec((bhb, d, s_len), lambda b, i: (b, 0, 0))
             v_spec = pl.BlockSpec((bhb, d, s_len), lambda b, i: (b, 0, 0))
@@ -498,7 +509,7 @@ def _flash_padded(
             interpret=interpret,
             cost_estimate=cost,
         )(q_in, k_in, v_in, *bias_in, *rot_in)
-        if k_dmajor:  # back to the callers' (BH, Tq, d) contract
+        if k_dmajor and not io_dmajor:  # back to the (BH, Tq, d) contract
             if with_lse:
                 res = (jnp.swapaxes(res[0], 1, 2), res[1])
             else:
@@ -517,9 +528,10 @@ def _flash_padded(
         # same lane-dense (d, X) relays as the single-pass path, with the
         # fp32 accumulator scratch (d, bq) so partial p·v products add in
         # their wide layout
-        q_in = jnp.swapaxes(q, 1, 2)
-        k_in = jnp.swapaxes(k, 1, 2)
-        v_in = jnp.swapaxes(v, 1, 2)
+        if not io_dmajor:
+            q_in = jnp.swapaxes(q, 1, 2)
+            k_in = jnp.swapaxes(k, 1, 2)
+            v_in = jnp.swapaxes(v, 1, 2)
         q_spec = pl.BlockSpec((1, d, block_q), lambda b, i, j: (b, 0, i))
         k_spec = pl.BlockSpec((1, d, block_k), lambda b, i, j: (b, 0, j))
         v_spec = pl.BlockSpec((1, d, block_k), lambda b, i, j: (b, 0, j))
@@ -567,7 +579,7 @@ def _flash_padded(
         interpret=interpret,
         cost_estimate=cost,
     )(q_in, k_in, v_in, bias, *rot_in)
-    if k_dmajor:  # back to the callers' (BH, Tq, d) contract
+    if k_dmajor and not io_dmajor:  # back to the (BH, Tq, d) contract
         if with_lse:
             res = (jnp.swapaxes(res[0], 1, 2), res[1])
         else:
@@ -712,7 +724,7 @@ def _dkv_kernel(*refs, use_rotary: bool, k_dmajor: bool = False):
     jax.jit,
     static_argnames=(
         "num_heads", "block_q", "block_k", "interpret", "use_rotary",
-        "k_dmajor",
+        "k_dmajor", "io_dmajor",
     ),
 )
 def _flash_bwd_padded(
@@ -724,32 +736,44 @@ def _flash_bwd_padded(
     interpret: bool,
     use_rotary: bool,
     k_dmajor: bool = False,
+    io_dmajor: bool = False,
 ):
     """dq/dk/dv for the padded flash core. δ = rowsum(do ⊙ out) is a cheap
     fused XLA reduction; the T×T probabilities are recomputed blockwise from
     (q, k, bias, lse) in both passes — nothing quadratic ever hits HBM.
     ``k_dmajor`` relays q/k/v/do and emits dq/dk/dv as (BH, d, X) inside this
     graph (the interface stays (BH, X, d)) — the lane-dense layouts of the
-    forward, applied to the recompute GEMMs."""
-    bh, tq, d = q.shape
-    s_len = k.shape[1]
+    forward, applied to the recompute GEMMs. With ``io_dmajor`` (implies
+    ``k_dmajor``) q/k/v/out/do arrive (BH, d, X) and the grads are returned
+    (BH, d, X) un-relayed."""
+    if io_dmajor:
+        k_dmajor = True
+        bh, d, tq = q.shape
+        s_len = k.shape[2]
+        delta = jnp.sum(
+            do.astype(jnp.float32) * out.astype(jnp.float32), axis=1
+        )                                                  # (BH, Tq)
+    else:
+        bh, tq, d = q.shape
+        s_len = k.shape[1]
+        delta = jnp.sum(
+            do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+        )                                                  # (BH, Tq)
     h = num_heads
     block_k = _bwd_block_k(block_k, s_len)
     nq = tq // block_q
     nk = s_len // block_k
 
-    delta = jnp.sum(
-        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
-    )                                                      # (BH, Tq)
     delta = jnp.broadcast_to(delta[:, None, :], lse.shape)  # 8-sublane layout
 
     rot_in = [cos, sin] if use_rotary else []
     table_len = cos.shape[0] if use_rotary else 0
     if k_dmajor:
-        q = jnp.swapaxes(q, 1, 2)
-        k = jnp.swapaxes(k, 1, 2)
-        v = jnp.swapaxes(v, 1, 2)
-        do = jnp.swapaxes(do, 1, 2)
+        if not io_dmajor:
+            q = jnp.swapaxes(q, 1, 2)
+            k = jnp.swapaxes(k, 1, 2)
+            v = jnp.swapaxes(v, 1, 2)
+            do = jnp.swapaxes(do, 1, 2)
         if use_rotary:
             rot_in = [jnp.swapaxes(cos, 0, 1), jnp.swapaxes(sin, 0, 1)]
 
@@ -849,7 +873,7 @@ def _flash_bwd_padded(
         cost_estimate=cost,
     )(q, k, v, bias, do, lse, delta, *rot_in)
 
-    if k_dmajor:  # back to the callers' (BH, X, d) contract
+    if k_dmajor and not io_dmajor:  # back to the (BH, X, d) contract
         dq = jnp.swapaxes(dq, 1, 2)
         dk = jnp.swapaxes(dk, 1, 2)
         dv = jnp.swapaxes(dv, 1, 2)
@@ -860,7 +884,7 @@ def _flash_bwd_padded(
 def _flash_core(
     num_heads: int, block_q: int, block_k: int, interpret: bool,
     use_rotary: bool, block_h: int = 1, has_bias: bool = True,
-    k_dmajor: bool = False,
+    k_dmajor: bool = False, io_dmajor: bool = False,
 ):
     """custom_vjp-wrapped padded flash core for one static configuration.
 
@@ -873,7 +897,9 @@ def _flash_core(
     ``k_dmajor`` re-lays q/k/v/o (and the backward's recompute operands and
     emitted grads) as (BH, d, X) inside the respective jitted graphs — the
     core's INTERFACE, the saved residuals, and the returned grads all stay
-    (BH, X, d).
+    (BH, X, d). With ``io_dmajor`` the interface ITSELF is (BH, d, X) end to
+    end — q/k/v arrive laid out from the projections, the output, residuals
+    and grads stay d-major, and no relay transposes exist anywhere.
     """
     statics = dict(
         num_heads=num_heads, block_q=block_q, block_k=block_k,
@@ -884,13 +910,14 @@ def _flash_core(
     def core(q, k, v, bias, cos, sin):
         return _flash_padded(
             q, k, v, bias, cos, sin, block_h=block_h, has_bias=has_bias,
-            k_dmajor=k_dmajor, **statics,
+            k_dmajor=k_dmajor, io_dmajor=io_dmajor, **statics,
         )
 
     def fwd(q, k, v, bias, cos, sin):
         out, lse = _flash_padded(
             q, k, v, bias, cos, sin, with_lse=True, block_h=block_h,
-            has_bias=has_bias, k_dmajor=k_dmajor, **statics,
+            has_bias=has_bias, k_dmajor=k_dmajor, io_dmajor=io_dmajor,
+            **statics,
         )
         return out, (q, k, v, bias, cos, sin, out, lse)
 
@@ -898,7 +925,7 @@ def _flash_core(
         q, k, v, bias, cos, sin, out, lse = res
         dq, dk, dv = _flash_bwd_padded(
             q, k, v, bias, cos, sin, out, lse, do, k_dmajor=k_dmajor,
-            **statics,
+            io_dmajor=io_dmajor, **statics,
         )
         dcos = None if cos is None else jnp.zeros_like(cos)
         dsin = None if sin is None else jnp.zeros_like(sin)
@@ -1045,3 +1072,62 @@ def flash_attention(
         h, block_q, block_k, interpret, rotary, block_h, has_bias, k_dmajor
     )(qf, kf, vf, bias, cos, sin)
     return out[:, :t].reshape(b, h, t, d)
+
+
+def flash_attention_dmajor(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    key_padding_mask: Optional[jax.Array] = None,
+    rotary: bool = False,
+    block_q: int = 1024,
+    block_k: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """:func:`flash_attention` with a NATIVE d-major interface: q/k/v are
+    (B, H, d, T) — the layout the d<128 kernels want in HBM — and the output
+    is (B, H, d, Tq). No relay transposes exist on this path: the caller is
+    expected to emit q/k/v d-major straight from the projection GEMMs (one
+    dot_general with the width as the lhs free dimension produces (B, D, T)
+    natively) and to consume the output the same way in out_proj — see
+    ops/attention.py's dmajor projection path. Differentiable (the custom
+    vjp's residuals and grads stay d-major)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    b, h, d, t = q.shape
+    s = k.shape[3]
+    block_q = _pick_block_q(block_q, t)
+    block_k = _pick_block_k(block_k, s)
+    tp = _round_up(t, block_q)
+    sp = _round_up(s, block_k)
+
+    qf = q.reshape(b * h, d, t)
+    kf = k.reshape(b * h, d, s)
+    vf = v.reshape(b * h, d, s)
+    if key_padding_mask is not None:
+        bias = jnp.where(key_padding_mask, NEG_INF, 0.0).astype(jnp.float32)
+    else:
+        bias = jnp.zeros((b, s), jnp.float32)
+    bias = bias[:, None, :]  # (B, 1, S)
+    if tp != t:
+        qf = jnp.pad(qf, ((0, 0), (0, 0), (0, tp - t)))
+    if sp != s:
+        kf = jnp.pad(kf, ((0, 0), (0, 0), (0, sp - s)))
+        vf = jnp.pad(vf, ((0, 0), (0, 0), (0, sp - s)))
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, sp - s)), constant_values=NEG_INF)
+
+    cos = sin = None
+    if rotary:
+        from ..ops.rotary import rotary_tables
+
+        cos, sin = rotary_tables(max(tp, sp), d, q.dtype)
+
+    block_h = _pick_block_h(h, block_q, sp, d) if sp == block_k else 1
+    has_bias = key_padding_mask is not None or sp != s
+    out = _flash_core(
+        h, block_q, block_k, interpret, rotary, block_h, has_bias,
+        k_dmajor=True, io_dmajor=True,
+    )(qf, kf, vf, bias, cos, sin)
+    return out[:, :, :t].reshape(b, h, d, t)

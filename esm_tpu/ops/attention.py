@@ -43,6 +43,43 @@ def _merge_heads(x: jax.Array) -> jax.Array:
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
 
 
+# Produce/consume the flash kernels' d-major HBM layout straight from the
+# projection GEMMs (no relay transposes). Module-level so A/B harnesses can
+# toggle it; the eligible path is the single-pass flash self-attention with
+# d_head < 128 (where the classic layout pays the half-lane tax).
+DMAJOR_IO_DEFAULT = True
+
+
+def _linear_dmajor(params, x: jax.Array) -> jax.Array:
+    """Projection emitting (B, E, T) from (B, T, D): the kernel is the
+    dot_general's LHS so its free (output-width) dimension lands MAJOR in
+    the result — XLA writes the GEMM output d-major natively instead of
+    emitting (B, T, E) and relaying. int8 scales are per output channel,
+    i.e. per row of the (E, T) slab."""
+    k = params["kernel"]
+    y = jnp.einsum("de,btd->bet", k.astype(x.dtype), x)
+    if k.dtype == jnp.int8:
+        y = y * params["scale"].astype(y.dtype).reshape(-1)[None, :, None]
+    b = params.get("bias")
+    if b is not None:
+        y = y + b.astype(y.dtype)[None, :, None]
+    return y
+
+
+def _linear_from_dmajor(params, o: jax.Array) -> jax.Array:
+    """out_proj consuming (B, E, T) and emitting (B, T, F): E contracts, the
+    RHS kernel's free dimension is minor — again the natural dot_general
+    output, no relay."""
+    k = params["kernel"]
+    y = jnp.einsum("bet,ef->btf", o, k.astype(o.dtype))
+    if k.dtype == jnp.int8:
+        y = y * params["scale"].astype(y.dtype)
+    b = params.get("bias")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
 def multihead_attention(
     params,
     x: jax.Array,
@@ -76,6 +113,35 @@ def multihead_attention(
     b, t, d = x.shape
     head_dim = d // num_heads
     scaling = head_dim ** -0.5
+
+    flash_now = (
+        use_flash and not need_weights and attn_mask is None and ring is None
+    )
+    if (
+        flash_now
+        and not use_bias_kv
+        and head_dim < 128
+        and DMAJOR_IO_DEFAULT
+    ):
+        # Native d-major flash path (no relay transposes anywhere): the QKV
+        # projections emit (B, D, T) directly — the projection dot_general
+        # puts the output width as the LHS free dimension so XLA writes the
+        # GEMM result in the layout the d<128 kernel wants — and out_proj
+        # consumes (B, D, T) the same way. This removes the four per-layer
+        # (BH, T, d)<->(BH, d, T) relays the k_dmajor kernels otherwise pay
+        # (BENCH_NOTES round-5 A/B).
+        from ..kernels.flash_attention import flash_attention_dmajor
+
+        q = _linear_dmajor(params["q_proj"], x) * scaling
+        k = _linear_dmajor(params["k_proj"], x)
+        v = _linear_dmajor(params["v_proj"], x)
+        shape4 = (b, num_heads, head_dim, t)
+        o = flash_attention_dmajor(
+            q.reshape(shape4), k.reshape(shape4), v.reshape(shape4),
+            key_padding_mask=key_padding_mask, rotary=use_rotary,
+        )
+        out = _linear_from_dmajor(params["out_proj"], o.reshape(b, d, t))
+        return AttentionOutput(out, None)
 
     q = linear(params["q_proj"], x) * scaling
     k = linear(params["k_proj"], x)

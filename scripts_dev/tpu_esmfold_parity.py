@@ -13,6 +13,10 @@ pLDDT and pTM. Three chip configs:
   bf16 trunk (serving config) — vs the same bf16 trunk on CPU, isolating
                                 backend numerics at serving precision, and
                                 vs the fp32 CPU oracle for total error
+  fp16 LM -> fp32-HIGHEST trunk — the GOLDEN-GATE configuration (PARITY.md
+                                mode 1: the reference runs its LM in fp16,
+                                esm/esmfold/v1/esmfold.py:62); vs the same
+                                fp16-LM CPU run and vs the fp32 oracle
 
 Writes PARITY.md's "on-chip" rows. Runs the CPU oracle in a subprocess
 (sitecustomize force-selects the tunneled chip; the child forces cpu in
@@ -40,10 +44,14 @@ def build(dtype_name):
     from esm_tpu.models.esmfold.trunk import FoldingTrunkConfig
 
     dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    # "fp16lm": fp16 LM feeding an fp32 trunk — the reference's execution
+    # precision for the frozen LM (esmfold.py:62); trunk stays fp32
+    lm_dtype = jnp.float16 if dtype_name == "fp16lm" else dtype
     alphabet = Alphabet.from_architecture("ESM-1b")
     cfg = ef.ESMFoldConfig(
         esm=esm2.ESM2Config.from_alphabet(
-            alphabet, num_layers=4, embed_dim=128, attention_heads=4
+            alphabet, num_layers=4, embed_dim=128, attention_heads=4,
+            compute_dtype=lm_dtype,
         ),
         trunk=FoldingTrunkConfig(
             num_blocks=2,
@@ -81,7 +89,7 @@ def main_cpu():
     import numpy as np
 
     arrs = {}
-    for name in ("fp32", "bf16"):
+    for name in ("fp32", "bf16", "fp16lm"):
         for k, v in run(name).items():
             arrs[f"{name}_{k}"] = v
     np.savez(REF_NPZ, **arrs)
@@ -111,7 +119,7 @@ def main_chip():
     ref = np.load(REF_NPZ)
     cpu = {
         name: {k: ref[f"{name}_{k}"] for k in ("positions", "s_z", "plddt", "ptm")}
-        for name in ("fp32", "bf16")
+        for name in ("fp32", "bf16", "fp16lm")
     }
 
     t0 = time.time()
@@ -126,6 +134,12 @@ def main_chip():
     got = run("bf16")
     report("bf16 trunk (serving), vs bf16 CPU     ", got, cpu["bf16"])
     report("bf16 trunk (serving), vs fp32 CPU     ", got, cpu["fp32"])
+
+    # the golden-gate configuration: fp16 LM -> fp32-HIGHEST trunk
+    with jax.default_matmul_precision("float32"):
+        got = run("fp16lm")
+    report("fp16 LM + fp32-HIGHEST trunk, vs fp16lm CPU", got, cpu["fp16lm"])
+    report("fp16 LM + fp32-HIGHEST trunk, vs fp32 CPU  ", got, cpu["fp32"])
 
 
 if __name__ == "__main__":

@@ -369,3 +369,67 @@ def test_blockwise_dmajor_rotary_masked():
         s = jnp.where(mask[:, None, None, :], -1e30, s)
         ref = jnp.einsum("bhts,bhsd->bhtd", jax.nn.softmax(s, axis=-1), v)
         assert float(jnp.abs(out - ref).max()) < 2e-5
+
+
+def test_dmajor_io_projection_path_matches_relay_path():
+    """The native d-major IO path (q/k/v emitted (B, D, T) straight from the
+    projection GEMMs, flash_attention_dmajor, out_proj consuming (B, D, T))
+    equals the relay path AND the exact path — values and gradients — under
+    mask, rotary, and an unpadded odd length (VERDICT r4 item 3)."""
+    import numpy as np
+
+    import esm_tpu.ops.attention as attn_mod
+    from esm_tpu.ops.attention import multihead_attention
+    from esm_tpu.ops.common import init_linear_torch_default
+
+    b, t, d, h = 2, 200, 128, 2  # t=200 exercises the pad/slice on the T axis
+    key = jax.random.PRNGKey(3)
+    ks = jax.random.split(key, 5)
+    params = {
+        name: init_linear_torch_default(ks[i], d, d)
+        for i, name in enumerate(("q_proj", "k_proj", "v_proj", "out_proj"))
+    }
+    x = jax.random.normal(ks[4], (b, t, d), jnp.float32) * 0.3
+    mask = jnp.zeros((b, t), bool).at[1, 150:].set(True)
+
+    def run(use_flash):
+        return multihead_attention(
+            params, x, num_heads=h, key_padding_mask=mask, use_rotary=True,
+            use_flash=use_flash,
+        ).out
+
+    assert attn_mod.DMAJOR_IO_DEFAULT
+    out_dm = run(True)
+    exact = run(False)
+    np.testing.assert_allclose(np.asarray(out_dm), np.asarray(exact), atol=3e-5)
+
+    attn_mod.DMAJOR_IO_DEFAULT = False
+    try:
+        out_relay = run(True)
+    finally:
+        attn_mod.DMAJOR_IO_DEFAULT = True
+    np.testing.assert_allclose(
+        np.asarray(out_dm), np.asarray(out_relay), atol=2e-5
+    )
+
+    # gradients flow through the projection einsums + d-major custom_vjp
+    def loss(p):
+        return jnp.sum(
+            multihead_attention(
+                p, x, num_heads=h, key_padding_mask=mask, use_rotary=True,
+                use_flash=True,
+            ).out ** 2
+        )
+
+    g_dm = jax.grad(loss)(params)
+    attn_mod.DMAJOR_IO_DEFAULT = False
+    try:
+        g_relay = jax.grad(loss)(params)
+    finally:
+        attn_mod.DMAJOR_IO_DEFAULT = True
+    for ka in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        for leaf in ("kernel", "bias"):
+            np.testing.assert_allclose(
+                np.asarray(g_dm[ka][leaf]), np.asarray(g_relay[ka][leaf]),
+                atol=5e-4, rtol=1e-4, err_msg=f"{ka}.{leaf}",
+            )
