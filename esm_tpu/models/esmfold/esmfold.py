@@ -198,8 +198,14 @@ def apply(
     s_s_0 = linear(params["esm_s_mlp"]["fc2"], h)
 
     if cfg.use_esm_attn_map:
-        # pairwise features from the LM attention maps (esmfold.py:78-84,203-208)
+        # pairwise features from the LM attention maps (esmfold.py:78-84,203-208);
+        # under pair sharding the (B, L, L, Lyr*H) map tensor and its MLP run
+        # on the trunk's pair shards (the v0 multi-device configuration: the
+        # LM is replicated — it must materialize T×T maps — but everything
+        # O(L²) downstream is sharded)
         esm_z = jax.lax.stop_gradient(esm_z.astype(jnp.float32))
+        if cfg.trunk.pair_spec is not None:
+            esm_z = jax.lax.with_sharding_constraint(esm_z, cfg.trunk.pair_spec)
         hz = layer_norm(params["esm_z_mlp"]["norm"], esm_z)
         hz = jax.nn.relu(linear(params["esm_z_mlp"]["fc1"], hz))
         s_z_0 = linear(params["esm_z_mlp"]["fc2"], hz)
@@ -290,8 +296,14 @@ def apply_sharded(
             f"PartitionSpec(None, {seq_axis!r})) so the trunk/pair heads "
             "shard; without it only the LM would be sequence-parallel"
         )
+    # v0 semantics (use_esm_attn_map, reference esm/esmfold/v1/esmfold.py:
+    # 78-84): the LM must materialize its T×T attention maps, which the ring
+    # LM cannot — the LM runs REPLICATED and the O(L²) map features plus the
+    # whole trunk/heads run pair-sharded (the maps dominate v0's memory, so
+    # the sharding still carries the multi-device win)
+    ring = None if cfg.use_esm_attn_map else (mesh, seq_axis)
     with mesh:
-        return apply(params, cfg, aa, ring=(mesh, seq_axis), **kw)
+        return apply(params, cfg, aa, ring=ring, **kw)
 
 
 # ---------------------------------------------------------------------------

@@ -39,14 +39,17 @@ from esm_tpu.models.esmfold.trunk import FoldingTrunkConfig
 from esm_tpu.pretrained import ESMFoldHandle, LMHandle
 from esm_tpu.runtime.server import InferenceServer
 
-FOLD_L = 96  # -> 128 bucket
-
-
 def getarg(name, default, cast=float):
     if name in sys.argv:
         v = sys.argv[sys.argv.index(name) + 1]
         return None if v == "none" else cast(v)
     return default
+
+
+# --fold-len 1000 measures admission honesty at the L>=1024 bucket, where
+# the cubic cost model matters (round-5 VERDICT item 1); default stays the
+# short tractable bucket
+FOLD_L = getarg("--fold-len", 96, int)
 
 
 def main():
@@ -109,17 +112,20 @@ def main():
     fold_model = ESMFoldHandle(fold_cfg, fold_params, alphabet)
     print(f"init {n/1e9:.2f}B total params in {time.time()-t0:.0f}s", flush=True)
 
+    # at the long bucket a single fold already fills most of HBM (plan_fold);
+    # B=2 OOMs — the realistic long-L serving config is per-structure dispatch
+    fold_batch = 2 if FOLD_L <= 512 else 1
     srv = InferenceServer(
         model,
         fold_model=fold_model,
         max_batch_seqs=16,
-        max_fold_batch_seqs=2,
+        max_fold_batch_seqs=fold_batch,
         max_wait_ms=20.0,
         refill_wait_ms=80.0,
         batch_bucket="max",
         max_queued_seqs=256,
         max_queued_seconds=budget,
-        max_fold_seq_len=512,
+        max_fold_seq_len=max(512, FOLD_L + 64),
     ).start()
     print(f"url {srv.url}  budget={budget}s", flush=True)
 
@@ -144,12 +150,17 @@ def main():
                 print(f"HTTP {e.code} on {path}: {e.read()[:500]}", flush=True)
             raise
 
-    # ---- warmup: compile every (B, T) embed bucket + the B in {1,2} folds
+    # ---- warmup: compile every (B, T) embed bucket + the fold shapes
+    # (the fold-only baseline never posts an embed — skip its ~6 min of
+    # bucket compiles)
     t0 = time.perf_counter()
-    for l in sorted({-(-(l + 2) // 128) * 128 - 2 for l in embed_lens}):
-        post("/embed", {"sequences": [seq(l)], "include": ["mean"]})
-        post("/embed", {"sequences": [seq(l)] * 16, "include": ["mean"]})
-    nshapes = srv.prewarm_fold([FOLD_L], batch_sizes=(1, 2), num_recycles=0)
+    if "--fold-only" not in sys.argv:
+        for l in sorted({-(-(l + 2) // 128) * 128 - 2 for l in embed_lens}):
+            post("/embed", {"sequences": [seq(l)], "include": ["mean"]})
+            post("/embed", {"sequences": [seq(l)] * 16, "include": ["mean"]})
+    nshapes = srv.prewarm_fold(
+        [FOLD_L], batch_sizes=tuple(range(1, fold_batch + 1)), num_recycles=0
+    )
     print(f"warmup (compiles + {nshapes} fold shapes): "
           f"{time.perf_counter()-t0:.1f}s", flush=True)
 
@@ -177,8 +188,9 @@ def main():
                         raise
                     time.sleep(0.3)
 
-    ts = [threading.Thread(target=settle) for _ in range(8)]
-    [t.start() for t in ts]; [t.join() for t in ts]
+    if "--fold-only" not in sys.argv:
+        ts = [threading.Thread(target=settle) for _ in range(8)]
+        [t.start() for t in ts]; [t.join() for t in ts]
     while True:
         try:
             post("/fold", {"sequences": [fold_seqs[0]], "num_recycles": 0})
@@ -200,6 +212,8 @@ def main():
         lock = threading.Lock()
         lat = []
 
+        n429 = [0]
+
         def worker():
             while True:
                 with lock:
@@ -208,7 +222,16 @@ def main():
                     except StopIteration:
                         return
                 ti = time.perf_counter()
-                done[i] = post("/fold", fold_payload(i))
+                while True:  # closed-loop clients honor Retry-After (the
+                    try:     # calibrated cost model prices long-L folds
+                        done[i] = post("/fold", fold_payload(i))  # near budget)
+                        break
+                    except urllib.error.HTTPError as e:
+                        if e.code != 429:
+                            raise
+                        with lock:
+                            n429[0] += 1
+                        time.sleep(min(int(e.headers.get("Retry-After", 2)), 15))
                 with lock:
                     lat.append(time.perf_counter() - ti)
 
@@ -218,10 +241,12 @@ def main():
         wall = time.perf_counter() - t0
         assert all(d is not None for d in done)
         lat.sort()
+        bucket = -(-FOLD_L // 64) * 64
         print(
-            f"fold-only: {n_fold} folds (L={FOLD_L}->bucket 128, 0 recycles) "
+            f"fold-only: {n_fold} folds (L={FOLD_L}->bucket {bucket}, 0 recycles) "
             f"/ 2 clients: {wall:.2f}s  {n_fold/wall:.2f} folds/s  "
-            f"p50 {lat[len(lat)//2]:.2f}s  p95 {lat[int(0.95*(len(lat)-1))]:.2f}s",
+            f"p50 {lat[len(lat)//2]:.2f}s  p95 {lat[int(0.95*(len(lat)-1))]:.2f}s  "
+            f"({n429[0]} x 429 retried)",
             flush=True,
         )
         stats = srv.stats()

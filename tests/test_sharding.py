@@ -232,6 +232,71 @@ def test_esmfold_full_sharded_apply_matches_single_device():
     assert abs(float(out_sh["ptm"][0]) - float(out_single["ptm"][0])) < 1e-4
 
 
+@pytest.mark.slow
+def test_esmfold_v0_attn_map_sharded_matches_single_device():
+    """The v0 (use_esm_attn_map) multi-device story: the LM runs replicated
+    (it must materialize T×T attention maps, which the ring LM cannot), and
+    the O(L²) map features + esm_z_mlp + trunk + pair heads run pair-sharded
+    — equal to the unsharded run (reference esm/esmfold/v1/esmfold.py:78-84,
+    203-208)."""
+    import dataclasses
+
+    from jax.sharding import NamedSharding, PartitionSpec as PS
+
+    from esm_tpu.models import esmfold as ef
+    from esm_tpu.models.esmfold.structure_module import StructureModuleConfig
+    from esm_tpu.models.esmfold.trunk import FoldingTrunkConfig
+
+    alphabet = Alphabet.from_architecture("ESM-1b")
+    mesh = make_mesh(MeshConfig(data=1, fsdp=2, tp=4))
+    pair_spec = PS(None, "tp")
+    tcfg = FoldingTrunkConfig(
+        num_blocks=1,
+        sequence_state_dim=128,
+        pairwise_state_dim=64,
+        sequence_head_width=32,
+        pairwise_head_width=32,
+        max_recycles=1,
+        structure_module=StructureModuleConfig(
+            c_s=64, c_z=64, c_ipa=16, c_resnet=16, no_heads_ipa=4, no_blocks=1
+        ),
+    )
+    fcfg = ef.ESMFoldConfig(
+        esm=esm2.ESM2Config.from_alphabet(
+            alphabet, num_layers=2, embed_dim=64, attention_heads=4
+        ),
+        trunk=tcfg,
+        use_esm_attn_map=True,
+    )
+    params = ef.init_esmfold(jax.random.PRNGKey(9), fcfg, alphabet)
+    assert "esm_z_mlp" in params  # v0 pairwise path engaged
+
+    aa = jnp.asarray(np.random.RandomState(3).randint(0, 20, (1, 64)), jnp.int32)
+    out_single = ef.apply(params, fcfg, aa, num_recycles=0)
+
+    fcfg_sh = dataclasses.replace(
+        fcfg, trunk=dataclasses.replace(tcfg, pair_spec=pair_spec)
+    )
+    params_sh = {
+        k: (shard_params(mesh, v) if k == "esm" else jax.device_put(v))
+        for k, v in params.items()
+    }
+    out_sh = ef.apply_sharded(
+        params_sh, fcfg_sh, aa, mesh=mesh, seq_axis="tp", num_recycles=0
+    )
+    # pair heads executed sharded (16 rows per device at tp=4)
+    rows = NamedSharding(mesh, pair_spec).shard_shape(out_sh["s_z"].shape)[1]
+    assert rows == 64 // 4, out_sh["s_z"].sharding
+    np.testing.assert_allclose(
+        np.asarray(out_sh["positions"][-1]),
+        np.asarray(out_single["positions"][-1]), atol=2e-3,
+    )
+    for k, tol in (("s_z", 1e-4), ("distogram_logits", 1e-4), ("plddt", 5e-3)):
+        np.testing.assert_allclose(
+            np.asarray(out_sh[k]), np.asarray(out_single[k]), atol=tol, err_msg=k
+        )
+
+
 def test_ring_attention_matches_exact():
     """Sequence-sharded ring attention == single-device attention."""
     from esm_tpu.ops.common import softmax_fp32
