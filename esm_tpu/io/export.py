@@ -5,12 +5,12 @@ them, so a model fine-tuned with esm_tpu.training can be handed back to the
 torch/HF ecosystem: the written files load in the reference's
 ``load_model_and_alphabet_local`` (/root/reference/esm/pretrained.py:65-79)
 with a strict state-dict check. Families covered: ESM-2 (v2 path, :164-219),
-ESM-1b/1v (v1 roberta_large, :90-103), MSA Transformer (v1 msa_transformer
-incl. the historical row/column swap, :114-132) and ESM-IF1 (v1
-invariant_gvp, :134-161), and the ESMFold trunk+heads in the reference's
-esmfold .pt format (save_esmfold — see its docstring for what is and is not
-verifiable without openfold). ESM-1 proper is declined with an explicit
-error (no fine-tuning story targets its protein_bert_base layout).
+ESM-1b/1v (v1 roberta_large, :90-103), ESM-1 proper (v1 protein_bert_base,
+:105-112), MSA Transformer (v1 msa_transformer incl. the historical
+row/column swap, :114-132) and ESM-IF1 (v1 invariant_gvp, :134-161), and
+the ESMFold trunk+heads in the reference's esmfold .pt format (save_esmfold
+— see its docstring for what is and is not verifiable without openfold).
+Every layout the converters ingest exports back.
 
 Layout notes (exact inverses of io/convert.py):
   * ``kernel`` (in, out)      -> torch Linear ``weight`` (out, in), transposed
@@ -320,32 +320,98 @@ def save_msa(params, cfg, path) -> Tuple[str, Optional[str]]:
     return path, _save_regression(reg, path)
 
 
-def export_esm1b_state_dict(params, cfg) -> Dict[str, np.ndarray]:
-    """ESM-1b/1v param pytree -> the reference's canonical state dict
-    (inverse of io/convert.convert_esm1 for model_version="ESM-1b" — the
-    "roberta_large" arch that covers esm1b_t33_650M and every esm1v model).
-    ESM-1 proper ("protein_bert_base": bias_kv, sinusoidal positions, untied
-    embed_out) is not exported — no fine-tuning story targets it."""
-    if getattr(cfg, "model_version", "ESM-1b") != "ESM-1b":
-        raise ValueError(
-            "only model_version='ESM-1b' (roberta_large: ESM-1b/ESM-1v) "
-            "exports; ESM-1's protein_bert_base layout is not supported"
-        )
-    emb = _as_np(params["embed_tokens"]["weight"])
-    sd: Dict[str, np.ndarray] = {
-        "embed_tokens.weight": emb,
-        "embed_positions.weight": _as_np(params["embed_positions"]["weight"]),
-    }
+def _esm1_layers_out(sd: Dict, params, *, bias_kv: bool) -> None:
+    """Shared transformer-layer emission for the ESM-1 family (scan-stacked
+    layers -> per-layer keys; ESM-1 proper adds the (1, 1, D) bias_k/v)."""
     layers = params["layers"]
     n = int(np.asarray(layers["fc1"]["kernel"]).shape[0])
     for i in range(n):
         p = f"layers.{i}"
         for name in ("k_proj", "v_proj", "q_proj", "out_proj"):
             _linear_out(sd, f"{p}.self_attn.{name}", layers["self_attn"][name], i)
+        if bias_kv:
+            for name in ("bias_k", "bias_v"):
+                sd[f"{p}.self_attn.{name}"] = _as_np(
+                    layers["self_attn"][name][i]
+                ).reshape(1, 1, -1)
         _ln_out(sd, f"{p}.self_attn_layer_norm", layers["self_attn_layer_norm"], i)
         _linear_out(sd, f"{p}.fc1", layers["fc1"], i)
         _linear_out(sd, f"{p}.fc2", layers["fc2"], i)
         _ln_out(sd, f"{p}.final_layer_norm", layers["final_layer_norm"], i)
+
+
+def export_esm1_state_dict(params, cfg) -> Dict[str, np.ndarray]:
+    """ESM-1 proper ("protein_bert_base": bias_kv attention, sinusoidal
+    positions, untied (V, D) embed_out) param pytree -> the reference's
+    canonical state dict (inverse of io/convert.convert_esm1 with
+    model_version="ESM-1"). Includes the sinusoidal
+    ``embed_positions._float_tensor`` dtype-carrier buffer."""
+    if getattr(cfg, "model_version", "ESM-1b") != "ESM-1":
+        raise ValueError("export_esm1_state_dict is for model_version='ESM-1'")
+    sd: Dict[str, np.ndarray] = {
+        "embed_tokens.weight": _as_np(params["embed_tokens"]["weight"]),
+        "embed_positions._float_tensor": np.zeros(1, np.float32),
+        "embed_out": np.ascontiguousarray(
+            _kernel_np(params["embed_out"]).T
+        ),  # stored (V, D), embedding-style (reference esm/model/esm1.py:181)
+    }
+    if "bias" in params["embed_out"]:
+        sd["embed_out_bias"] = _as_np(params["embed_out"]["bias"])
+    _esm1_layers_out(sd, params, bias_kv=True)
+    return sd
+
+
+def save_esm1(params, cfg, path) -> Tuple[str, Optional[str]]:
+    """Write ``<path>`` (+ co-located ``-contact-regression.pt``) loadable by
+    the reference's v1 protein_bert_base path (esm/pretrained.py:105-112:
+    the decoder-prefix strip lambdas are no-ops on canonical keys)."""
+    import argparse
+    import os
+
+    import torch
+
+    path = os.fspath(path)
+    stem = os.path.basename(path)
+    if stem.startswith("esm2"):
+        raise ValueError(
+            f"file name {stem!r} must not start with 'esm2' (v1 routing, "
+            "esm/pretrained.py:190)"
+        )
+    reg = _contact_regression_or_raise(params, path)
+    sd = export_esm1_state_dict(params, cfg)
+    model_data = {
+        "args": argparse.Namespace(
+            arch="protein_bert_base",
+            layers=cfg.num_layers,
+            embed_dim=cfg.embed_dim,
+            ffn_embed_dim=cfg.ffn_embed_dim,
+            attention_heads=cfg.attention_heads,
+            max_positions=cfg.max_positions,
+            final_bias=bool("bias" in params["embed_out"]),
+        ),
+        "model": {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+    }
+    torch.save(model_data, path)
+    return path, _save_regression(reg, path)
+
+
+def export_esm1b_state_dict(params, cfg) -> Dict[str, np.ndarray]:
+    """ESM-1b/1v param pytree -> the reference's canonical state dict
+    (inverse of io/convert.convert_esm1 for model_version="ESM-1b" — the
+    "roberta_large" arch that covers esm1b_t33_650M and every esm1v model).
+    ESM-1 proper exports via :func:`save_esm1`."""
+    if getattr(cfg, "model_version", "ESM-1b") != "ESM-1b":
+        raise ValueError(
+            "only model_version='ESM-1b' (roberta_large: ESM-1b/ESM-1v) "
+            "exports here; use save_esm1/export_esm1_state_dict for ESM-1's "
+            "protein_bert_base layout"
+        )
+    emb = _as_np(params["embed_tokens"]["weight"])
+    sd: Dict[str, np.ndarray] = {
+        "embed_tokens.weight": emb,
+        "embed_positions.weight": _as_np(params["embed_positions"]["weight"]),
+    }
+    _esm1_layers_out(sd, params, bias_kv=False)
     if "emb_layer_norm_before" in params:
         _ln_out(sd, "emb_layer_norm_before", params["emb_layer_norm_before"])
     _ln_out(sd, "emb_layer_norm_after", params["emb_layer_norm_after"])

@@ -311,3 +311,48 @@ def test_headless_esm2_leaves_no_file_behind(tmp_path):
     with pytest.raises(ValueError, match="contact-regression"):
         save_esm2(params, cfg, target)
     assert not target.exists()
+
+
+def test_esm1_proper_export_roundtrip_and_reference_load(tmp_path):
+    """ESM-1 proper (protein_bert_base: bias_kv attention, sinusoidal
+    positions, untied embed_out) — the last interop family: torch -> jax ->
+    torch bit-equal, and the written file loads through the reference's v1
+    protein_bert_base path with its strict check."""
+    from esm.model.esm1 import ProteinBertModel
+    from esm.pretrained import load_model_and_alphabet_local
+
+    from esm_tpu.io.convert import convert_esm1
+    from esm_tpu.io.export import export_esm1_state_dict, save_esm1
+    from esm_tpu.models import esm1 as esm1_mod
+
+    torch.manual_seed(5)
+    args = argparse.Namespace(
+        arch="protein_bert_base", layers=2, embed_dim=32, ffn_embed_dim=64,
+        attention_heads=2, max_positions=1024, final_bias=True,
+        token_dropout=False,
+    )
+    ref_alphabet = RefAlphabet.from_architecture("ESM-1")
+    ref = ProteinBertModel(args, ref_alphabet).eval()
+    _fill_params_(ref, 55)
+
+    params = convert_esm1(ref.state_dict(), model_version="ESM-1")
+    cfg = esm1_mod.ESM1Config(
+        model_version="ESM-1", num_layers=2, embed_dim=32, ffn_embed_dim=64,
+        attention_heads=2, max_positions=1024,
+    )
+    back = export_esm1_state_dict(params, cfg)
+    ref_sd = ref.state_dict()
+    assert set(back) == {k for k in ref_sd if not k.startswith("contact_head")}
+    for k, v in back.items():
+        if not k.endswith("_float_tensor"):
+            np.testing.assert_array_equal(v, ref_sd[k].numpy(), err_msg=k)
+
+    path, reg = save_esm1(params, cfg, tmp_path / "esm1_tiny.pt")
+    assert reg is not None
+    loaded, _ = load_model_and_alphabet_local(path)
+    loaded.eval()
+    toks = torch.tensor([[0, 5, 6, 7, 8]])
+    with torch.no_grad():
+        a = ref(toks)["logits"]
+        b = loaded(toks)["logits"]
+    np.testing.assert_allclose(a.numpy(), b.numpy(), atol=1e-6)
