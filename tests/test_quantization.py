@@ -140,3 +140,35 @@ def test_quantized_if_score_close():
     quant, _ = ifm.score_sequence(qparams, cfg, alphabet, coords, seq)
     assert np.isfinite(float(quant))
     assert abs(float(quant) - float(full)) < 0.3, (float(quant), float(full))
+
+
+def test_quantized_flash_dmajor_matches_exact():
+    """int8 weights through the native d-major flash projection path
+    (ops.attention._linear_dmajor / _linear_from_dmajor apply the per-output-
+    channel scales on the (B, E, T) / (B, T, F) slabs) must match the exact
+    XLA path with the same quantized weights."""
+    from esm_tpu.ops.attention import multihead_attention
+    from esm_tpu.ops.common import init_linear_torch_default
+
+    b, t, d, h = 2, 64, 128, 2
+    ks = jax.random.split(jax.random.PRNGKey(11), 5)
+    params = {
+        name: init_linear_torch_default(ks[i], d, d)
+        for i, name in enumerate(("q_proj", "k_proj", "v_proj", "out_proj"))
+    }
+    qparams = quantize_params(params, min_size=1)
+    assert qparams["q_proj"]["kernel"].dtype == jnp.int8
+    x = jax.random.normal(ks[4], (b, t, d), jnp.float32) * 0.3
+    mask = jnp.zeros((b, t), bool).at[1, 50:].set(True)
+
+    out_flash = multihead_attention(
+        qparams, x, num_heads=h, key_padding_mask=mask, use_rotary=True,
+        use_flash=True,
+    ).out
+    out_exact = multihead_attention(
+        qparams, x, num_heads=h, key_padding_mask=mask, use_rotary=True,
+        use_flash=False,
+    ).out
+    np.testing.assert_allclose(
+        np.asarray(out_flash), np.asarray(out_exact), atol=3e-5
+    )
