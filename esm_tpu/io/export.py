@@ -505,7 +505,7 @@ def export_if1_state_dict(params, cfg) -> Dict[str, np.ndarray]:
     return sd
 
 
-def save_if1(params, cfg, path) -> str:
+def save_if1(params, cfg, path) -> Tuple[str, Optional[str]]:
     """Write ``<path>`` loadable by the reference's v1 invariant_gvp path
     (esm/pretrained.py:134-161): canonical open-source key names pass through
     its historical update_name renames unchanged, the args Namespace carries
@@ -554,7 +554,10 @@ def save_if1(params, cfg, path) -> str:
         "model": {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
     }
     torch.save(model_data, path)
-    return path
+    # (path, regression_path) like every sibling saver; IF1's regression
+    # companion is always None ('esm_if' stems are in the reference's
+    # no-regression set)
+    return path, None
 
 
 def _subtree(p: Dict, idx: Optional[int]):

@@ -45,8 +45,12 @@ def _merge_heads(x: jax.Array) -> jax.Array:
 
 # Produce/consume the flash kernels' d-major HBM layout straight from the
 # projection GEMMs (no relay transposes). Module-level so A/B harnesses can
-# toggle it; the eligible path is the single-pass flash self-attention with
-# d_head < 128 (where the classic layout pays the half-lane tax).
+# toggle it; the eligible path is the flash self-attention with d_head < 128
+# (where the classic layout pays the half-lane tax). NOTE: the flag is read
+# at TRACE time and is not part of any jit cache key — after a jitted
+# forward has compiled, toggling it has no effect until jax.clear_caches()
+# (an A/B without the clear measures the first arm twice;
+# scripts_dev/tpu_dmajor_io_ab.py shows the correct discipline).
 DMAJOR_IO_DEFAULT = True
 
 

@@ -204,7 +204,10 @@ def plan_scaling_fold(
     zbytes = 2 if "bfloat16" in str(getattr(tcfg, "compute_dtype", "float32")) else 4
     tp = mesh_cfg.tp
     b, l = batch, seqlen
-    c_hidden = 128  # tri-mul projection width (c_z at the reference config)
+    # tri-mul projection width: the trunk projects c_z -> c_z
+    # (models/esmfold/init.py tri_mul linears), so the gathered operand is
+    # c_z wide at ANY trunk width — not the reference's particular 128
+    c_hidden = c_z
 
     # --- trunk block: MXU
     flops_tri = 12.0 * b * l**3 * c_z / tp

@@ -131,7 +131,8 @@ def test_if1_export_roundtrip_and_reference_load(tmp_path):
 
     # written file loads through the reference's v1 invariant_gvp path (the
     # key check runs with expected_missing = the contact-regression keys)
-    path = save_if1(params, cfg, tmp_path / "esm_if_tiny.pt")
+    path, reg = save_if1(params, cfg, tmp_path / "esm_if_tiny.pt")
+    assert reg is None  # esm_if stems are regression-free
     loaded, alphabet2 = load_model_and_alphabet_local(path)
     loaded.eval()
     for (ka, va), (kb, vb) in zip(

@@ -436,7 +436,8 @@ def test_esm_if1_fullsize_conversion():
         del v
     torch.serialization.add_safe_globals([argparse.Namespace])
     with tempfile.TemporaryDirectory() as td:
-        epath = save_if1(handle.params, handle.cfg, td + "/esm_if1_exported.pt")
+        epath, ereg = save_if1(handle.params, handle.cfg, td + "/esm_if1_exported.pt")
+        assert ereg is None  # esm_if stems are regression-free
         from esm.pretrained import load_model_and_alphabet_local as ref_load
 
         reloaded, _ = ref_load(epath)
