@@ -28,6 +28,12 @@ def create_parser():
         "(e.g. esmfold_v1)",
     )
     p.add_argument(
+        "--if-model", default=None,
+        help="also serve POST /design (ESM-IF1 sequence design / backbone "
+        "scoring) from this inverse-folding checkpoint name/path "
+        "(e.g. esm_if1_gvp4_t16_142M_UR50)",
+    )
+    p.add_argument(
         "--max-fold-batch", type=int, default=4,
         help="max sequences per fold device batch (pair tensors are O(L^2))",
     )
@@ -107,8 +113,10 @@ def start_server(args):
     if args.fp32_precision:
         jax.config.update("jax_default_matmul_precision", "float32")
 
-    if args.model_location is None and args.fold_model is None:
-        raise SystemExit("esm-serve: give an LM model name and/or --fold-model")
+    if args.model_location is None and args.fold_model is None and args.if_model is None:
+        raise SystemExit(
+            "esm-serve: give an LM model name and/or --fold-model/--if-model"
+        )
 
     model = None
     if args.model_location is not None:
@@ -145,9 +153,14 @@ def start_server(args):
         if args.int8:
             fold_model = fold_model.quantized()
 
+    if_model = None
+    if args.if_model is not None:
+        if_model, _ = pretrained.load_model_and_alphabet(args.if_model)
+
     return InferenceServer(
         model,
         fold_model=fold_model,
+        if_model=if_model,
         host=args.host,
         port=args.port,
         max_batch_seqs=args.max_batch,
@@ -172,7 +185,8 @@ def run(args):
         n = server.prewarm()
         print(f"esm-serve: prewarmed {n} (B, T) shapes in "
               f"{time.perf_counter() - t0:.1f}s")
-    print(f"esm-serve: lm={args.model_location} fold={args.fold_model} on "
+    print(f"esm-serve: lm={args.model_location} fold={args.fold_model} "
+          f"if={args.if_model} on "
           f"{server.url} (max_batch={args.max_batch}, wait={args.max_wait_ms}ms)")
     try:
         while True:

@@ -50,6 +50,13 @@ scripts/extract.py:104-131 in the reference):
   POST /score   {"sequence": "...", "mutations": ["P76A", ...], "offset_idx": 0}
                 -> {"results": [{"label", "scores": {"P76A": logp_mt - logp_wt}}]}
                 (zero-shot variant effect, wt-marginals — one forward per batch)
+  POST /design  {"coords": (L, 3, 3) N/CA/C floats | "pdb": "<PDB text>"
+                 [+ "chain"], "temperature": 1.0, "seed": 0,
+                 "num_samples": N, "partial_seq": "..."}
+                -> {"results": [{"label", "sequences": [...]}]}
+                (ESM-IF1 sequence design; with "seq": "..." it scores that
+                sequence instead -> {"ll_fullseq", "ll_withcoord"}; needs
+                --if-model)
   POST /profile {"seconds": 3, "dir": "/tmp/esm_serve_trace"}
                 -> captures a jax.profiler trace of whatever the batcher runs
                    during the window (view with xprof/tensorboard); 409 if a
@@ -105,9 +112,16 @@ class _Request:
     seqs: List[str]
     repr_layers: Tuple[int, ...] = ()
     include: Tuple[str, ...] = ()
-    kind: str = "embed"  # "embed" | "fold" | "score"
+    kind: str = "embed"  # "embed" | "fold" | "score" | "design"
     num_recycles: Optional[int] = None
     mutations: Optional[List[Tuple]] = None  # (raw, wt, idx0, mt); idx0 0-based
+    # inverse-folding (/design): one backbone per request
+    coords: Optional[Any] = None  # (L, 3, 3) N/CA/C float array
+    temperature: float = 1.0
+    seed: int = 0
+    num_samples: int = 1
+    partial_seq: Optional[str] = None
+    design_seq: Optional[str] = None  # score this sequence instead of sampling
     fmt: str = "json"  # "json" | "npz" (embed only; binary arrays, no tolist)
     # streaming requests get results pushed one-by-one as device chunks
     # finalize: messages are ("item", index, dict) | ("end", count) |
@@ -127,6 +141,10 @@ class _Request:
             return ("fold", self.num_recycles)
         if self.kind == "score":
             return ("score",)
+        if self.kind == "design":
+            # processed per request inside the group (no cross-request
+            # device batching for the autoregressive decode)
+            return ("design",)
         # fmt is host-side serialization only — compute-identical requests
         # must share a device batch regardless of json/npz
         return ("embed", self.repr_layers, self.include)
@@ -160,6 +178,7 @@ class InferenceServer:
         model=None,
         *,
         fold_model=None,
+        if_model=None,
         host: str = "127.0.0.1",
         port: int = 0,
         max_batch_seqs: int = 16,
@@ -175,8 +194,10 @@ class InferenceServer:
     ):
         if batch_bucket not in ("pow2", "max"):
             raise ValueError(f"batch_bucket must be 'pow2' or 'max', got {batch_bucket!r}")
-        if model is None and fold_model is None:
-            raise ValueError("need at least one of model (LM) / fold_model")
+        if model is None and fold_model is None and if_model is None:
+            raise ValueError(
+                "need at least one of model (LM) / fold_model / if_model"
+            )
         if model is not None and getattr(model, "kind", None) not in ("esm2", "esm1"):
             raise ValueError(
                 "InferenceServer serves single-sequence LMs (esm2/esm1); "
@@ -184,6 +205,7 @@ class InferenceServer:
             )
         self.model = model
         self.fold_model = fold_model
+        self.if_model = if_model
         self.alphabet = model.alphabet if model is not None else None
         self.max_batch_seqs = max_batch_seqs
         self.max_fold_batch_seqs = max_fold_batch_seqs
@@ -271,13 +293,16 @@ class InferenceServer:
         # 0-second budget would permanently 400 every request)
         self.max_queued_seconds = max_queued_seconds or None
         self._inflight_cost = 0.0  # sum of admitted requests' .cost
-        self._cost_unit = {"embed": 0.02, "score": 0.02, "fold": 1.0}
+        # design prior: ~0.05 s decode at L=100 measured (BENCH_NOTES
+        # "ESM-IF1"), padded for the encoder + per-L compiles
+        self._cost_unit = {"embed": 0.02, "score": 0.02, "fold": 1.0,
+                           "design": 0.5}
         # static copy for the never-admittable (400) decision: the LEARNED
         # units drift (a cold-start compile can transiently inflate them
         # 100x), and a permanent rejection must not depend on a transient
         self._cost_prior = dict(self._cost_unit)
         self._latencies_by_kind: Dict[str, List[float]] = {
-            "embed": [], "score": [], "fold": [],
+            "embed": [], "score": [], "fold": [], "design": [],
         }
         self._converter = (
             self.alphabet.get_batch_converter(truncation_seq_length, pad_to_multiple=128)
@@ -515,6 +540,8 @@ class InferenceServer:
                         fin = self._dispatch_fold_group(reqs)
                     elif reqs[0].kind == "score":
                         fin = self._dispatch_score_group(reqs)
+                    elif reqs[0].kind == "design":
+                        fin = self._dispatch_design_group(reqs)
                     else:
                         fin = self._dispatch_embed_group(reqs)
                 except Exception as e:  # noqa: BLE001 — report to the client
@@ -690,6 +717,49 @@ class InferenceServer:
                     self._finish_stream(r)
                 else:
                     self._finish(r, buffers[id(r)])
+
+        return finalize
+
+    def _dispatch_design_group(self, reqs: List[_Request]):
+        """Inverse-folding requests (ESM-IF1, reference
+        esm/inverse_folding/gvp_transformer.py:88-140 sample /
+        util.py:108-131 score): each request carries one backbone and is
+        processed in turn — the autoregressive decode is already ONE
+        compiled scan per structure (vs the reference's per-token python
+        loop), so there is no cross-request device batching to exploit.
+        The per-(L, samples) work feeds the 'design' cost EMA."""
+        t0 = time.perf_counter()
+        outs: List[Dict[str, Any]] = []
+        for r in reqs:
+            if r.design_seq is not None:
+                ll_full, ll_coord = self.if_model.score_sequence(
+                    r.coords, r.design_seq
+                )
+                outs.append({
+                    "label": r.labels[0], "sequence": r.design_seq,
+                    "ll_fullseq": round(ll_full, 6),
+                    "ll_withcoord": round(ll_coord, 6),
+                })
+            else:
+                seqs = [
+                    self.if_model.sample(
+                        r.coords, temperature=r.temperature, seed=r.seed + i,
+                        partial_seq=r.partial_seq,
+                    )
+                    for i in range(r.num_samples)
+                ]
+                outs.append({
+                    "label": r.labels[0], "sequences": seqs,
+                    "temperature": r.temperature, "seed": r.seed,
+                })
+
+        def finalize():
+            self._observe_cost(
+                "design", time.perf_counter() - t0,
+                sum(self._design_units(r) for r in reqs),
+            )
+            for r, out in zip(reqs, outs):
+                self._finish(r, [out])
 
         return finalize
 
@@ -1029,12 +1099,21 @@ class InferenceServer:
             )
         return total * self._fold_passes(num_recycles)
 
+    @staticmethod
+    def _design_units(req: _Request) -> float:
+        """Length-normalized design work: one unit = one 256-residue decode
+        (the scan is O(L) steps of O(L) attention), times the samples."""
+        l = max(len(req.coords), 1)
+        return max(l / 256.0, 0.25) * max(req.num_samples, 1)
+
     def _estimate_cost(self, req: _Request, units=None) -> float:
         """Estimated chip-seconds for a request, from the per-kind EMAs
         (or a given unit table). Caller holds self._lock."""
         units = units if units is not None else self._cost_unit
         if req.kind == "fold":
             return units["fold"] * self._fold_units(req.seqs, req.num_recycles)
+        if req.kind == "design":
+            return units["design"] * self._design_units(req)
         return units[req.kind] * len(req.seqs)
 
     def _observe_cost(self, kind: str, seconds: float, units: float) -> None:
@@ -1128,6 +1207,92 @@ class InferenceServer:
             _Request(
                 labels, seqs, kind="fold", num_recycles=num_recycles,
                 stream_q=_parse_stream(payload),
+            )
+        )
+
+    _MAX_DESIGN_LEN = 1024  # decode is O(L²) attention; bound host+chip work
+
+    def _submit_design(self, payload: Dict[str, Any]) -> _Request:
+        """POST /design: {"coords": (L, 3, 3) N/CA/C floats | "pdb": str
+        [+ "chain"], "temperature": T, "seed": S, "num_samples": N,
+        "partial_seq": str} samples sequences for the backbone; with "seq"
+        it scores that sequence instead (avg log-likelihood full/coords)."""
+        import numpy as np
+
+        if self.if_model is None:
+            raise ValueError(
+                "no inverse-folding model loaded (start esm-serve with --if-model)"
+            )
+        if payload.get("stream"):
+            raise ValueError("stream is not supported on /design (one-row responses)")
+        if ("coords" in payload) == ("pdb" in payload):
+            raise ValueError('give exactly one of "coords" or "pdb"')
+        if "pdb" in payload:
+            import tempfile
+
+            from ..models.inverse_folding.util import load_coords
+
+            if not isinstance(payload["pdb"], str) or not payload["pdb"]:
+                raise ValueError('"pdb" must be a non-empty PDB file string')
+            with tempfile.NamedTemporaryFile("w", suffix=".pdb") as f:
+                f.write(payload["pdb"])
+                f.flush()
+                coords, _seq = load_coords(f.name, payload.get("chain"))
+            coords = np.asarray(coords, np.float32)
+        else:
+            try:
+                coords = np.asarray(payload["coords"], np.float32)
+            except (ValueError, TypeError) as e:
+                raise ValueError(f"coords not parseable as floats: {e}")
+        if coords.ndim != 3 or coords.shape[1:] != (3, 3) or len(coords) < 2:
+            raise ValueError(
+                f'"coords" must be (L, 3, 3) backbone N/CA/C with L >= 2, '
+                f"got shape {tuple(coords.shape)}"
+            )
+        if len(coords) > self._MAX_DESIGN_LEN:
+            raise ValueError(
+                f"backbone length {len(coords)} exceeds the design cap "
+                f"{self._MAX_DESIGN_LEN}"
+            )
+        temperature = payload.get("temperature", 1.0)
+        if not isinstance(temperature, (int, float)) or not temperature > 0:
+            raise ValueError(f"temperature must be > 0, got {temperature!r}")
+        seed = payload.get("seed", 0)
+        if not isinstance(seed, int):
+            raise ValueError("seed must be an int")
+        num_samples = payload.get("num_samples", 1)
+        if not isinstance(num_samples, int) or not 1 <= num_samples <= 16:
+            raise ValueError(f"num_samples must be in [1, 16], got {num_samples!r}")
+        if_alphabet = self.if_model.alphabet
+        seq = payload.get("seq")
+        if seq is not None:
+            if not isinstance(seq, str) or len(seq) != len(coords):
+                raise ValueError(
+                    '"seq" must be a string with one residue per backbone '
+                    f"position ({len(coords)})"
+                )
+            bad = [c for c in seq if c not in if_alphabet.tok_to_idx]
+            if bad:
+                raise ValueError(f"unknown residue {bad[0]!r} in seq")
+        partial = payload.get("partial_seq")
+        if partial is not None:
+            if seq is not None:
+                raise ValueError('"partial_seq" only applies when sampling (no "seq")')
+            if not isinstance(partial, str) or len(partial) > len(coords):
+                raise ValueError(
+                    '"partial_seq" must be a string no longer than the backbone'
+                )
+            bad = [c for c in partial if c not in if_alphabet.tok_to_idx]
+            if bad:
+                raise ValueError(f"unknown residue {bad[0]!r} in partial_seq")
+        label = payload.get("label", "design")
+        if not isinstance(label, str):
+            raise ValueError("label must be a string")
+        return self._enqueue(
+            _Request(
+                [label], ["<backbone>"], kind="design", coords=coords,
+                temperature=float(temperature), seed=seed,
+                num_samples=num_samples, partial_seq=partial, design_seq=seq,
             )
         )
 
@@ -1332,6 +1497,7 @@ class InferenceServer:
                     "/embed": server._submit,
                     "/fold": server._submit_fold,
                     "/score": server._submit_score,
+                    "/design": server._submit_design,
                 }
                 if self.path not in routes:
                     self._send(404, {"error": f"unknown path {self.path}"})

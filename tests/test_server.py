@@ -1075,3 +1075,123 @@ def test_zero_budget_disables_cost_cap(server):
         assert "results" in ok
     finally:
         srv.stop()
+
+
+# ---------------------------------------------------------------------------
+# /design: inverse-folding as a service (ESM-IF1 sample + score)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def design_server():
+    from esm_tpu.models.inverse_folding import init as if_init
+    from esm_tpu.models.inverse_folding.model import GVPTransformerConfig
+    from esm_tpu.pretrained import IFHandle
+
+
+    if_alphabet = Alphabet.from_architecture("invariant_gvp")
+    cfg = GVPTransformerConfig(
+        encoder_embed_dim=32, encoder_layers=1, encoder_attention_heads=2,
+        encoder_ffn_embed_dim=64, decoder_embed_dim=32, decoder_layers=1,
+        decoder_attention_heads=2, decoder_ffn_embed_dim=64,
+        gvp_top_k_neighbors=5, gvp_node_hidden_dim_scalar=16,
+        gvp_node_hidden_dim_vector=4, gvp_edge_hidden_dim_scalar=8,
+        gvp_edge_hidden_dim_vector=1, gvp_num_encoder_layers=1,
+    )
+    params = if_init(jax.random.PRNGKey(4), cfg)
+    if_model = IFHandle(cfg, params, if_alphabet)
+    srv = InferenceServer(if_model=if_model, max_wait_ms=50.0).start()
+    yield srv, if_model
+    srv.stop()
+
+
+def _backbone(L, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.cumsum(rng.normal(0, 1.0, (L, 3, 3)).astype(np.float32), axis=0)
+
+
+def test_design_sample_and_score(design_server):
+    srv, if_model = design_server
+    coords = _backbone(12)
+
+    out = _post(srv, {
+        "coords": coords.tolist(), "num_samples": 2, "seed": 7,
+        "temperature": 1.0, "label": "bb1",
+    }, path="/design")
+    r = out["results"][0]
+    assert r["label"] == "bb1" and len(r["sequences"]) == 2
+    # deterministic: direct calls with the same seeds reproduce both samples
+    # (a random-init model may emit multi-char special tokens — compare the
+    # strings, don't count characters)
+    direct = if_model.sample(coords, temperature=1.0, seed=7)
+    assert r["sequences"][0] == direct
+    assert r["sequences"][1] == if_model.sample(coords, temperature=1.0, seed=8)
+
+    # scoring mode matches the direct score
+    seq = direct
+    out = _post(srv, {"coords": coords.tolist(), "seq": seq}, path="/design")
+    r = out["results"][0]
+    ll_full, ll_coord = if_model.score_sequence(coords, seq)
+    assert r["ll_fullseq"] == pytest.approx(ll_full, abs=1e-5)
+    assert r["ll_withcoord"] == pytest.approx(ll_coord, abs=1e-5)
+    # the design latency/cost plumbing engaged
+    stats = srv.stats()
+    assert stats["cost_unit_s"]["design"] > 0
+
+
+def test_design_validation_errors(design_server):
+    srv, _ = design_server
+
+    def expect_400(payload, match):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _post(srv, payload, path="/design")
+        assert e.value.code == 400
+        body = json.loads(e.value.read())
+        assert match in body["error"], body
+
+    expect_400({}, "exactly one")
+    expect_400({"coords": [[0, 0, 0]]}, "(L, 3, 3)")
+    expect_400({"coords": _backbone(4).tolist(), "pdb": "x"}, "exactly one")
+    expect_400({"coords": _backbone(4).tolist(), "temperature": 0}, "temperature")
+    expect_400({"coords": _backbone(4).tolist(), "num_samples": 99}, "num_samples")
+    expect_400({"coords": _backbone(4).tolist(), "seq": "AG"}, "one residue per")
+    expect_400({"coords": _backbone(4).tolist(), "seq": "AGX7"}, "unknown residue")
+    expect_400(
+        {"coords": _backbone(4).tolist(), "seq": "AGAG", "partial_seq": "A"},
+        "only applies",
+    )
+
+
+def test_design_without_if_model_is_400(server):
+    srv, _ = server  # the LM-only fixture has no if_model
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv, {"coords": _backbone(4).tolist()}, path="/design")
+    assert e.value.code == 400
+    assert "--if-model" in json.loads(e.value.read())["error"]
+
+
+def test_design_from_pdb_payload(design_server):
+    """A PDB file string round-trips through the host-side parser to the
+    same backbone the coords payload uses."""
+    srv, if_model = design_server
+    coords = _backbone(6, seed=3)
+    lines = []
+    atoms = ("N", "CA", "C")
+    serial = 1
+    for i, res in enumerate(coords):
+        for a, xyz in zip(atoms, res):
+            # fixed PDB columns: name 13-16 (short names start col 14),
+            # altLoc 17, resName 18-20, chain 22, resSeq 23-26, x from 31
+            lines.append(
+                f"ATOM  {serial:5d}  {a:<3s} ALA A{i + 1:4d}    "
+                f"{xyz[0]:8.3f}{xyz[1]:8.3f}{xyz[2]:8.3f}  1.00  0.00          "
+                f"{a[0]:>2s}"
+            )
+            serial += 1
+    pdb = "\n".join(lines) + "\nEND\n"
+    out = _post(srv, {"pdb": pdb, "chain": "A", "seed": 1}, path="/design")
+    r = out["results"][0]
+    # the real check: the server's PDB parse yields the same backbone the
+    # coords payload would — the seeded sample is identical (a random-init
+    # model may emit multi-char special tokens, so compare strings, not len)
+    assert r["sequences"][0] == if_model.sample(coords, temperature=1.0, seed=1)
