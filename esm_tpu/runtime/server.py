@@ -425,6 +425,26 @@ class InferenceServer:
                 count += 1
         return count
 
+    def prewarm_design(self, lengths) -> int:
+        """Compile the /design decode for the given backbone lengths (one
+        compiled scan per exact L — ~12 s cold per length on this chip;
+        sample() returns only after the device finished, so no extra
+        readback is needed)."""
+        if self.if_model is None:
+            return 0
+        import numpy as np
+
+        count = 0
+        for L in lengths:
+            # a straight-line synthetic backbone; the compile only cares
+            # about the length
+            coords = np.zeros((int(L), 3, 3), np.float32)
+            coords[:, :, 0] = np.arange(int(L), dtype=np.float32)[:, None] * 3.8
+            coords[:, 1, 1] = 1.5  # CA off the N-C axis: finite frames
+            self.if_model.sample(coords, seed=0)
+            count += 1
+        return count
+
     def stop(self) -> None:
         self._stop.set()
         self._httpd.shutdown()

@@ -1195,3 +1195,10 @@ def test_design_from_pdb_payload(design_server):
     # coords payload would — the seeded sample is identical (a random-init
     # model may emit multi-char special tokens, so compare strings, not len)
     assert r["sequences"][0] == if_model.sample(coords, temperature=1.0, seed=1)
+
+
+def test_prewarm_design(design_server):
+    srv, _ = design_server
+    assert srv.prewarm_design([8, 12]) == 2
+    # LM-only servers return 0 rather than raising
+    assert InferenceServer.prewarm_design.__doc__  # exists on the class
