@@ -154,7 +154,7 @@ def test_esmfold_full_sharded_apply_matches_single_device():
     WITH chunked triangle attention composed on top (chunk_size=32 — the
     real multi-chip long-L configuration: shard for memory, chunk within
     the shard), 2 recycles, and the distogram/pTM/PAE heads computed over
-    the sharded s_z — at L=128 (4 pair-row shards of 32 per device at tp=4)
+    the sharded s_z — at L=192 (6 pair-row shards of 48 per device at tp=4)
     — equals the unsharded run, and plan_fold's shard accounting matches
     JAX's actual shard shapes at this config."""
     import dataclasses
@@ -189,7 +189,7 @@ def test_esmfold_full_sharded_apply_matches_single_device():
     )
     params = ef.init_esmfold(jax.random.PRNGKey(7), fcfg, alphabet)
 
-    b, l = 1, 128
+    b, l = 1, 192  # 6 pair-row shards of 48 per device at tp=4
     g = np.random.RandomState(1)
     aa = jnp.asarray(g.randint(0, 20, (b, l)), jnp.int32)
 
