@@ -250,33 +250,59 @@ def sample(
     confidence=None,
     seed: int = 0,
     return_tokens: bool = False,
+    num_samples: int = 1,
+    pad_to_multiple: Optional[int] = None,
 ):
-    """Autoregressive sequence design (reference gvp_transformer.py:88-140)."""
+    """Autoregressive sequence design (reference gvp_transformer.py:88-140).
+
+    ``num_samples > 1`` draws N independent sequences in ONE batched decode
+    (one encoder run + one scan dispatch; one PRNG stream drives the whole
+    batch) and returns a list. ``pad_to_multiple`` NaN-pads the backbone to
+    a length bucket so diverse-length workloads share compiled programs
+    (NaN rows are the batch converter's padding convention, so the sampled
+    prefix is identical to the unpadded call — tested); the padded tail is
+    stripped from the result."""
+    coords = np.asarray(coords, np.float32)
     L = len(coords)
+    if pad_to_multiple:
+        padn = (-L) % int(pad_to_multiple)
+        if padn:
+            coords = np.concatenate(
+                [coords, np.full((padn, 3, 3), np.nan, np.float32)]
+            )
+    lp = len(coords)
     converter = CoordBatchConverter(alphabet)
     batch_coords, conf, _, _, padding_mask = converter([(coords, confidence, None)])
 
-    tokens = np.full((1, 1 + L), cfg.mask_idx, np.int32)
+    tokens = np.full((1, 1 + lp), cfg.mask_idx, np.int32)
     tokens[0, 0] = cfg.cath_idx
     if partial_seq is not None:
         for i, c in enumerate(partial_seq):
             tokens[0, i + 1] = alphabet.get_idx(c)
 
+    n = max(int(num_samples), 1)
+
+    def tile(x):
+        return jnp.broadcast_to(jnp.asarray(x), (n,) + tuple(np.shape(x))[1:])
+
     out = _sample_tokens(
         params,
         cfg,
-        jnp.asarray(batch_coords),
-        jnp.asarray(padding_mask),
-        jnp.asarray(conf),
-        jnp.asarray(tokens),
+        tile(batch_coords),
+        tile(padding_mask),
+        tile(conf),
+        tile(tokens),
         jax.random.PRNGKey(seed),
         temperature,
-        L,
+        lp,
     )
-    out = np.asarray(out)[0, 1:]
+    out = np.asarray(out)[:, 1 : 1 + L]  # strip <cath> and any padded tail
     if return_tokens:
-        return out
-    return "".join(alphabet.get_tok(int(a)) for a in out)
+        return out if num_samples > 1 else out[0]
+    seqs = [
+        "".join(alphabet.get_tok(int(a)) for a in row) for row in out
+    ]
+    return seqs if num_samples > 1 else seqs[0]
 
 
 def get_encoder_output(params, cfg, alphabet: Alphabet, coords):

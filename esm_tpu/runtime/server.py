@@ -52,11 +52,14 @@ scripts/extract.py:104-131 in the reference):
                 (zero-shot variant effect, wt-marginals — one forward per batch)
   POST /design  {"coords": (L, 3, 3) N/CA/C floats | "pdb": "<PDB text>"
                  [+ "chain"], "temperature": 1.0, "seed": 0,
-                 "num_samples": N, "partial_seq": "..."}
+                 "num_samples": N, "partial_seq": "...", "bucket": 16}
                 -> {"results": [{"label", "sequences": [...]}]}
-                (ESM-IF1 sequence design; with "seq": "..." it scores that
-                sequence instead -> {"ll_fullseq", "ll_withcoord"}; needs
-                --if-model)
+                (ESM-IF1 sequence design; N samples run as ONE batched
+                decode; backbones NaN-pad to the 16-bucket so lengths share
+                compiled programs — results are deterministic per
+                (seed, bucket); "bucket": 0 decodes at the exact length.
+                With "seq": "..." it scores that sequence instead ->
+                {"ll_fullseq", "ll_withcoord"}. Needs --if-model)
   POST /profile {"seconds": 3, "dir": "/tmp/esm_serve_trace"}
                 -> captures a jax.profiler trace of whatever the batcher runs
                    during the window (view with xprof/tensorboard); 409 if a
@@ -122,6 +125,7 @@ class _Request:
     num_samples: int = 1
     partial_seq: Optional[str] = None
     design_seq: Optional[str] = None  # score this sequence instead of sampling
+    design_bucket: int = 16  # NaN-pad sampling backbones to this multiple (0 = exact)
     fmt: str = "json"  # "json" | "npz" (embed only; binary arrays, no tolist)
     # streaming requests get results pushed one-by-one as device chunks
     # finalize: messages are ("item", index, dict) | ("end", count) |
@@ -318,6 +322,7 @@ class InferenceServer:
         self._lock = threading.Lock()
         self._stats = {
             "requests": 0, "sequences": 0, "batches": 0, "fold_batches": 0,
+            "design_batches": 0, "designed_backbones": 0,
             "batched_sequences": 0, "errors": 0, "rejected": 0,
         }
         self._latencies: List[float] = []
@@ -425,24 +430,29 @@ class InferenceServer:
                 count += 1
         return count
 
-    def prewarm_design(self, lengths) -> int:
-        """Compile the /design decode for the given backbone lengths (one
-        compiled scan per exact L — ~12 s cold per length on this chip;
-        sample() returns only after the device finished, so no extra
-        readback is needed)."""
+    def prewarm_design(self, lengths, num_samples=(1,)) -> int:
+        """Compile the /design decode for the given backbone lengths (and
+        sample batch sizes) — ~12 s cold per (bucketed L, N) shape on this
+        chip; sample() returns only after the device finished, so no extra
+        readback is needed. Lengths round up to DESIGN_LENGTH_BUCKET, the
+        serving default (warming 100 covers every 97-112-residue request)."""
         if self.if_model is None:
             return 0
         import numpy as np
 
         count = 0
         for L in lengths:
-            # a straight-line synthetic backbone; the compile only cares
-            # about the length
-            coords = np.zeros((int(L), 3, 3), np.float32)
-            coords[:, :, 0] = np.arange(int(L), dtype=np.float32)[:, None] * 3.8
-            coords[:, 1, 1] = 1.5  # CA off the N-C axis: finite frames
-            self.if_model.sample(coords, seed=0)
-            count += 1
+            for n in num_samples:
+                # a straight-line synthetic backbone; the compile only
+                # cares about the (bucketed) length
+                coords = np.zeros((int(L), 3, 3), np.float32)
+                coords[:, :, 0] = np.arange(int(L), dtype=np.float32)[:, None] * 3.8
+                coords[:, 1, 1] = 1.5  # CA off the N-C axis: finite frames
+                self.if_model.sample(
+                    coords, seed=0, num_samples=int(n),
+                    pad_to_multiple=self.DESIGN_LENGTH_BUCKET,
+                )
+                count += 1
         return count
 
     def stop(self) -> None:
@@ -740,46 +750,56 @@ class InferenceServer:
 
         return finalize
 
+    DESIGN_LENGTH_BUCKET = 16  # NaN-pad backbones to this multiple (compiles)
+
     def _dispatch_design_group(self, reqs: List[_Request]):
         """Inverse-folding requests (ESM-IF1, reference
         esm/inverse_folding/gvp_transformer.py:88-140 sample /
-        util.py:108-131 score): each request carries one backbone and is
-        processed in turn — the autoregressive decode is already ONE
-        compiled scan per structure (vs the reference's per-token python
-        loop), so there is no cross-request device batching to exploit.
-        The per-(L, samples) work feeds the 'design' cost EMA."""
-        t0 = time.perf_counter()
-        outs: List[Dict[str, Any]] = []
-        for r in reqs:
-            if r.design_seq is not None:
-                ll_full, ll_coord = self.if_model.score_sequence(
-                    r.coords, r.design_seq
-                )
-                outs.append({
-                    "label": r.labels[0], "sequence": r.design_seq,
-                    "ll_fullseq": round(ll_full, 6),
-                    "ll_withcoord": round(ll_coord, 6),
-                })
-            else:
-                seqs = [
-                    self.if_model.sample(
-                        r.coords, temperature=r.temperature, seed=r.seed + i,
-                        partial_seq=r.partial_seq,
-                    )
-                    for i in range(r.num_samples)
-                ]
-                outs.append({
-                    "label": r.labels[0], "sequences": seqs,
-                    "temperature": r.temperature, "seed": r.seed,
-                })
+        util.py:108-131 score). N samples for one backbone run as ONE
+        batched decode (one encoder pass, one scan dispatch), and sampling
+        backbones are NaN-padded to DESIGN_LENGTH_BUCKET so diverse-length
+        traffic shares compiled programs (the batch converter's own padding
+        convention — like any reference batched run, the pad rows read as
+        missing residues at the boundary, so results are deterministic per
+        (seed, bucket) but not bitwise-equal to an unpadded call; clients
+        pass "bucket": 0 for exact-length decoding at per-L compile cost).
+        ALL device work runs in the returned finalize() on the finalize
+        thread — sample()/score() block until readback, and a blocking call
+        in dispatch would head-of-line-block every other endpoint's batches
+        for the whole decode (or a ~12 s cold compile)."""
 
         def finalize():
+            t0 = time.perf_counter()
+            for r in reqs:
+                if r.design_seq is not None:
+                    ll_full, ll_coord = self.if_model.score_sequence(
+                        r.coords, r.design_seq
+                    )
+                    out = {
+                        "label": r.labels[0], "sequence": r.design_seq,
+                        "ll_fullseq": round(ll_full, 6),
+                        "ll_withcoord": round(ll_coord, 6),
+                    }
+                else:
+                    seqs = self.if_model.sample(
+                        r.coords, temperature=r.temperature, seed=r.seed,
+                        partial_seq=r.partial_seq, num_samples=r.num_samples,
+                        pad_to_multiple=r.design_bucket or None,
+                    )
+                    if r.num_samples == 1:
+                        seqs = [seqs]
+                    out = {
+                        "label": r.labels[0], "sequences": seqs,
+                        "temperature": r.temperature, "seed": r.seed,
+                    }
+                self._finish(r, [out])
+            with self._lock:
+                self._stats["design_batches"] += 1
+                self._stats["designed_backbones"] += len(reqs)
             self._observe_cost(
                 "design", time.perf_counter() - t0,
                 sum(self._design_units(r) for r in reqs),
             )
-            for r, out in zip(reqs, outs):
-                self._finish(r, [out])
 
         return finalize
 
@@ -1121,10 +1141,14 @@ class InferenceServer:
 
     @staticmethod
     def _design_units(req: _Request) -> float:
-        """Length-normalized design work: one unit = one 256-residue decode
-        (the scan is O(L) steps of O(L) attention), times the samples."""
+        """Design work: the decode is L scan steps, each O(d^2 + L*d) per
+        layer (projections + attention over <=L cached/encoder keys), so
+        t(L) ~ L*(1 + L/d) with d=512 — LINEAR until L ~ d, quadratic past
+        it. One unit = one 256-residue decode; times the samples. (Shape
+        from the op count; the L=100 measurement anchors the EMA's unit.)"""
         l = max(len(req.coords), 1)
-        return max(l / 256.0, 0.25) * max(req.num_samples, 1)
+        units = (l / 256.0) * (1.0 + l / 512.0) / 1.5
+        return max(units, 0.25) * max(req.num_samples, 1)
 
     def _estimate_cost(self, req: _Request, units=None) -> float:
         """Estimated chip-seconds for a request, from the per-kind EMAs
@@ -1254,11 +1278,25 @@ class InferenceServer:
 
             if not isinstance(payload["pdb"], str) or not payload["pdb"]:
                 raise ValueError('"pdb" must be a non-empty PDB file string')
-            with tempfile.NamedTemporaryFile("w", suffix=".pdb") as f:
-                f.write(payload["pdb"])
-                f.flush()
-                coords, _seq = load_coords(f.name, payload.get("chain"))
+            try:
+                with tempfile.NamedTemporaryFile("w", suffix=".pdb") as f:
+                    f.write(payload["pdb"])
+                    f.flush()
+                    coords, _seq = load_coords(f.name, payload.get("chain"))
+            except Exception as e:  # noqa: BLE001 — malformed client input:
+                # biotite raises its own InvalidFileError and the duplicate-
+                # atom check a RuntimeError; neither is in do_POST's 400
+                # catch set, and an unwound handler thread resets the
+                # client's connection instead of answering
+                raise ValueError(f"could not parse PDB payload: {e}")
             coords = np.asarray(coords, np.float32)
+            if coords.shape[0] == 0:
+                # the biotite-free parser silently yields an empty selection
+                # for an unknown chain — name the actual problem
+                raise ValueError(
+                    f"chain {payload.get('chain')!r} not found (or has no "
+                    "backbone atoms) in the PDB payload"
+                )
         else:
             try:
                 coords = np.asarray(payload["coords"], np.float32)
@@ -1278,11 +1316,19 @@ class InferenceServer:
         if not isinstance(temperature, (int, float)) or not temperature > 0:
             raise ValueError(f"temperature must be > 0, got {temperature!r}")
         seed = payload.get("seed", 0)
-        if not isinstance(seed, int):
-            raise ValueError("seed must be an int")
+        if not isinstance(seed, int) or not 0 <= seed < 2**31:
+            # out-of-range ints overflow PRNGKey's C long on the batcher
+            # thread — a client error, judged here as a 400
+            raise ValueError(f"seed must be an int in [0, 2^31), got {seed!r}")
         num_samples = payload.get("num_samples", 1)
         if not isinstance(num_samples, int) or not 1 <= num_samples <= 16:
             raise ValueError(f"num_samples must be in [1, 16], got {num_samples!r}")
+        bucket = payload.get("bucket", self.DESIGN_LENGTH_BUCKET)
+        if not isinstance(bucket, int) or not 0 <= bucket <= 256:
+            raise ValueError(
+                f"bucket must be an int in [0, 256] (0 = exact-length "
+                f"compile), got {bucket!r}"
+            )
         if_alphabet = self.if_model.alphabet
         seq = payload.get("seq")
         if seq is not None:
@@ -1313,6 +1359,7 @@ class InferenceServer:
                 [label], ["<backbone>"], kind="design", coords=coords,
                 temperature=float(temperature), seed=seed,
                 num_samples=num_samples, partial_seq=partial, design_seq=seq,
+                design_bucket=bucket,
             )
         )
 

@@ -1120,23 +1120,34 @@ def test_design_sample_and_score(design_server):
     }, path="/design")
     r = out["results"][0]
     assert r["label"] == "bb1" and len(r["sequences"]) == 2
-    # deterministic: direct calls with the same seeds reproduce both samples
-    # (a random-init model may emit multi-char special tokens — compare the
-    # strings, don't count characters)
-    direct = if_model.sample(coords, temperature=1.0, seed=7)
-    assert r["sequences"][0] == direct
-    assert r["sequences"][1] == if_model.sample(coords, temperature=1.0, seed=8)
+    # deterministic: a direct batched call with the same (seed, bucket)
+    # reproduces both samples — the server runs num_samples as ONE batched
+    # decode on the 16-bucketed backbone (compare strings, not characters:
+    # a random-init model may emit multi-char special tokens)
+    direct = if_model.sample(
+        coords, temperature=1.0, seed=7, num_samples=2, pad_to_multiple=16
+    )
+    assert r["sequences"] == direct
+    # "bucket": 0 decodes at the exact length and matches the plain call
+    out0 = _post(srv, {
+        "coords": coords.tolist(), "seed": 7, "bucket": 0,
+    }, path="/design")
+    assert out0["results"][0]["sequences"][0] == if_model.sample(
+        coords, temperature=1.0, seed=7
+    )
 
-    # scoring mode matches the direct score
-    seq = direct
+    # scoring mode matches the direct score (fixed valid sequence — a
+    # random-init model's samples can contain non-residue tokens)
+    seq = "KALTARQQEVFD"
     out = _post(srv, {"coords": coords.tolist(), "seq": seq}, path="/design")
     r = out["results"][0]
     ll_full, ll_coord = if_model.score_sequence(coords, seq)
     assert r["ll_fullseq"] == pytest.approx(ll_full, abs=1e-5)
     assert r["ll_withcoord"] == pytest.approx(ll_coord, abs=1e-5)
-    # the design latency/cost plumbing engaged
+    # the design latency/cost/counter plumbing engaged
     stats = srv.stats()
     assert stats["cost_unit_s"]["design"] > 0
+    assert stats["design_batches"] >= 2 and stats["designed_backbones"] >= 2
 
 
 def test_design_validation_errors(design_server):
@@ -1160,6 +1171,8 @@ def test_design_validation_errors(design_server):
         {"coords": _backbone(4).tolist(), "seq": "AGAG", "partial_seq": "A"},
         "only applies",
     )
+    expect_400({"coords": _backbone(4).tolist(), "seed": 2**63}, "seed")
+    expect_400({"coords": _backbone(4).tolist(), "bucket": -1}, "bucket")
 
 
 def test_design_without_if_model_is_400(server):
@@ -1192,13 +1205,22 @@ def test_design_from_pdb_payload(design_server):
     out = _post(srv, {"pdb": pdb, "chain": "A", "seed": 1}, path="/design")
     r = out["results"][0]
     # the real check: the server's PDB parse yields the same backbone the
-    # coords payload would — the seeded sample is identical (a random-init
-    # model may emit multi-char special tokens, so compare strings, not len)
-    assert r["sequences"][0] == if_model.sample(coords, temperature=1.0, seed=1)
+    # coords payload would — the seeded (bucketed) sample is identical (a
+    # random-init model may emit multi-char special tokens, so compare
+    # strings, not lengths)
+    assert r["sequences"][0] == if_model.sample(
+        coords, temperature=1.0, seed=1, pad_to_multiple=16
+    )
+    # an unknown chain is a client error that names the chain, not a reset
+    # connection or a complaint about a "coords" field the client never sent
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(srv, {"pdb": pdb, "chain": "Z"}, path="/design")
+    assert e.value.code == 400 and "chain" in json.loads(e.value.read())["error"]
 
 
-def test_prewarm_design(design_server):
+def test_prewarm_design(design_server, server):
     srv, _ = design_server
     assert srv.prewarm_design([8, 12]) == 2
     # LM-only servers return 0 rather than raising
-    assert InferenceServer.prewarm_design.__doc__  # exists on the class
+    lm_srv, _ = server
+    assert lm_srv.prewarm_design([8]) == 0
