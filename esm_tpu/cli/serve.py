@@ -60,6 +60,17 @@ def create_parser():
         "(seconds to minutes each on a cold cache)",
     )
     p.add_argument(
+        "--prewarm-fold", default=None, metavar="L1,L2,...",
+        help="also compile the fold path for these 64-bucketed lengths at "
+        "startup (a production-size fold compile is minutes per shape — "
+        "warm the buckets your traffic hits)",
+    )
+    p.add_argument(
+        "--prewarm-design", default=None, metavar="L1,L2,...",
+        help="also compile the /design decode for these (16-bucketed) "
+        "backbone lengths at startup (~12 s per shape cold)",
+    )
+    p.add_argument(
         "--batch-bucket", choices=["pow2", "max"], default="max",
         help="batch-dim padding: 'max' pads every multi-request batch to "
         "--max-batch (one compiled shape per length bucket — best under "
@@ -185,6 +196,18 @@ def run(args):
         n = server.prewarm()
         print(f"esm-serve: prewarmed {n} (B, T) shapes in "
               f"{time.perf_counter() - t0:.1f}s")
+    for flag, fn, what in (
+        (args.prewarm_fold, server.prewarm_fold, "fold"),
+        (args.prewarm_design, server.prewarm_design, "design"),
+    ):
+        if flag:
+            import time
+
+            lens = [int(x) for x in flag.split(",") if x.strip()]
+            t0 = time.perf_counter()
+            n = fn(lens)
+            print(f"esm-serve: prewarmed {n} {what} shapes in "
+                  f"{time.perf_counter() - t0:.1f}s")
     print(f"esm-serve: lm={args.model_location} fold={args.fold_model} "
           f"if={args.if_model} on "
           f"{server.url} (max_batch={args.max_batch}, wait={args.max_wait_ms}ms)")
