@@ -28,11 +28,12 @@ __all__ = [
     "native",
     "quantization",
     "training",
+    "lora",
 ]
 
 _LAZY_SUBMODULES = ("models", "native", "quantization", "training", "io",
                     "parallel", "runtime", "apps", "kernels", "ops", "utils",
-                    "metrics")
+                    "metrics", "lora")
 
 
 def __getattr__(name):

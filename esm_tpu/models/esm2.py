@@ -46,6 +46,9 @@ class ESM2Config:
     compute_dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
     remat: bool = False  # rematerialize layer bodies on backward (training)
+    # "dots" (keep matmul outputs) or "full" (save nothing — minimum
+    # activation memory; the 15B-LoRA-on-one-chip setting)
+    remat_policy: str = "dots"
 
     @property
     def ffn_embed_dim(self) -> int:
@@ -72,6 +75,7 @@ class ESM2Config:
             ln_eps=1e-5,
             use_flash=self.use_flash,
             remat=self.remat,
+            remat_policy=self.remat_policy,
         )
 
 

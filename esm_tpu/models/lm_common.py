@@ -43,11 +43,28 @@ class LayerStatic:
     # knob: activations are O(1) layers deep instead of O(num_layers);
     # matmul outputs stay saved per the dots_saveable policy).
     remat: bool = False
+    # With remat: "dots" keeps matmul outputs (recompute is elementwise-only,
+    # the throughput default); "full" saves NOTHING per layer — the backward
+    # re-runs each layer body from its input, trading ~1/3 more FLOPs for
+    # activation memory that is just the layer inputs. "full" is what lets
+    # a 15B int8 frozen base fine-tune on one 16 GB chip (LoRA) and is the
+    # right choice whenever weights, not compute, bound the batch.
+    remat_policy: str = "dots"
     # Sequence parallelism: (Mesh, axis_name) shards the T axis over that
     # mesh axis and runs attention as a ring (parallel/ring_attention.py) —
     # the long-context mechanism replacing the reference's chunk/truncate
     # (SURVEY §5.7). Mesh is hashable, so this stays a valid static.
     ring: Optional[tuple] = None
+
+
+def checkpoint_policy(name: str):
+    """Map a LayerStatic.remat_policy name to a jax.checkpoint policy:
+    "dots" keeps matmul outputs; "full" saves nothing (None)."""
+    if name == "dots":
+        return jax.checkpoint_policies.dots_saveable
+    if name == "full":
+        return None
+    raise ValueError(f"unknown remat_policy {name!r} (use 'dots' or 'full')")
 
 
 def transformer_layer_apply(
@@ -123,9 +140,10 @@ def transformer_stack_apply(
         # recompute the block in the backward pass instead of saving its
         # activations across the whole scan (jax.checkpoint inside lax.scan:
         # the standard TPU training-memory pattern); matmul results are kept
-        # (dots_saveable) so the recompute is elementwise-only
+        # (dots_saveable) so the recompute is elementwise-only — unless
+        # remat_policy="full", which saves nothing (minimum memory)
         layer_fn = jax.checkpoint(
-            layer_fn, policy=jax.checkpoint_policies.dots_saveable
+            layer_fn, policy=checkpoint_policy(static.remat_policy)
         )
 
     def body(carry, layer_params):

@@ -67,6 +67,16 @@ def _linear_dmajor(params, x: jax.Array) -> jax.Array:
     b = params.get("bias")
     if b is not None:
         y = y + b.astype(y.dtype)[None, :, None]
+    a = params.get("lora_a")
+    if a is not None:
+        # unmerged LoRA delta, emitted d-major like the base GEMM: the rank-r
+        # intermediate is (B, T, r) and the B factor is the LHS so the output
+        # width lands major (esm_tpu/lora.py)
+        y = y + jnp.einsum(
+            "re,btr->bet",
+            params["lora_b"].astype(x.dtype),
+            jnp.dot(x, a.astype(x.dtype)),
+        )
     return y
 
 
@@ -81,6 +91,13 @@ def _linear_from_dmajor(params, o: jax.Array) -> jax.Array:
     b = params.get("bias")
     if b is not None:
         y = y + b.astype(y.dtype)
+    a = params.get("lora_a")
+    if a is not None:
+        # unmerged LoRA delta from the d-major activations (esm_tpu/lora.py)
+        y = y + jnp.dot(
+            jnp.einsum("bet,er->btr", o, a.astype(o.dtype)),
+            params["lora_b"].astype(o.dtype),
+        )
     return y
 
 

@@ -29,11 +29,20 @@ def gelu_erf(x: jax.Array) -> jax.Array:
 def materialize_kernel(params, dtype) -> jax.Array:
     """Kernel as a dense ``dtype`` matrix — dequantizes weight-only int8
     (esm_tpu/quantization.py) for consumers that concatenate or reshape
-    kernels instead of calling :func:`linear` (e.g. fused projections)."""
+    kernels instead of calling :func:`linear` (e.g. fused projections).
+    LoRA-patched nodes (esm_tpu/lora.py) fold their delta in here, so
+    adapters act through EVERY kernel consumer, fused paths included."""
     k = params["kernel"]
     if k.dtype == jnp.int8:
-        return k.astype(dtype) * params["scale"].astype(dtype)
-    return k.astype(dtype)
+        k = k.astype(dtype) * params["scale"].astype(dtype)
+    else:
+        k = k.astype(dtype)
+    a = params.get("lora_a")
+    if a is not None:
+        k = k + jnp.einsum(
+            "...ir,...ro->...io", a.astype(dtype), params["lora_b"].astype(dtype)
+        )
+    return k
 
 
 def linear(params, x: jax.Array) -> jax.Array:
@@ -49,6 +58,14 @@ def linear(params, x: jax.Array) -> jax.Array:
     b = params.get("bias")
     if b is not None:
         y = y + b.astype(y.dtype)
+    a = params.get("lora_a")
+    if a is not None:
+        # unmerged LoRA adapter (esm_tpu/lora.py): two rank-r GEMMs beside
+        # the frozen base matmul — the base kernel keeps its storage dtype
+        # (int8 stays on the MXU; no dequantized copy in HBM)
+        y = y + jnp.dot(
+            jnp.dot(x, a.astype(x.dtype)), params["lora_b"].astype(x.dtype)
+        )
     return y
 
 

@@ -292,3 +292,72 @@ def plan_train(
         "hbm_bytes": hbm_bytes,
         "verdict": verdict,
     }
+
+
+def plan_train_lora(
+    cfg,
+    mesh_cfg: MeshConfig,
+    batch: int,
+    seqlen: int,
+    *,
+    rank: int,
+    base_dtype_bytes: int = 2,
+    remat_policy: str = "dots",
+    seq_shards: int = 1,
+    hbm_bytes: int = 15_750_000_000,
+) -> Dict:
+    """Estimate per-device HBM for one LoRA step (training.train_step_lora):
+    frozen base in its storage dtype (2 = bf16, 1 = weight-only int8, 4 =
+    fp32) + fp32 adapters with AdamW moments + activations.
+
+    Activation model, recalibrated round 5 against the measured single-chip
+    OOM edges (BENCH_NOTES "LoRA fine-tuning"): the "dots" remat policy
+    holds ~15·D·T·B·2 bytes per layer of saved matmul outputs (650M B=12
+    compiled to 17.27 G => 1.31 GB/seq = 15.1·D·T·2; the older plan_train
+    10·D factor under-counts the flash-training path), "full" holds only the
+    per-layer scan carry (B·T·D·2) plus one layer's recompute workspace. An
+    int8 base adds an L-independent backward weight-streaming transient
+    (~12·D²·2·4 bytes: dequant/transpose staging of the six big per-layer
+    kernels — the measured ~2.5 G that keeps 15B QLoRA off a 16 GB chip).
+    Use the verdict, not the raw number (±20-30%).
+    """
+    import jax.numpy as jnp
+
+    if base_dtype_bytes == 1:
+        base = plan_model(cfg, mesh_cfg, dtype=jnp.bfloat16)["per_device_bytes"] // 2
+    else:
+        base = plan_model(cfg, mesh_cfg, dtype=jnp.bfloat16)["per_device_bytes"] * (
+            base_dtype_bytes // 2
+        )
+    d = cfg.embed_dim
+    # q/k/v/o: 4·(D·r + r·D) = 8Dr; fc1/fc2: (D·r + r·4D) + (4D·r + r·D) = 10Dr
+    adapters = cfg.num_layers * 18 * d * rank * 4  # fp32
+    opt = 2 * adapters  # AdamW mu + nu (fp32)
+    grads = adapters
+    dp = mesh_cfg.data * mesh_cfg.fsdp
+    b_local = -(-batch // dp)
+    t_local = -(-seqlen // max(seq_shards, 1))
+    layer_body = 15 * d * t_local * b_local * 2
+    if remat_policy == "full":
+        acts = cfg.num_layers * (b_local * t_local * d * 2) + layer_body
+    else:
+        acts = cfg.num_layers * layer_body
+    weight_transients = 12 * d * d * 2 * 4 if base_dtype_bytes == 1 else 0
+    logits = b_local * t_local * getattr(cfg, "alphabet_size", 33) * 4
+    total = base + adapters + opt + grads + acts + weight_transients + logits
+    headroom = hbm_bytes - total
+    verdict = (
+        "fits" if headroom > 0.1 * hbm_bytes
+        else ("close" if headroom > -0.05 * hbm_bytes else "over")
+    )
+    return {
+        "per_device_bytes": int(total),
+        "params_bytes": int(base),
+        "adapter_bytes": int(adapters),
+        "optimizer_bytes": int(opt),
+        "grads_bytes": int(grads),
+        "activations_bytes": int(acts + logits),
+        "weight_transient_bytes": int(weight_transients),
+        "hbm_bytes": hbm_bytes,
+        "verdict": verdict,
+    }

@@ -213,11 +213,13 @@ def pipeline_transformer_stack(
     from ..models.lm_common import transformer_layer_apply
 
     if static.remat:
+        from ..models.lm_common import checkpoint_policy
+
         layer_fn = jax.checkpoint(
             lambda p, h, mask: transformer_layer_apply(
                 p, h, static=static, key_padding_mask=mask
             )[0],
-            policy=jax.checkpoint_policies.dots_saveable,
+            policy=checkpoint_policy(static.remat_policy),
         )
     else:
         layer_fn = lambda p, h, mask: transformer_layer_apply(

@@ -246,6 +246,44 @@ def train_step_accum(
     return TrainState(new_params, new_opt, state.step + 1), metrics
 
 
+@partial(
+    jax.jit, static_argnames=("cfg", "tx", "scale"), donate_argnums=(0,)
+)
+def train_step_lora(
+    state: TrainState,
+    base_params,
+    cfg: esm2.ESM2Config,
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+    tokens: jax.Array,
+    *,
+    scale: float = 1.0,
+) -> Tuple[TrainState, dict]:
+    """One parameter-efficient MLM step: ``state.params`` is the ADAPTER tree
+    (esm_tpu/lora.py), ``base_params`` the frozen base (fp32/bf16 or
+    weight-only int8 — the QLoRA-style configuration). Gradients and
+    optimizer state cover only the factors: the loss patches
+    ``stop_gradient(base)`` with the adapters, so the optimizer's moments are
+    O(adapters), not O(params) — the single-chip memory win that lets the
+    base stay bf16/int8 and the batch grow (BENCH_NOTES "LoRA fine-tuning").
+    ``scale`` is the LoRA alpha/rank factor (static)."""
+    from . import lora as _lora
+
+    corrupted, target_mask = _corrupt_batch(cfg, rng, tokens)
+    frozen = jax.lax.stop_gradient(base_params)
+
+    def loss_fn(adapters):
+        p = _lora.patch(frozen, adapters, scale=scale)
+        return mlm_loss(p, cfg, corrupted, tokens, target_mask)
+
+    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state.params
+    )
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_adapters = optax.apply_updates(state.params, updates)
+    return TrainState(new_adapters, new_opt, state.step + 1), metrics
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def eval_step(
     params, cfg: esm2.ESM2Config, rng: jax.Array, tokens: jax.Array

@@ -59,6 +59,29 @@ def create_parser():
     )
     p.add_argument("--grad-clip", type=float, default=None, help="global-norm gradient clip")
     p.add_argument(
+        "--lora", type=int, default=0, metavar="RANK",
+        help="parameter-efficient fine-tuning: freeze the base model and "
+        "train rank-RANK LoRA adapters on the attention/MLP linears "
+        "(esm_tpu.lora) — optimizer state covers only the adapters",
+    )
+    p.add_argument(
+        "--lora-alpha", type=float, default=None,
+        help="LoRA alpha; the adapter delta is scaled by alpha/rank "
+        "(default: alpha = rank, i.e. scale 1)",
+    )
+    p.add_argument(
+        "--lora-int8-base", action="store_true",
+        help="with --lora: store the frozen base weight-only int8 "
+        "(QLoRA-style; the int8 kernels feed the MXU directly) instead of "
+        "the default bf16",
+    )
+    p.add_argument(
+        "--lora-full-remat", action="store_true",
+        help="with --lora: save NOTHING per layer on the forward "
+        "(remat_policy='full') — minimum activation memory, ~1/3 extra "
+        "FLOPs; fits 2x the batch at 3B (BENCH_NOTES)",
+    )
+    p.add_argument(
         "--adafactor", action="store_true",
         help="factored second-moment optimizer (state ~params/1000 instead "
         "of 2x params) — the long-context single-chip configuration: 650M "
@@ -132,24 +155,75 @@ def run(args):
     )
     print(f"{len(dataset)} sequences, {len(batches)} batches/epoch")
 
+    lora_mod = lora_scale = None
+    if args.lora:
+        import dataclasses
+
+        from esm_tpu import lora as lora_mod
+
+        if args.accum_steps > 1:
+            raise SystemExit(
+                "--lora does not compose with --accum-steps yet; LoRA's "
+                "memory savings usually make accumulation unnecessary"
+            )
+        # the measured single-chip LoRA configuration (BENCH_NOTES "LoRA
+        # fine-tuning"): bf16 compute + flash attention + remat, frozen base
+        # stored bf16 (or int8) — a frozen base needs no fp32 master copy.
+        # This is what makes `--init-from esm2_t36_3B_UR50D --lora 16` fit
+        # one 16 GB chip.
+        cfg = dataclasses.replace(
+            cfg, compute_dtype=jnp.bfloat16, use_flash=True, remat=True,
+            remat_policy="full" if args.lora_full_remat else "dots",
+        )
+        if args.lora_int8_base:
+            from esm_tpu.quantization import quantize_params
+
+            params = quantize_params(params)
+        else:
+            params = jax.tree.map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32 else x,
+                params,
+            )
+        lora_scale = (
+            args.lora_alpha if args.lora_alpha is not None else float(args.lora)
+        ) / args.lora
+
     est_b = max(
         mesh_cfg.data * mesh_cfg.fsdp * args.accum_steps,
         args.toks_per_batch // (args.truncation_seq_length + 2),
     )
     try:
-        from esm_tpu.parallel.memory_plan import plan_train
+        if args.lora:
+            from esm_tpu.parallel.memory_plan import plan_train_lora
 
-        mp = plan_train(
-            cfg, mesh_cfg, est_b, args.truncation_seq_length + 2,
-            accum_steps=args.accum_steps,
-            mu_dtype_bytes=2 if args.bf16_moments else 4,
-        )
-        print(
-            f"memory plan (est. B={est_b}): {mp['per_device_bytes']/1e9:.1f} "
-            f"GB/device of {mp['hbm_bytes']/1e9:.1f} -> {mp['verdict']}"
-            + ("  (hint: --accum-steps / --bf16-moments / more devices)"
-               if mp["verdict"] != "fits" else "")
-        )
+            mp = plan_train_lora(
+                cfg, mesh_cfg, est_b, args.truncation_seq_length + 2,
+                rank=args.lora,
+                base_dtype_bytes=1 if args.lora_int8_base else 2,
+                remat_policy=cfg.remat_policy,
+            )
+            print(
+                f"memory plan (LoRA, est. B={est_b}): "
+                f"{mp['per_device_bytes']/1e9:.1f} GB/device of "
+                f"{mp['hbm_bytes']/1e9:.1f} -> {mp['verdict']}"
+                + ("  (hint: --lora-full-remat / --lora-int8-base)"
+                   if mp["verdict"] != "fits" else "")
+            )
+        else:
+            from esm_tpu.parallel.memory_plan import plan_train
+
+            mp = plan_train(
+                cfg, mesh_cfg, est_b, args.truncation_seq_length + 2,
+                accum_steps=args.accum_steps,
+                mu_dtype_bytes=2 if args.bf16_moments else 4,
+            )
+            print(
+                f"memory plan (est. B={est_b}): {mp['per_device_bytes']/1e9:.1f} "
+                f"GB/device of {mp['hbm_bytes']/1e9:.1f} -> {mp['verdict']}"
+                + ("  (hint: --accum-steps / --bf16-moments / more devices)"
+                   if mp["verdict"] != "fits" else "")
+            )
     except Exception:  # the plan is advisory; never block training on it
         pass
 
@@ -172,7 +246,26 @@ def run(args):
     )
     # init on the already-sharded params so the optimizer moments are created
     # with the same mesh placement (zeros_like inherits sharding)
-    state = training.init_state(shard_params(mesh, params), tx)
+    placed_params = shard_params(mesh, params)
+    if args.lora:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        adapters = lora_mod.init_lora(
+            jax.random.PRNGKey(args.seed + 3), params, rank=args.lora
+        )
+        # adapters are tiny: replicate them on the mesh
+        adapters = jax.device_put(
+            adapters, NamedSharding(mesh, PartitionSpec())
+        )
+        n_base = sum(int(x.size) for x in jax.tree.leaves(params))
+        print(
+            f"LoRA rank {args.lora}: {lora_mod.num_params(adapters) / 1e6:.2f}M "
+            f"trainable adapters on a frozen {n_base / 1e6:.0f}M base"
+            + (" (int8)" if args.lora_int8_base else "")
+        )
+        state = training.init_state(adapters, tx)
+    else:
+        state = training.init_state(placed_params, tx)
 
     start_step = 0
     # sibling of the params dir: orbax's force-save replaces the whole params
@@ -222,13 +315,20 @@ def run(args):
 
     def run_eval(step):
         nll = cnt = 0.0
+        # patch once per eval call, not per batch — the adapters are
+        # constant across the loop
+        eval_params = (
+            lora_mod.patch(placed_params, state.params, scale=lora_scale)
+            if args.lora
+            else state.params
+        )
         for j, toks in enumerate(eval_batches):
             # eval never accumulates, so pad to the data-parallel rows only;
             # eval_step returns per-sequence sums — drop the padded rows so
             # the aggregate perplexity is exact
             padded, real_b = pad_batch(toks, dp)
             sums = training.eval_step(
-                state.params, cfg,
+                eval_params, cfg,
                 jax.random.fold_in(jax.random.PRNGKey(args.seed + 2), j),
                 jax.device_put(jnp.asarray(padded), bsh),
             )
@@ -265,7 +365,12 @@ def run(args):
         # rng from the step index (not a split chain): resume stays bit-exact
         step_rng = jax.random.fold_in(rng, step)
         tokens_dev = jax.device_put(jnp.asarray(toks), bsh)
-        if args.accum_steps > 1:
+        if args.lora:
+            state, metrics = training.train_step_lora(
+                state, placed_params, cfg, tx, step_rng, tokens_dev,
+                scale=lora_scale,
+            )
+        elif args.accum_steps > 1:
             state, metrics = training.train_step_accum(
                 state, cfg, tx, step_rng, tokens_dev,
                 accum_steps=args.accum_steps,
@@ -299,8 +404,26 @@ def run(args):
     if args.checkpoint_dir:
         from esm_tpu.io.checkpoint import save_params
 
-        save_params(args.checkpoint_dir, state.params)
-        print(f"saved params to {args.checkpoint_dir}")
+        if args.lora:
+            try:
+                # deployment artifact: adapters folded into the base kernels
+                # (runs at exactly the base model's inference cost)
+                final = lora_mod.merge(
+                    placed_params, state.params, scale=lora_scale
+                )
+                save_params(args.checkpoint_dir, final)
+                print(f"saved MERGED params to {args.checkpoint_dir}")
+            except ValueError:
+                # int8 base refuses merging; ship the adapters — inference
+                # patches them next to the frozen base (esm_tpu.lora.patch)
+                save_params(args.checkpoint_dir, state.params)
+                print(
+                    f"saved LoRA adapters to {args.checkpoint_dir} "
+                    "(int8 base stays unmerged; apply with lora.patch)"
+                )
+        else:
+            save_params(args.checkpoint_dir, state.params)
+            print(f"saved params to {args.checkpoint_dir}")
     return state
 
 

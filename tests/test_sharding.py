@@ -589,6 +589,45 @@ def test_memory_plan_train_calibration():
     assert sliced["per_device_bytes"] < plan_train(cfg15, single, 1, 1024)["per_device_bytes"]
 
 
+def test_memory_plan_train_lora_calibration():
+    """plan_train_lora reproduces EVERY measured round-5 single-chip LoRA
+    edge (BENCH_NOTES "LoRA fine-tuning"): 650M fits through B=8 and OOMs at
+    B=12/16 (17.27/23.04 G compiled); 3B fits at B=2 under "dots" remat,
+    OOMs at B=4 (18.26 G) but fits B=4 under "full"; L=8192 fits with plain
+    AdamW; 15B int8 + full remat misses (18.8 G — the L-independent backward
+    weight-streaming transients)."""
+    from esm_tpu.parallel.memory_plan import plan_train_lora
+
+    al = Alphabet.from_architecture("ESM-1b")
+    single = MeshConfig(1, 1, 1)
+    cfg650 = esm2.ESM2Config.from_alphabet(
+        al, **esm2.ESM2_SIZES["esm2_t33_650M_UR50D"]
+    )
+    cfg3b = esm2.ESM2Config.from_alphabet(
+        al, **esm2.ESM2_SIZES["esm2_t36_3B_UR50D"]
+    )
+    cfg15 = esm2.ESM2Config.from_alphabet(
+        al, **esm2.ESM2_SIZES["esm2_t48_15B_UR50D"]
+    )
+    plan = lambda cfg, b, t, **kw: plan_train_lora(
+        cfg, single, b, t, **{"rank": 16, **kw}
+    )["verdict"]
+    assert plan(cfg650, 4, 1024) == "fits"
+    assert plan(cfg650, 8, 1024) == "fits"
+    assert plan(cfg650, 12, 1024) in ("close", "over")
+    assert plan(cfg650, 16, 1024) == "over"
+    assert plan(cfg650, 1, 8192) == "fits"
+    assert plan(cfg3b, 2, 1024) == "fits"
+    assert plan(cfg3b, 4, 1024) == "over"
+    assert plan(cfg3b, 4, 1024, remat_policy="full") == "fits"
+    assert plan(cfg15, 1, 512, rank=8, base_dtype_bytes=1,
+                remat_policy="full") == "over"
+    # the int8 base charges the measured weight-streaming transient
+    p = plan_train_lora(cfg15, single, 1, 512, rank=8, base_dtype_bytes=1,
+                        remat_policy="full")
+    assert p["weight_transient_bytes"] > 2e9
+
+
 def test_memory_plan_fold_calibration():
     """plan_fold reproduces the measured single-chip ESMFold outcomes
     (BENCH_NOTES, esmfold_v1 size, bf16 trunk + fused triangle kernels):
