@@ -79,34 +79,53 @@ def init_lora(
     """
     if rank < 1:
         raise ValueError(f"rank must be >= 1, got {rank}")
-    leaves = []  # (path, node) in deterministic traversal order
+    leaves = []  # target paths in deterministic traversal order
 
-    def walk(path, node):
+    def collect(path, node):
         if _is_linear(node) and _wants(targets, path):
-            leaves.append((path, node))
+            leaves.append(path)
             return
         if isinstance(node, dict):
             for name in sorted(node):
-                walk(path + (name,), node[name])
+                collect(path + (name,), node[name])
+        elif isinstance(node, (list, tuple)):
+            # e.g. the GVP-Transformer decoder stores its layer stack as a
+            # python list of per-layer dicts
+            for i, sub in enumerate(node):
+                collect(path + (i,), sub)
 
-    walk((), params)
+    collect((), params)
     if not leaves:
         raise ValueError(
             "no linear nodes matched the LoRA targets "
             f"{targets if not callable(targets) else '<predicate>'}"
         )
-    keys = jax.random.split(key, len(leaves))
-    tree = {}
-    for k, (path, node) in zip(keys, leaves):
-        kern = node["kernel"]
-        *lead, d_in, d_out = kern.shape
-        a = jax.random.normal(k, (*lead, d_in, rank), dtype) / math.sqrt(d_in)
-        b = jnp.zeros((*lead, rank, d_out), dtype)
-        sub = tree
-        for name in path[:-1]:
-            sub = sub.setdefault(name, {})
-        sub[path[-1]] = {"lora_a": a, "lora_b": b}
-    return tree
+    target_keys = dict(zip(leaves, jax.random.split(key, len(leaves))))
+
+    def build(path, node):
+        k = target_keys.get(path)
+        if k is not None:
+            kern = node["kernel"]
+            *lead, d_in, d_out = kern.shape
+            a = jax.random.normal(k, (*lead, d_in, rank), dtype) / math.sqrt(d_in)
+            b = jnp.zeros((*lead, rank, d_out), dtype)
+            return {"lora_a": a, "lora_b": b}
+        if isinstance(node, dict):
+            out = {}
+            for name in node:
+                sub = build(path + (name,), node[name])
+                if sub is not None:
+                    out[name] = sub
+            return out or None
+        if isinstance(node, (list, tuple)):
+            subs = [build(path + (i,), v) for i, v in enumerate(node)]
+            if all(s is None for s in subs):
+                return None
+            # keep positional alignment: non-adapted slots become {}
+            return [s if s is not None else {} for s in subs]
+        return None
+
+    return build((), params)
 
 
 def patch(params, lora, *, scale: float = 1.0):
@@ -117,6 +136,10 @@ def patch(params, lora, *, scale: float = 1.0):
     reference; nothing is copied but the dicts along adapted paths."""
 
     def walk(p_node, l_node):
+        if isinstance(l_node, (list, tuple)):
+            if len(l_node) != len(p_node):
+                raise ValueError("adapter list does not align with params")
+            return [walk(pv, lv) for pv, lv in zip(p_node, l_node)]
         if not isinstance(l_node, dict):
             raise TypeError(f"malformed adapter node: {type(l_node)}")
         if "lora_a" in l_node:
@@ -148,6 +171,8 @@ def merge(params, lora, *, scale: float = 1.0):
     """
 
     def walk(p_node, l_node):
+        if isinstance(l_node, (list, tuple)):
+            return [walk(pv, lv) for pv, lv in zip(p_node, l_node)]
         if "lora_a" in l_node:
             kern = p_node["kernel"]
             if kern.dtype == jnp.int8:

@@ -284,6 +284,91 @@ def train_step_lora(
     return TrainState(new_adapters, new_opt, state.step + 1), metrics
 
 
+def if_loss_sums(params, cfg, coords, padding_mask, confidence, tokens):
+    """Teacher-forced sequence cross-entropy sums for the GVP-Transformer
+    (ESM-IF1): the batched, jittable form of the reference's per-sequence
+    scoring objective (esm/inverse_folding/util.py:106-121) — the training
+    loss for fine-tuning sequence design on custom backbones. Inputs are
+    CoordBatchConverter outputs; returns (Σ nll over non-pad targets,
+    {"correct", "count"}) so microbatch sums add exactly."""
+    from .models.inverse_folding import model as if_model
+
+    prev = tokens[:, :-1]
+    target = tokens[:, 1:]
+    logits = if_model.apply(
+        params, cfg, coords, padding_mask, confidence, prev
+    )  # (B, V, T) — reference layout
+    logp = jax.nn.log_softmax(logits, axis=1)
+    nll = -jnp.take_along_axis(logp, target[:, None, :], axis=1)[:, 0]
+    w = (target != cfg.padding_idx).astype(nll.dtype)
+    correct = (jnp.argmax(logits, axis=1) == target) * w
+    return jnp.sum(nll * w), {"correct": jnp.sum(correct), "count": jnp.sum(w)}
+
+
+def _if_step(state, cfg, tx, batch, loss_params_fn, grads_wrt):
+    coords, padding_mask, confidence, tokens = batch
+
+    def loss_fn(leaves):
+        nll, aux = if_loss_sums(
+            loss_params_fn(leaves), cfg, coords, padding_mask, confidence, tokens
+        )
+        denom = jnp.maximum(aux["count"], 1.0)
+        loss = nll / denom
+        return loss, {"loss": loss, "acc": aux["correct"] / denom,
+                      "num_targets": aux["count"]}
+
+    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(grads_wrt)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return TrainState(new_params, new_opt, state.step + 1), metrics
+
+
+@partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0,))
+def train_step_if(
+    state: TrainState,
+    cfg,
+    tx: optax.GradientTransformation,
+    coords: jax.Array,
+    padding_mask: jax.Array,
+    confidence: jax.Array,
+    tokens: jax.Array,
+) -> Tuple[TrainState, dict]:
+    """One inverse-folding fine-tuning step (full parameters): teacher-forced
+    CE on (backbone, sequence) pairs. The reference ships no trainer for any
+    family; this closes the loop for ESM-IF1 — design models fine-tuned on
+    project-specific backbones. Batch tensors come from CoordBatchConverter."""
+    return _if_step(
+        state, cfg, tx, (coords, padding_mask, confidence, tokens),
+        loss_params_fn=lambda p: p, grads_wrt=state.params,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "tx", "scale"), donate_argnums=(0,))
+def train_step_if_lora(
+    state: TrainState,
+    base_params,
+    cfg,
+    tx: optax.GradientTransformation,
+    coords: jax.Array,
+    padding_mask: jax.Array,
+    confidence: jax.Array,
+    tokens: jax.Array,
+    *,
+    scale: float = 1.0,
+) -> Tuple[TrainState, dict]:
+    """Parameter-efficient variant of :func:`train_step_if`: ``state.params``
+    is a LoRA adapter tree over the frozen ``base_params`` (esm_tpu/lora.py —
+    the adapters cover the encoder/decoder attention+MLP linears by default)."""
+    from . import lora as _lora
+
+    frozen = jax.lax.stop_gradient(base_params)
+    return _if_step(
+        state, cfg, tx, (coords, padding_mask, confidence, tokens),
+        loss_params_fn=lambda a: _lora.patch(frozen, a, scale=scale),
+        grads_wrt=state.params,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def eval_step(
     params, cfg: esm2.ESM2Config, rng: jax.Array, tokens: jax.Array
