@@ -246,8 +246,27 @@ def train_step_accum(
     return TrainState(new_params, new_opt, state.step + 1), metrics
 
 
+@partial(jax.jit, static_argnames=("cfg", "tx"), donate_argnums=(0,))
+def train_step_msa(
+    state: TrainState,
+    cfg,
+    tx: optax.GradientTransformation,
+    rng: jax.Array,
+    tokens: jax.Array,
+) -> Tuple[TrainState, dict]:
+    """One MLM step for the MSA Transformer: the same BERT-style objective
+    over (B, R, C) MSA token batches (masking is uniform across rows and
+    columns; per-row cls tokens and padding are never selected). ``cfg`` is
+    an MSATransformerConfig — its result-dict contract matches esm2.apply, so
+    the shared step body drives it unchanged."""
+    from .models import msa_transformer
+
+    return _mlm_step(state, cfg, tx, rng, tokens, msa_transformer.apply)
+
+
 @partial(
-    jax.jit, static_argnames=("cfg", "tx", "scale"), donate_argnums=(0,)
+    jax.jit, static_argnames=("cfg", "tx", "scale", "apply_fn"),
+    donate_argnums=(0,),
 )
 def train_step_lora(
     state: TrainState,
@@ -258,6 +277,7 @@ def train_step_lora(
     tokens: jax.Array,
     *,
     scale: float = 1.0,
+    apply_fn=None,
 ) -> Tuple[TrainState, dict]:
     """One parameter-efficient MLM step: ``state.params`` is the ADAPTER tree
     (esm_tpu/lora.py), ``base_params`` the frozen base (fp32/bf16 or
@@ -266,7 +286,9 @@ def train_step_lora(
     ``stop_gradient(base)`` with the adapters, so the optimizer's moments are
     O(adapters), not O(params) — the single-chip memory win that lets the
     base stay bf16/int8 and the batch grow (BENCH_NOTES "LoRA fine-tuning").
-    ``scale`` is the LoRA alpha/rank factor (static)."""
+    ``scale`` is the LoRA alpha/rank factor (static). ``apply_fn`` (static)
+    swaps the model family — e.g. ``msa_transformer.apply`` with an
+    MSATransformerConfig and (B, R, C) tokens for MSA-Transformer LoRA."""
     from . import lora as _lora
 
     corrupted, target_mask = _corrupt_batch(cfg, rng, tokens)
@@ -274,7 +296,7 @@ def train_step_lora(
 
     def loss_fn(adapters):
         p = _lora.patch(frozen, adapters, scale=scale)
-        return mlm_loss(p, cfg, corrupted, tokens, target_mask)
+        return mlm_loss(p, cfg, corrupted, tokens, target_mask, apply_fn)
 
     (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
         state.params
