@@ -121,8 +121,10 @@ def init_lora(
             subs = [build(path + (i,), v) for i, v in enumerate(node)]
             if all(s is None for s in subs):
                 return None
-            # keep positional alignment: non-adapted slots become {}
-            return [s if s is not None else {} for s in subs]
+            # keep positional alignment (non-adapted slots become {}) and
+            # the container type (a tuple stack mirrors as a tuple, so the
+            # adapter treedef composes with the params treedef)
+            return type(node)(s if s is not None else {} for s in subs)
         return None
 
     return build((), params)
@@ -139,7 +141,7 @@ def patch(params, lora, *, scale: float = 1.0):
         if isinstance(l_node, (list, tuple)):
             if len(l_node) != len(p_node):
                 raise ValueError("adapter list does not align with params")
-            return [walk(pv, lv) for pv, lv in zip(p_node, l_node)]
+            return type(p_node)(walk(pv, lv) for pv, lv in zip(p_node, l_node))
         if not isinstance(l_node, dict):
             raise TypeError(f"malformed adapter node: {type(l_node)}")
         if "lora_a" in l_node:
@@ -172,7 +174,9 @@ def merge(params, lora, *, scale: float = 1.0):
 
     def walk(p_node, l_node):
         if isinstance(l_node, (list, tuple)):
-            return [walk(pv, lv) for pv, lv in zip(p_node, l_node)]
+            if len(l_node) != len(p_node):
+                raise ValueError("adapter list does not align with params")
+            return type(p_node)(walk(pv, lv) for pv, lv in zip(p_node, l_node))
         if "lora_a" in l_node:
             kern = p_node["kernel"]
             if kern.dtype == jnp.int8:

@@ -105,3 +105,43 @@ def test_train_step_if_lora_trains_adapters_only():
     )
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(base_before)):
         np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_if_lora_merge_matches_patch_on_list_stacked_tree():
+    """merge() on the list-stacked IF adapter tree (the deploy artifact of
+    train_step_if_lora) equals the unmerged patched model, and misaligned
+    layer lists are rejected rather than silently truncated."""
+    import pytest
+
+    _, cfg, params, _, batch = _setup()
+    coords_b, padding_mask, conf, tokens = batch
+    adapters = lora.init_lora(jax.random.PRNGKey(1), params, rank=4)
+    # give B factors values so the adapters act
+    flat, treedef = jax.tree_util.tree_flatten_with_path(adapters)
+    keys = jax.random.split(jax.random.PRNGKey(2), len(flat))
+    adapters = jax.tree.unflatten(treedef, [
+        jax.random.normal(k, leaf.shape, leaf.dtype) * 0.05
+        if path[-1].key == "lora_b" else leaf
+        for (path, leaf), k in zip(flat, keys)
+    ])
+    patched, _ = training.if_loss_sums(
+        lora.patch(params, adapters, scale=0.5), cfg,
+        coords_b, padding_mask, conf, tokens,
+    )
+    merged, _ = training.if_loss_sums(
+        lora.merge(params, adapters, scale=0.5), cfg,
+        coords_b, padding_mask, conf, tokens,
+    )
+    base, _ = training.if_loss_sums(
+        params, cfg, coords_b, padding_mask, conf, tokens
+    )
+    assert abs(float(patched) - float(base)) > 1e-4  # adapters act
+    assert np.isclose(float(patched), float(merged), rtol=1e-4)
+
+    short = dict(adapters)
+    short["decoder"] = dict(adapters["decoder"])
+    short["decoder"]["layers"] = adapters["decoder"]["layers"][:-1]
+    with pytest.raises(ValueError, match="align"):
+        lora.merge(params, short)
+    with pytest.raises(ValueError, match="align"):
+        lora.patch(params, short)
