@@ -391,6 +391,113 @@ def train_step_if_lora(
     )
 
 
+def split_fold_params(params):
+    """Split ESMFold params into (trainable, frozen) for the fold train
+    steps. The LM and the ``af2_to_esm`` int32 lookup table are frozen: the
+    reference's ESMFold trains trunk+heads against a frozen ESM-2 (esm_s is
+    stop-gradiented in esmfold.apply, mirroring esm/esmfold/v1/esmfold.py:198),
+    and an integer table cannot be differentiated anyway."""
+    frozen = {k: params[k] for k in ("esm", "af2_to_esm")}
+    trainable = {k: v for k, v in params.items() if k not in frozen}
+    return trainable, frozen
+
+
+def _fold_step(state, frozen, cfg, tx, batch, loss_params_fn, grads_wrt,
+               weights, num_recycles):
+    from .models import esmfold as ef
+    from .models.esmfold import losses as fl
+
+    if weights is None:
+        weights = fl.FoldLossWeights()
+    aa, mask, coords, coord_mask, masking_pattern = batch
+
+    def loss_fn(leaves):
+        params = {**frozen, **loss_params_fn(leaves)}
+        structure = ef.apply(
+            params, cfg, aa, mask=mask, masking_pattern=masking_pattern,
+            num_recycles=num_recycles,
+        )
+        return fl.fold_loss(
+            structure, cfg, aa, mask, coords, coord_mask,
+            weights=weights, masking_pattern=masking_pattern,
+        )
+
+    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(grads_wrt)
+    updates, new_opt = tx.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return TrainState(new_params, new_opt, state.step + 1), metrics
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "tx", "weights", "num_recycles"),
+    donate_argnums=(0,),
+)
+def train_step_fold(
+    state: TrainState,
+    frozen,
+    cfg,
+    tx: optax.GradientTransformation,
+    aa: jax.Array,
+    mask: jax.Array,
+    coords: jax.Array,
+    coord_mask: jax.Array,
+    *,
+    masking_pattern: Optional[jax.Array] = None,
+    weights=None,
+    num_recycles: int = 0,
+) -> Tuple[TrainState, dict]:
+    """One ESMFold structure fine-tuning step: backbone FAPE + distogram CE
+    + pLDDT-head CE (models/esmfold/losses.py) on (sequence, backbone) pairs
+    — the fourth model family the trainer covers end to end. ``state.params``
+    holds the trainable subtree and ``frozen`` the rest, both from
+    :func:`split_fold_params`; ``cfg`` is the ESMFoldConfig; ``coords`` is
+    (B, L, 3, 3) ground-truth N/CA/C in Å, ``coord_mask`` (B, L) marks
+    resolved residues. Pass ``masking_pattern`` (+ weights.lm > 0) to add the
+    paper's masked-LM auxiliary on the trunk's lm_head."""
+    return _fold_step(
+        state, frozen, cfg, tx, (aa, mask, coords, coord_mask, masking_pattern),
+        loss_params_fn=lambda p: p, grads_wrt=state.params,
+        weights=weights, num_recycles=num_recycles,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "tx", "weights", "num_recycles", "scale"),
+    donate_argnums=(0,),
+)
+def train_step_fold_lora(
+    state: TrainState,
+    base_trainable,
+    frozen,
+    cfg,
+    tx: optax.GradientTransformation,
+    aa: jax.Array,
+    mask: jax.Array,
+    coords: jax.Array,
+    coord_mask: jax.Array,
+    *,
+    masking_pattern: Optional[jax.Array] = None,
+    weights=None,
+    num_recycles: int = 0,
+    scale: float = 1.0,
+) -> Tuple[TrainState, dict]:
+    """Parameter-efficient variant of :func:`train_step_fold`:
+    ``state.params`` is a LoRA adapter tree (esm_tpu/lora.py) over the frozen
+    ``base_trainable`` subtree — adapters ride the trunk/head linears while
+    the full ESMFold weights stay untouched for deploy-time merging."""
+    from . import lora as _lora
+
+    frozen_t = jax.lax.stop_gradient(base_trainable)
+    return _fold_step(
+        state, frozen, cfg, tx, (aa, mask, coords, coord_mask, masking_pattern),
+        loss_params_fn=lambda a: _lora.patch(frozen_t, a, scale=scale),
+        grads_wrt=state.params,
+        weights=weights, num_recycles=num_recycles,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def eval_step(
     params, cfg: esm2.ESM2Config, rng: jax.Array, tokens: jax.Array
