@@ -184,6 +184,48 @@ def test_train_step_fold_lm_aux(tiny_fold):
     assert "lm_ce" in m and np.isfinite(float(m["lm_ce"]))
 
 
+def _write_pdb(path, coords, resnames):
+    """Minimal standard-column PDB writer for N/CA/C backbones."""
+    lines, serial = [], 1
+    for i in range(coords.shape[0]):
+        for name, xyz in zip(("N", "CA", "C"), coords[i]):
+            nm = " " + name.ljust(3)
+            lines.append(
+                f"ATOM  {serial:5d} {nm} {resnames[i]:>3s} A{i + 1:4d}    "
+                f"{xyz[0]:8.3f}{xyz[1]:8.3f}{xyz[2]:8.3f}  1.00  0.00"
+                f"           {name[0]}"
+            )
+            serial += 1
+    path.write_text("\n".join(lines) + "\nEND\n")
+
+
+@pytest.mark.slow
+def test_finetune_example_end_to_end(tmp_path):
+    """examples/esmfold_finetune.py runs the full PDB->batch->train loop
+    (full-parameter and LoRA+lm-aux variants) on synthetic backbones."""
+    import importlib.util
+    import pathlib
+
+    resnames = ["ALA", "GLY", "SER", "LEU", "VAL", "THR", "GLU", "LYS"]
+    for f in range(2):
+        coords = synth_backbone(20 + f, 1, 8)[0]
+        _write_pdb(tmp_path / f"s{f}.pdb", coords, resnames)
+
+    spec = importlib.util.spec_from_file_location(
+        "esmfold_finetune",
+        pathlib.Path(__file__).parent.parent / "examples" / "esmfold_finetune.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(mod.create_parser().parse_args(
+        ["--pdbs", str(tmp_path), "--steps", "2", "--cpu"]
+    ))
+    mod.main(mod.create_parser().parse_args(
+        ["--pdbs", str(tmp_path), "--steps", "2", "--cpu", "--lora",
+         "--lm-aux-weight", "0.1"]
+    ))
+
+
 def test_train_step_fold_lora(tiny_fold):
     from esm_tpu import lora
 
